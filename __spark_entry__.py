@@ -1,38 +1,495 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship hybrid vector search on sf0.001.
+``queries()`` — one callable per declared operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
+
+Determinism rules applied throughout (SURVEY.md §2.6 ⚠ / FIXTURES.md):
+every ORDER BY+LIMIT query orders by ROUNDED values plus a unique-key
+tiebreaker; all float outputs are rounded in-query; timestamps are emitted
+as epoch-second bigints or date strings, never raw timestamps.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from pydata_vector_search_spark.catalog import read_table, register_sf_dir
+from pydata_vector_search_spark.functions import text as T
+from pydata_vector_search_spark.functions.vector import cosine_similarity
+from pydata_vector_search_spark.operators import knn
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Deterministic query vector: the embedding of a fixed vec_id.
+
+    Mirrors the reference's pattern of encoding one query text driver-side
+    and passing it as a literal/scalar-subquery (demo.ipynb c11:1-2,10)."""
+    row = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") == vec_id).select("embedding").head())
+    return [float(x) for x in row[0]]
+
+
+def _score(vec_col, qvec) -> F.Column:
+    from pydata_vector_search_spark.functions.vector import query_vector_lit
+    q = query_vector_lit(qvec)
+    return F.round(cosine_similarity(F.col(vec_col), q), 2)
+
+
+_ORACLE_Q = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+# --------------------------------------------------------------------------
+# Vector / similarity (SURVEY §2.2: V1 V3 V4 J1 T3)
+# --------------------------------------------------------------------------
+
+def q_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1+V3+T3: exact cosine top-10 (reference demo.ipynb c11:7-13)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return (emb.withColumn("score", _score("embedding", qv))
+               .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+               .limit(10)
+               .select("vec_id", "label", "score"))
+
+
+def q_vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1+J1: top-10 + metadata re-attach join (reference c11:12 v⋈jobs).
+
+    The k-row search side is tiny → Spark broadcasts it; at 100 TB the
+    corpus side never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir)
+    hits = (emb.withColumn("score", _score("embedding", qv))
+               .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+               .limit(10))
+    return (hits.join(docs, hits.vec_id == docs.doc_id, "inner")
+                .select("vec_id", "score", "lang", "source", "n_chars"))
+
+
+def q_hybrid_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 pre-filter: predicate BELOW the distance computation in one plan —
+    the improvement over the reference's post-filter (c13:1-4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return (knn.vector_search(emb, "embedding", qv, k=5, metric="cosine",
+                              filter=F.col("label") == 3,
+                              round_to=2, tiebreaker="vec_id")
+               .withColumn("score", F.round(1 - F.col("_distance"), 2))
+               .select("vec_id", "label", "score"))
+
+
+def q_hybrid_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 reference-parity mode='post': over-fetch 100, filter, top-5
+    (bug-compatible with demo.ipynb c13:6-15 k=3000 over-fetch)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return (knn.hybrid_search_postfilter(
+                emb, "embedding", qv, filter=F.col("label") == 3,
+                k=5, fetch_k=100, round_to=2, tiebreaker="vec_id")
+               .withColumn("score", F.round(1 - F.col("_distance"), 2))
+               .select("vec_id", "label", "score"))
+
+
+# --------------------------------------------------------------------------
+# Relational surface (SURVEY §2.3-2.7: P F J A T C)
+# --------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A6: TPC-H Q1-shaped partial+final hash agg over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                   F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                   F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+T2: the reference's analytics pattern (c15:4-9 — count per company,
+    top-15) on documents.lang/source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+                .groupBy("lang", "source")
+                .agg(F.count(F.lit(1)).alias("doc_count"),
+                     F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+                .orderBy(F.col("doc_count").desc(), F.col("lang").asc(),
+                         F.col("source").asc())
+                .limit(15))
+
+
+def q_filter_like_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3+F4+P1+P2+C1: predicates + computed projection (reference
+    c13:12 equality, c15:7 LIKE, c15:15 IS NOT NULL + AND)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter((F.col("o_orderstatus") == "F")
+                     & F.col("o_orderpriority").like("1-%")
+                     & F.col("o_totalprice").isNotNull())
+             .select("o_orderkey", "o_orderpriority",
+                     F.round(F.col("o_totalprice") * 0.9, 2).alias("discounted"))
+             .orderBy(F.col("o_orderkey").asc())
+             .limit(20))
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A4: inner equi-join orders⋈customer → revenue per segment.
+    customer is the small dim → broadcast hash join (AQE or hint)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+             .groupBy("c_mktsegment")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("order_count"))
+             .orderBy(F.col("c_mktsegment").asc()))
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 chained: lineitem⋈orders⋈customer⋈nation⋈region star join —
+    dims broadcast, fact table never shuffles until the group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .groupBy("r_name")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                   F.count(F.lit(1)).alias("line_count"))
+              .orderBy(F.col("r_name").asc()))
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-semi + left-anti — customers with ≥1 open order vs none."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = _t(spark, sf_dir, "customer")
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey").withColumn("has_open", F.lit(1)))
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey").withColumn("has_open", F.lit(0)))
+    return (semi.unionByName(anti)
+                .orderBy("c_custkey").limit(50))
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number: top-3 longest docs per lang — the 'top matches per
+    company' generalization of hybrid search (SURVEY §2.9)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(),
+                                           F.col("doc_id").asc())
+    return (docs.withColumn("rn", F.row_number().over(w).cast("long"))
+                .filter(F.col("rn") <= 3)
+                .select("lang", "rn", "doc_id", "n_chars")
+                .orderBy("lang", "rn"))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + DISTINCT: nations appearing as customer or supplier homes."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (c.unionByName(s).distinct().orderBy("nationkey"))
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: count distinct (reference's driver-side set() count, c5:13)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("distinct_customers"),
+                  F.count(F.lit(1)).alias("order_count"))
+             .orderBy("o_orderstatus"))
+
+
+# --------------------------------------------------------------------------
+# Events: timestamp + JSON scalar functions (SURVEY §2.7 C5)
+# --------------------------------------------------------------------------
+
+def q_events_json_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: get_json_object + tumbling daily bucket (epoch-aligned) + agg."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    return (ev.withColumn("day_bucket", bucket)
+              .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+              .groupBy("day_bucket", "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value"),
+                   F.round(F.avg("k"), 2).alias("avg_k"))
+              .orderBy("day_bucket", "event_type"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis / dedup (driver mandate; SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + quality score per doc (JVM-side expressions only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        T.token_count("text").cast("long").alias("n_tokens"),
+                        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
+                        F.round(T.quality_score("text"), 2).alias("quality"))
+                .orderBy("doc_id").limit(100))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: keep min doc_id per
+    fingerprint (deterministic canonical row, unlike dropDuplicates)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.withColumn("fp", T.fingerprint_md5("text"))
+    return (fp.groupBy("fp")
+              .agg(F.min("doc_id").alias("keep_doc_id"),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .select("fp", "keep_doc_id", "dup_count")
+              .orderBy("keep_doc_id"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution (marker-stopword rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("pred_lang", T.lang_id("text"))
+                .groupBy("pred_lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .orderBy("pred_lang"))
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid pre-filter vector search + metadata join on sf0.001
+    — the reference's c11+c13 patterns fused into one Catalyst plan."""
+    emb = _t(spark, SF0001, "embeddings")
+    docs = _t(spark, SF0001, "documents")
+    qv = _query_vec(spark, SF0001)
+    hits = knn.vector_search(emb, "embedding", qv, k=10, metric="cosine",
+                             filter=F.col("label") < 5,
+                             round_to=2, tiebreaker="vec_id")
+    return (hits.join(docs, hits.vec_id == docs.doc_id, "inner")
+                .withColumn("score", F.round(1 - F.col("_distance"), 2))
+                .select("vec_id", "label", "score", "lang", "source"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "vector_knn": q_vector_knn,
+        "vector_knn_join": q_vector_knn_join,
+        "hybrid_prefilter": q_hybrid_prefilter,
+        "hybrid_postfilter": q_hybrid_postfilter,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "group_topk": q_group_topk,
+        "filter_like_project": q_filter_like_project,
+        "join_agg": q_join_agg,
+        "join_multiway": q_join_multiway,
+        "semi_anti_join": q_semi_anti_join,
+        "window_topk_per_group": q_window_topk_per_group,
+        "set_ops": q_set_ops,
+        "distinct_agg": q_distinct_agg,
+        "events_json_window": q_events_json_window,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "vector_knn": f"""
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS score
+            FROM embeddings e
+            ORDER BY score DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "vector_knn_join": f"""
+            WITH hits AS (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS score
+                FROM embeddings e
+                ORDER BY score DESC, e.vec_id ASC
+                LIMIT 10
+            )
+            SELECT h.vec_id, h.score, d.lang, d.source, d.n_chars
+            FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+        """,
+        "hybrid_prefilter": f"""
+            WITH d AS (
+                SELECT e.vec_id, e.label,
+                       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist
+                FROM embeddings e
+                WHERE e.label = 3
+            )
+            SELECT vec_id, label, round(1 - dist, 2) AS score
+            FROM d
+            ORDER BY dist ASC, vec_id ASC
+            LIMIT 5
+        """,
+        "hybrid_postfilter": f"""
+            WITH wide AS (
+                SELECT e.vec_id, e.label,
+                       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist
+                FROM embeddings e
+                ORDER BY dist ASC, e.vec_id ASC
+                LIMIT 100
+            )
+            SELECT vec_id, label, round(1 - dist, 2) AS score
+            FROM wide WHERE label = 3
+            ORDER BY dist ASC, vec_id ASC
+            LIMIT 5
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "group_topk": """
+            SELECT lang, source, count(*) AS doc_count,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+            GROUP BY lang, source
+            ORDER BY doc_count DESC, lang ASC, source ASC
+            LIMIT 15
+        """,
+        "filter_like_project": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(o_totalprice * 0.9, 2) AS discounted
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '1-%'
+                  AND o_totalprice IS NOT NULL
+            ORDER BY o_orderkey ASC
+            LIMIT 20
+        """,
+        "join_agg": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS order_count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment ASC
+        """,
+        "join_multiway": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name ASC
+        """,
+        "semi_anti_join": """
+            WITH open_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            SELECT c_custkey,
+                   CASE WHEN c_custkey IN (SELECT o_custkey FROM open_cust) THEN 1 ELSE 0 END AS has_open
+            FROM customer
+            ORDER BY c_custkey
+            LIMIT 50
+        """,
+        "window_topk_per_group": """
+            SELECT lang, rn, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+            ORDER BY lang, rn
+        """,
+        "set_ops": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            ) ORDER BY nationkey
+        """,
+        "distinct_agg": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS distinct_customers,
+                   count(*) AS order_count
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "events_json_window": """
+            SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg((props::JSON ->> 'k')::BIGINT), 2) AS avg_k
+            FROM events
+            GROUP BY day_bucket, event_type
+            ORDER BY day_bucket, event_type
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   round(len(list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                                         w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                         / len(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')), 4) AS stop_ratio,
+                   round(0.4 * least(length(text) / 200.0, 1.0)
+                       + 0.3 * (CASE WHEN length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+'))
+                                          BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+                       + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+                                                / length(text), 1.0)), 2) AS quality
+            FROM documents
+            ORDER BY doc_id
+            LIMIT 100
+        """,
+        "dedup_exact": r"""
+            SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+            FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                  FROM documents)
+            GROUP BY fp
+            ORDER BY keep_doc_id
+        """,
+        "lang_id": r"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, text,
+                       len(list_filter(tk, w -> w IN ('the','and','of'))) AS h_en,
+                       len(list_filter(tk, w -> w IN ('el','los','las'))) AS h_es,
+                       len(list_filter(tk, w -> w IN ('le','les','et'))) AS h_fr,
+                       len(list_filter(tk, w -> w IN ('der','und','die'))) AS h_de
+                FROM toks
+            )
+            SELECT pred_lang, count(*) AS n_docs FROM (
+                SELECT CASE
+                         WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                         WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                         WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                         WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                         WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                         WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                         ELSE 'de'
+                       END AS pred_lang
+                FROM scored
+            ) GROUP BY pred_lang ORDER BY pred_lang
+        """,
+    }

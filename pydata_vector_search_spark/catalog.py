@@ -1,0 +1,126 @@
+"""Tiny named-table catalog: name -> Parquet path (+ key metadata).
+
+Replaces the reference's Hudi table layer (demo.ipynb c8:15-26: record-keyed
+COW table at TABLE_PATH). We keep the two things the demo actually relies on —
+(1) a stable name/path for snapshot reads, (2) a record key enabling upsert
+semantics — and drop the rest (timeline, meta columns in user SELECTs).
+
+Tables are directories of Parquet files, so at 100 TB a table is simply more
+files; reads stay a vectorized columnar scan with predicate pushdown + column
+pruning, and optional hive-style partition columns give partition pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field, asdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableInfo:
+    name: str
+    path: str
+    key: str | None = None            # record key for upsert (reference: job_id)
+    partition_by: list[str] = field(default_factory=list)
+
+
+class Catalog:
+    """File-backed catalog so sessions can reattach to existing tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._meta_path = os.path.join(root, "_catalog.json")
+        self._tables: dict[str, TableInfo] = {}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                for name, info in json.load(f).items():
+                    self._tables[name] = TableInfo(**info)
+
+    def _persist(self) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump({n: asdict(t) for n, t in self._tables.items()}, f, indent=2)
+
+    # -- registration ------------------------------------------------------
+    def register_path(self, name: str, path: str, key: str | None = None) -> TableInfo:
+        """Attach an existing Parquet file/dir as a named table (external)."""
+        info = TableInfo(name=name, path=path, key=key)
+        self._tables[name] = info
+        self._persist()
+        return info
+
+    def write(self, name: str, df: DataFrame, key: str | None = None,
+              mode: str = "overwrite", partition_by: list[str] | None = None) -> TableInfo:
+        """Write a managed table (reference S3: mode('overwrite') write, c8:26)."""
+        path = os.path.join(self.root, name)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        info = TableInfo(name=name, path=path, key=key,
+                         partition_by=list(partition_by or []))
+        self._tables[name] = info
+        self._persist()
+        return info
+
+    # -- access ------------------------------------------------------------
+    def load(self, name: str) -> DataFrame:
+        """Snapshot scan (reference S4: spark.read.format('hudi').load, c11:5)."""
+        return self.spark.read.parquet(self._tables[name].path)
+
+    def info(self, name: str) -> TableInfo:
+        return self._tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def create_view(self, name: str, view_name: str | None = None) -> None:
+        """Temp-view registration (reference S5: createOrReplaceTempView, c11:2,5)."""
+        self.load(name).createOrReplaceTempView(view_name or name)
+
+    def drop(self, name: str, delete_files: bool = True) -> None:
+        """Table drop (reference S7: shutil.rmtree(TABLE_PATH), c8:10-11)."""
+        info = self._tables.pop(name, None)
+        self._persist()
+        if info and delete_files and info.path.startswith(self.root):
+            shutil.rmtree(info.path, ignore_errors=True)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table, normalizing nanosecond timestamps.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects by default; we read nanos as long and truncate to
+    microseconds with integer division (``DIV`` — double division would lose
+    precision above 2^53 ns), matching DuckDB's nanos→micros truncation so
+    oracle comparisons agree.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_sf_dir(spark: SparkSession, sf_dir: str,
+                    tables: tuple[str, ...] = ("region", "nation", "customer",
+                                               "supplier", "part", "orders",
+                                               "lineitem", "events",
+                                               "documents", "embeddings")) -> None:
+    """Register the driver's testdata parquet files as temp views."""
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            read_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,52 @@
+"""Keyed upsert (last-write-wins) — the reference's Hudi COW semantics.
+
+Reference: record key = job_id, write op = upsert, DefaultSparkRecordMerger
+(demo.ipynb c8:17-23, raw L518-524): a second write with the same key replaces
+the row. Re-expressed relationally: union old+new with a monotonically
+increasing commit timestamp, keep row_number()=1 per key ordered by commit
+desc, rewrite (copy-on-write).
+
+Scale note: v0 rewrites the whole table (fine for fixtures; matches COW on a
+non-partitioned table, which is exactly what the reference configures —
+NonpartitionedKeyGenerator, c8:18-19). At 100 TB the table must be
+partitioned; then the anti-join prunes to only the partitions containing
+updated keys and only those are rewritten (classic COW). ``upsert`` takes
+``partition_by`` to enable that layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+META_TS = "_commit_ts"
+
+
+def merge_last_write_wins(old: DataFrame, new: DataFrame, key: str,
+                          ts_col: str = META_TS) -> DataFrame:
+    """Pure-plan merge: rows from ``new`` replace same-key rows in ``old``.
+
+    Implemented as union + window dedup so it composes with any plan. The
+    window shuffles by key once — at scale the union inherits the scan
+    partitioning and AQE handles skewed keys.
+    """
+    old_t = old.withColumn(ts_col, F.lit(0)) if ts_col not in old.columns else old
+    new_t = new.withColumn(ts_col, F.lit(1)) if ts_col not in new.columns else new
+    u = old_t.unionByName(new_t, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    return (u.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1)
+             .drop("__rn", ts_col))
+
+
+def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> None:
+    """COW upsert into a catalog table: read snapshot → merge → rewrite."""
+    info = catalog.info(name)
+    key = key or info.key
+    if key is None:
+        raise ValueError(f"table {name!r} has no record key; register with key=")
+    old = catalog.load(name)
+    merged = merge_last_write_wins(old, new, key)
+    # Materialize before overwrite (can't overwrite a path while reading it).
+    tmp = merged.localCheckpoint(eager=True) if merged.isStreaming is False else merged
+    catalog.write(name, tmp, key=key, mode="overwrite",
+                  partition_by=info.partition_by or None)

@@ -1,0 +1,64 @@
+"""Text function unit tests incl. rolling hash vs pure-Python reference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox and the lazy dog."),
+        (1, "  El  perro   y los gatos  "),
+        (2, "le chat et les chiens"),
+        (3, "der Hund und die Katze"),
+        (4, "这是一个中文句子"),
+        (5, "word " * 50),
+        (6, "x"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string").cache()
+
+
+def test_token_count(docs):
+    got = {r.id: r.n for r in docs.select("id", T.token_count("text").alias("n")).collect()}
+    assert got[0] == 8
+    assert got[1] == 5  # whitespace runs collapse, leading/trailing trimmed
+    assert got[6] == 1
+
+
+def test_normalized_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD ")],
+        "id int, text string")
+    fps = [r.fp for r in df.select(T.fingerprint_md5("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def _py_rolling(s, base=31, mod=2_147_483_647):
+    acc = 0
+    for ch in s:
+        acc = (acc * base + ord(ch)) % mod
+    return acc
+
+
+def test_rolling_hash_matches_python(spark):
+    samples = ["abc", "hello world", "The quick brown fox", ""]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r.h for r in df.select(T.rolling_hash("text").alias("h")).collect()]
+    assert got == [_py_rolling(s) for s in samples]
+
+
+def test_lang_id(docs):
+    got = {r.id: r.lang for r in docs.select("id", T.lang_id("text").alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "fr"
+    assert got[3] == "de"
+    assert got[4] == "zh"
+    assert got[5] == "und"  # no marker words
+
+
+def test_quality_score_bounds(docs):
+    vals = [r.q for r in docs.select(T.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)

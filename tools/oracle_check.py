@@ -1,0 +1,109 @@
+"""Local replica of the driver's t2 correctness harness.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same sf parquet tables, then
+compares row count, column names/order-insensitive value multiset.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact repr — both engines must agree bit-for-bit after in-query rounding
+        return repr(v)
+    return repr(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in order))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import __spark_entry__ as entry
+    from pydata_vector_search_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            rel = con.sql(sql)
+            ocols = [c for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns spark={scols} duck={ocols}")
+            failures.append(name)
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(orows)}")
+            failures.append(name)
+            continue
+        sn, on = _norm_rows(scols, srows), _norm_rows(ocols, orows)
+        if sn != on:
+            bad = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            print(f"FAIL {name}: value mismatch ({sum(1 for a, b in zip(sn, on) if a != b)}/{len(sn)} rows); first diffs:")
+            for a, b in bad:
+                print(f"   spark: {a}\n   duck : {b}")
+            failures.append(name)
+            continue
+        print(f"PASS {name}: {len(srows)} rows [{dt:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    if failures:
+        print("failures:", failures)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
