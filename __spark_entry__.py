@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pydata_vector_search_spark.catalog import read_table, register_sf_dir
 from pydata_vector_search_spark.functions import text as T
 from pydata_vector_search_spark.functions.vector import cosine_similarity
-from pydata_vector_search_spark.operators import knn
+from pydata_vector_search_spark.operators import dedup, knn
+from pydata_vector_search_spark.operators.embedding import HashEncoder, embed_text
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -258,6 +259,55 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("keep_doc_id"))
 
 
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified. The md5-order
+    permutations make even the LSH candidate set engine-independent, so this
+    APPROXIMATE operator still has an exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.minhash_neardup_pairs(docs, "text", "doc_id",
+                                        n=3, num_hashes=12, bands=4,
+                                        threshold=0.5)
+                 .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+                 .orderBy("id_1", "id_2"))
+
+
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (explode+equi-join formulation —
+    co-occurrence-bounded, never corpus²)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.jaccard_similarity_join(docs, "text", "doc_id",
+                                          n=3, threshold=0.5)
+                 .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+                 .orderBy("id_1", "id_2"))
+
+
+def q_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scan: top-20 most-similar embedding pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.cosine_topk_pairs(emb, "embedding", "vec_id", k=20, round_to=2)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 near-dup pairs (xxhash64 bit-vote — Spark-side hash,
+    no DuckDB twin → rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+                 .orderBy("id_1", "id_2"))
+
+
+def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-side embedding pipeline (mapInPandas + deterministic hash
+    encoder): returns per-doc dim + unit-norm check (non-SQL-expressible →
+    rows-only check)."""
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    emb = embed_text(docs, "text", "embedding", encoder=HashEncoder(dim=64))
+    from pydata_vector_search_spark.functions.vector import l2_norm
+    return (emb.select("doc_id",
+                       F.size("embedding").cast("long").alias("dim"),
+                       F.round(l2_norm("embedding"), 2).alias("norm"))
+               .orderBy("doc_id"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution (marker-stopword rule)."""
     docs = _t(spark, sf_dir, "documents")
@@ -303,8 +353,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_window": q_events_json_window,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
+        "minhash_neardup": q_minhash_neardup,
+        "jaccard_join": q_jaccard_join,
+        "cosine_topk_pairs": q_cosine_topk_pairs,
+        "simhash_neardup": q_simhash_neardup,
+        "embed_hash": q_embed_hash,
         "lang_id": q_lang_id,
     }
+
+
+# SQL fragments shared by the dedup oracles (mirror functions/text +
+# operators/dedup shingling exactly).
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_TOKS = f"regexp_split_to_array({_SQL_NORM}, ' ')"
+_SQL_SHINGLES = (
+    "CASE WHEN len(tk) >= 3 THEN "
+    "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
+    "for i in range(1, len(tk) - 1)]) "
+    f"ELSE [{_SQL_NORM}] END")
+
+
+def _minhash_oracle() -> str:
+    num_hashes, bands, rows, thr = 12, 4, 3, 0.5
+    sig_cols = ",\n                   ".join(
+        f"list_min(list_transform(sh, s -> md5(s || ':{i}'))) AS sig{i}"
+        for i in range(num_hashes))
+    band_cols = ",\n                   ".join(
+        "md5(" + " || '|' || ".join(f"sig{b * rows + r}" for r in range(rows))
+        + f") AS band{b}" for b in range(bands))
+    band_union = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM banded"
+        for b in range(bands))
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+            ), sigs AS (
+                SELECT doc_id, sh,
+                   {sig_cols}
+                FROM sh
+            ), banded AS (
+                SELECT doc_id,
+                   {band_cols}
+                FROM sigs
+            ), expl AS (
+                {band_union}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM expl a JOIN expl b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            )
+            SELECT id_1, id_2,
+                   round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+            FROM cand
+            JOIN sh sa ON cand.id_1 = sa.doc_id
+            JOIN sh sb ON cand.id_2 = sb.doc_id
+            WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {thr}
+            ORDER BY id_1, id_2
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -465,6 +574,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY fp
             ORDER BY keep_doc_id
+        """,
+        "minhash_neardup": _minhash_oracle(),
+        "jaccard_join": f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+            )
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ORDER BY id_1, id_2
+        """,
+        "cosine_topk_pairs": """
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 2) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ORDER BY cos_sim DESC, id_1 ASC, id_2 ASC
+            LIMIT 20
         """,
         "lang_id": r"""
             WITH toks AS (

@@ -1,0 +1,287 @@
+"""Deduplication & similarity-join operators (driver mandate; SURVEY §2.9).
+
+The reference has no dedup surface; these are the LLM-training-pipeline
+operators BASELINE.json mandates, built Spark-first:
+
+* exact dedup — md5 fingerprint groupBy (functions/text.fingerprint_md5);
+* MinHash-LSH near-dup — shingle → minhash → band → bucket join → exact
+  Jaccard verify. **Deterministic across engines**: the "random" permutations
+  are md5(shingle || ':i') and the minimum is the *lexicographic* min of the
+  hex digests — a random total order any engine with md5 can reproduce, so
+  even the LSH candidate set is oracle-checkable (no RNG, no seed drift);
+* SimHash — 64-bit signature via xxhash64 bit-vote (Hamming-near dup);
+* exact n-gram Jaccard join — explode+equi-join formulation (linear in
+  co-occurrences, not quadratic in docs);
+* embedding cosine near-dup / top-k similar pairs — brute force for
+  correctness, random-hyperplane LSH bucketing as the scale path.
+
+Scale notes (100 TB): the LSH paths shuffle once on the band/bucket key;
+candidate verification touches only co-bucketed pairs. The exact-join path
+shuffles on the shingle key — hot shingles are the skew risk, so
+``max_shingle_df`` drops shingles whose document frequency exceeds a cap
+(standard prefix-filtering trick: a shingle shared by >N docs contributes
+O(N²) candidate pairs but almost no Jaccard evidence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pydata_vector_search_spark.functions.text import normalized_text
+from pydata_vector_search_spark.functions.vector import cosine_similarity
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+def tokens_col(text: Column | str) -> Column:
+    return F.split(normalized_text(text), " ")
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, fully JVM-side:
+    transform(sequence(0, len-n), i -> concat_ws(' ', slice(toks, i+1, n)))."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array(normalized_text(text)))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per normalized-text fingerprint (deterministic
+    canonical choice, unlike dropDuplicates which is partition-order
+    dependent)."""
+    from pydata_vector_search_spark.functions.text import fingerprint_md5
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (df.withColumn("__fp", fingerprint_md5(text_col))
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .drop("__fp", "__rn"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (md5-order permutations — cross-engine deterministic)
+# --------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` minima; element i = lexicographic min over
+    shingles of md5(shingle || ':i')."""
+    def _perm(i: int):
+        # closure-bound salt (a default arg would change the lambda's arity
+        # and receive transform's index Column instead — see simhash64)
+        return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
+
+    return F.array(*[F.array_min(F.transform(shingles, _perm(i)))
+                     for i in range(num_hashes)])
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """bands × md5(join of that band's slice of the signature)."""
+    keys = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.md5(F.concat_ws("|", sl)))
+    return F.array(*keys)
+
+
+def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          n: int = 3, num_hashes: int = 12, bands: int = 4,
+                          threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (id_1 < id_2) with exact-Jaccard verification of
+    LSH candidates. Returns (id_1, id_2, jaccard).
+
+    Plan shape: per-row signature (no shuffle) → explode band keys →
+    self-join on (band, key) [one shuffle, bucket-local] → distinct pairs →
+    re-attach shingle arrays (broadcast-or-shuffle join on id) → exact
+    array_intersect Jaccard filter. Candidate count, not corpus², bounds
+    every stage — the 100 TB path.
+    """
+    rows = num_hashes // bands
+    base = (df.select(F.col(id_col).alias("__id"),
+                      shingles_col(text_col, n).alias("__sh"))
+              .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+              .withColumn("__bands", lsh_band_keys(F.col("__sig"), bands, rows)))
+
+    banded = base.select(
+        "__id", F.posexplode("__bands").alias("__band", "__key"))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.__band") == F.col("b.__band"))
+                  & (F.col("a.__key") == F.col("b.__key"))
+                  & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
+            .distinct())
+
+    sh = base.select(F.col("__id"), F.col("__sh"))
+    inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
+    union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
+    return (cand.join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
+                .join(sh.alias("sb"), F.col("id_2") == F.col("sb.__id"))
+                .withColumn("jaccard", inter.cast("double") / union)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_1", "id_2", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard join (explode + equi-join — no corpus² stage)
+# --------------------------------------------------------------------------
+
+def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
+                            n: int = 3, threshold: float = 0.5,
+                            max_shingle_df: int | None = None) -> DataFrame:
+    """All pairs with exact n-gram Jaccard ≥ threshold, via the scalable
+    formulation: explode shingles → self-join on shingle → count
+    co-occurrences per pair → |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (skew guard; biases Jaccard down slightly — leave None for exact)."""
+    sh = (df.select(F.col(id_col).alias("__id"),
+                    shingles_col(text_col, n).alias("__sh"))
+            .withColumn("__n", F.size("__sh")))
+    ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        ex = (ex.join(dfreq.filter(F.col("__df") <= max_shingle_df), "__s"))
+    pairs = (ex.alias("a").join(ex.alias("b"),
+                                (F.col("a.__s") == F.col("b.__s"))
+                                & (F.col("a.__id") < F.col("b.__id")))
+               .groupBy(F.col("a.__id").alias("id_1"),
+                        F.col("b.__id").alias("id_2"),
+                        F.col("a.__n").alias("n1"),
+                        F.col("b.__n").alias("n2"))
+               .agg(F.count(F.lit(1)).alias("inter")))
+    return (pairs.withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_1", "id_2", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit, xxhash64 bit-vote)
+# --------------------------------------------------------------------------
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash: for each bit, sum ±1 votes of each distinct token's
+    xxhash64; bit set iff vote > 0. Pure Catalyst (64 aggregates over the
+    token array — no shuffle, no UDF)."""
+    hashes = F.transform(F.array_distinct(tokens), lambda t: F.xxhash64(t))
+
+    def _vote_fn(bit: int):
+        # NB: bind via closure, NOT a default arg — PySpark derives the
+        # higher-order-function arity from the lambda's parameter count, so
+        # a `b=b` default would receive a third lambda Column.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(b))
+        bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b))
+                     .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out.bitwiseOR(x)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Block on the 4×16-bit chunks (pigeonhole: ≤3 differing bits → at least
+    one 16-bit chunk identical), join per block, verify Hamming — the
+    standard scalable simhash dedup layout (one shuffle on chunk value)."""
+    base = df.select(F.col(id_col).alias("__id"),
+                     simhash64(tokens_col(text_col)).alias("__sh"))
+    blocks = []
+    for c in range(4):
+        chunk = F.shiftrightunsigned(F.col("__sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
+        blocks.append(base.select("__id", "__sh", F.lit(c).alias("__blk"),
+                                  chunk.alias("__chunk")))
+    b = blocks[0]
+    for x in blocks[1:]:
+        b = b.unionByName(x)
+    cand = (b.alias("a").join(b.alias("b"),
+                              (F.col("a.__blk") == F.col("b.__blk"))
+                              & (F.col("a.__chunk") == F.col("b.__chunk"))
+                              & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"),
+                     F.col("a.__sh").alias("sh1"), F.col("b.__sh").alias("sh2"))
+             .distinct())
+    return (cand.withColumn("hamming", hamming64(F.col("sh1"), F.col("sh2")))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_1", "id_2", "hamming"))
+
+
+# --------------------------------------------------------------------------
+# embedding-space similarity
+# --------------------------------------------------------------------------
+
+def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
+                      k: int = 20, round_to: int = 2) -> DataFrame:
+    """Top-k most-similar pairs (id_1 < id_2) by rounded cosine, tiebroken
+    on ids — brute force; TakeOrderedAndProject keeps only k rows per task."""
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vector_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vector_col).alias("__vb"))
+    return (a.join(b, F.col("id_1") < F.col("id_2"))
+             .withColumn("cos_sim",
+                         F.round(cosine_similarity(F.col("__va"), F.col("__vb")),
+                                 round_to))
+             .orderBy(F.col("cos_sim").desc(), F.col("id_1").asc(),
+                      F.col("id_2").asc())
+             .limit(k)
+             .select("id_1", "id_2", "cos_sim"))
+
+
+def cosine_neardup_pairs(df: DataFrame, vector_col: str, id_col: str,
+                         threshold: float = 0.95) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, brute force)."""
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vector_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vector_col).alias("__vb"))
+    return (a.join(b, F.col("id_1") < F.col("id_2"))
+             .withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+             .filter(F.col("cos_sim") >= threshold)
+             .select("id_1", "id_2", "cos_sim"))
+
+
+def hyperplane_lsh_neardup(df: DataFrame, vector_col: str, id_col: str,
+                           dim: int, threshold: float = 0.9,
+                           num_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Scale path for cosine near-dup: random-hyperplane signature (sign of
+    dot with ``num_planes`` seeded Gaussian vectors) buckets candidates; one
+    shuffle on the bucket, exact verify inside. Recall < 1 by construction
+    (LSH); the brute-force op above is the oracle."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    from pydata_vector_search_spark.functions.vector import dot_product, query_vector_lit
+    sig = None
+    for i in range(num_planes):
+        bit = F.when(dot_product(F.col(vector_col),
+                                 query_vector_lit(planes[i])) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)) \
+               .otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(vector_col).alias("__v"), sig.alias("__sig"))
+    cand = (base.alias("a").join(base.alias("b"),
+                                 (F.col("a.__sig") == F.col("b.__sig"))
+                                 & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"),
+                     F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb")))
+    return (cand.withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+                .filter(F.col("cos_sim") >= threshold)
+                .select("id_1", "id_2", "cos_sim"))

@@ -1,0 +1,98 @@
+"""Executor-side embedding pipeline (reference V5, re-architected).
+
+The reference encodes on the DRIVER with sentence-transformers
+(demo.ipynb c7:1-5: 92 batches of 32, single process) — the single worst
+scale decision in the demo. Here encoding is a ``mapInPandas`` stage: each
+executor task pulls Arrow batches of text, encodes locally, and emits the
+embedding column alongside every input column. At 100 TB the encode cost
+scales with executors and the data never funnels through the driver.
+
+Encoders are pluggable via a tiny protocol; the default is a deterministic
+hash encoder (test fixture parity — FIXTURES.md requires embedding fixtures
+never depend on a real model), and a sentence-transformers adapter is gated
+behind an import-try since torch isn't in this container.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+
+class HashEncoder:
+    """Deterministic, dependency-free encoder: each token maps to a pseudo-
+    random (md5-seeded) Gaussian direction; a document embeds as the
+    L2-normalized sum of its token vectors. Same text → same vector in any
+    process on any machine — the property the correctness harness needs."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def _token_vec(self, token: str) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+        return np.random.default_rng(seed).standard_normal(self.dim)
+
+    def encode_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim))
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if toks:
+                out[i] = np.sum([self._token_vec(w) for w in toks], axis=0)
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return out.astype(np.float32)
+
+
+class SentenceTransformerEncoder:
+    """Adapter for the reference's model (all-MiniLM-L6-v2, demo.ipynb
+    c1:11). Import-gated: raises at construction if the library is absent."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2"):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - not in container
+            raise ImportError(
+                "sentence-transformers not installed; use HashEncoder or "
+                "install the extra") from e
+        self._model = SentenceTransformer(model_name)
+        self.dim = self._model.get_sentence_embedding_dimension()
+
+    def encode_batch(self, texts: list[str]) -> np.ndarray:  # pragma: no cover
+        return np.asarray(self._model.encode(texts))
+
+
+def embed_text(df: DataFrame, text_col: str, out_col: str = "embedding",
+               encoder=None, batch_size: int = 256) -> DataFrame:
+    """Append an ``array<float>`` embedding column, executor-side.
+
+    mapInPandas (not a scalar pandas_udf) so the encoder can batch on its
+    own terms and amortize model init per task rather than per row."""
+    encoder = encoder or HashEncoder()
+    schema = StructType(df.schema.fields
+                        + [StructField(out_col, ArrayType(FloatType()), True)])
+    cols = df.columns
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = encoder  # captured once per task
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size].copy()
+                vecs = enc.encode_batch(chunk[text_col].fillna("").tolist())
+                chunk[out_col] = [v.tolist() for v in vecs]
+                yield chunk
+
+    return df.mapInPandas(encode, schema=schema)
+
+
+def with_source_text(df: DataFrame, cols: list[str],
+                     out_col: str = "text_for_vector") -> DataFrame:
+    """Reference V6: text_for_vector = title + ' ' + description
+    (demo.ipynb c5:10) as concat_ws."""
+    return df.withColumn(out_col, F.concat_ws(" ", *cols))

@@ -1,0 +1,86 @@
+"""Dedup operator properties (SURVEY.md §5.4 + driver-mandate ops)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.catalog import read_table
+from pydata_vector_search_spark.operators import dedup
+from pydata_vector_search_spark.operators.embedding import HashEncoder, embed_text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Hello  World"), (1, "hello world"), (2, "other")],
+        "doc_id int, text string")
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_pairs_subset_of_exact(docs):
+    """LSH+verify results ⊆ exact jaccard results, and all ≥ threshold."""
+    mh = {(r.id_1, r.id_2): r.jaccard
+          for r in dedup.minhash_neardup_pairs(docs, "text", "doc_id",
+                                               threshold=0.5).collect()}
+    exact = {(r.id_1, r.id_2): r.jaccard
+             for r in dedup.jaccard_similarity_join(docs, "text", "doc_id",
+                                                    threshold=0.5).collect()}
+    assert set(mh) <= set(exact)
+    for pair, j in mh.items():
+        assert abs(j - exact[pair]) < 1e-12
+        assert j >= 0.5
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words entirely unrelated")],
+        "doc_id int, text string")
+    got = dedup.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    pairs = {(r.id_1, r.id_2): r.hamming for r in got}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk_pairs_sorted(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = dedup.cosine_topk_pairs(emb, "embedding", "vec_id", k=10).collect()
+    assert len(got) == 10
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.id_1 < r.id_2 for r in got)
+
+
+def test_hyperplane_lsh_subset_of_exact(spark):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((5, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.standard_normal(16) * 0.01          # near-duplicate
+        rows.append((i * 2 + 1, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = {(r.id_1, r.id_2) for r in dedup.cosine_neardup_pairs(
+        df, "embedding", "vec_id", threshold=0.99).collect()}
+    lsh = {(r.id_1, r.id_2) for r in dedup.hyperplane_lsh_neardup(
+        df, "embedding", "vec_id", dim=16, threshold=0.99).collect()}
+    assert lsh <= exact
+    assert len(exact) == 5  # the 5 constructed near-dup pairs
+
+
+def test_embed_text_deterministic_unit_norm(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "hello world"),
+                                (3, "spark engine")], "id int, text string")
+    out = embed_text(df, "text", encoder=HashEncoder(dim=32)).collect()
+    by_id = {r.id: r.embedding for r in out}
+    assert by_id[1] == by_id[2]            # deterministic
+    assert by_id[1] != by_id[3]
+    import math
+    n = math.sqrt(sum(x * x for x in by_id[1]))
+    assert abs(n - 1.0) < 1e-5             # unit norm
+    assert len(by_id[1]) == 32
