@@ -71,7 +71,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """Array of ``num_hashes`` minima; element i = lexicographic min over
-    shingles of md5(shingle || ':i')."""
+    shingles of md5(shingle || ':i').
+
+    NOTE: higher-order-function lambdas run INTERPRETED (outside whole-stage
+    codegen) — ~30× slower than scalar md5. ``minhash_neardup_pairs`` uses
+    the explode + scalar-column formulation for its hot path; this per-row
+    expression stays as API surface (e.g. signatures on a stream)."""
     def _perm(i: int):
         # closure-bound salt (a default arg would change the lambda's arity
         # and receive transform's index Column instead — see simhash64)
@@ -90,6 +95,32 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition before a CPU-heavy per-row stage. A single small parquet
+    file arrives as ONE partition — fine for scans, fatal for per-row md5 /
+    bit-vote expressions that should use every core. At cluster scale inputs
+    are already split; this is a cheap no-op-ish guard (hash on the id keeps
+    the shuffle payload small and the layout reusable by later groupBys)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, F.col(id_col))
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier after an expensive projection.
+
+    Catalyst's projection collapse + generator/filter pushdown happily
+    substitute an alias's defining expression into every consumer — for a
+    signature column consumed by an explode, a filter, and both sides of a
+    self-join that multiplies a minhash/simhash tree 20-50× (measured: 57s
+    instead of 0.3s on sf0.1). A round-robin shuffle pipelines the
+    expression exactly once at the map side and hands consumers
+    materialized attributes; self-joins downstream read the same exchange
+    (ReusedExchange). Payload is (id, signature) — tiny relative to the
+    compute it guards, at any scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           n: int = 3, num_hashes: int = 12, bands: int = 4,
                           threshold: float = 0.5) -> DataFrame:
@@ -103,22 +134,42 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     every stage — the 100 TB path.
     """
     rows = num_hashes // bands
-    base = (df.select(F.col(id_col).alias("__id"),
-                      shingles_col(text_col, n).alias("__sh"))
-              .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-              .withColumn("__bands", lsh_band_keys(F.col("__sig"), bands, rows)))
+    df = _fan_out(df, id_col)
+    base = _barrier(df.select(F.col(id_col).alias("__id"),
+                              shingles_col(text_col, n).alias("__sh")))
 
-    banded = base.select(
-        "__id", F.posexplode("__bands").alias("__band", "__key"))
-    cand = (banded.alias("a")
-            .join(banded.alias("b"),
-                  (F.col("a.__band") == F.col("b.__band"))
-                  & (F.col("a.__key") == F.col("b.__key"))
-                  & (F.col("a.__id") < F.col("b.__id")))
-            .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
+    # Hot path stays in whole-stage codegen: explode shingles, compute the
+    # num_hashes salted md5s as SCALAR columns (HOF lambdas run interpreted,
+    # ~30× slower — measured 57s vs <2s on sf0.1), then take per-doc minima
+    # with a hash aggregate. Partial (map-side) min aggregation collapses
+    # each partition to one row per doc before the shuffle, so shuffle
+    # volume is docs × num_hashes regardless of shingle count — the
+    # property that matters at 100 TB.
+    ex = base.select("__id", F.explode("__sh").alias("__s"))
+    hashed = ex.select("__id", *[
+        F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}")
+        for i in range(num_hashes)])
+    sig = hashed.groupBy("__id").agg(*[
+        F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_hashes)])
+
+    band_keys = [
+        F.md5(F.concat_ws("|", *[F.col(f"__m{b * rows + r}")
+                                 for r in range(rows)])).alias(f"__band{b}")
+        for b in range(bands)]
+    banded = (sig.select("__id", *band_keys)
+                 .select("__id", F.posexplode(F.array(
+                     *[F.col(f"__band{b}") for b in range(bands)]))
+                     .alias("__band", "__key")))
+    buckets = (banded.groupBy("__band", "__key")
+                     .agg(F.collect_list("__id").alias("__ids"))
+                     .filter(F.size("__ids") > 1))
+    cand = (buckets
+            .select(F.explode("__ids").alias("id_1"), "__ids")
+            .select("id_1", F.explode("__ids").alias("id_2"))
+            .filter(F.col("id_1") < F.col("id_2"))
             .distinct())
 
-    sh = base.select(F.col("__id"), F.col("__sh"))
+    sh = base.select("__id", "__sh")  # same exchange as ex → reused
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
     return (cand.join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
@@ -141,9 +192,12 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
 
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     (skew guard; biases Jaccard down slightly — leave None for exact)."""
+    df = _fan_out(df, id_col)
     sh = (df.select(F.col(id_col).alias("__id"),
                     shingles_col(text_col, n).alias("__sh"))
-            .withColumn("__n", F.size("__sh")))
+            .withColumn("__n", F.size("__sh"))
+            .select("__id", "__n", "__sh"))
+    sh = _barrier(sh)
     ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
     if max_shingle_df is not None:
         dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
@@ -203,8 +257,9 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     Block on the 4×16-bit chunks (pigeonhole: ≤3 differing bits → at least
     one 16-bit chunk identical), join per block, verify Hamming — the
     standard scalable simhash dedup layout (one shuffle on chunk value)."""
-    base = df.select(F.col(id_col).alias("__id"),
-                     simhash64(tokens_col(text_col)).alias("__sh"))
+    base = _barrier(_fan_out(df, id_col).select(
+        F.col(id_col).alias("__id"),
+        simhash64(tokens_col(text_col)).alias("__sh")))
     blocks = []
     for c in range(4):
         chunk = F.shiftrightunsigned(F.col("__sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
