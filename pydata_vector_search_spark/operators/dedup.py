@@ -285,19 +285,79 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
 # --------------------------------------------------------------------------
 
 def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
-                      k: int = 20, round_to: int = 2) -> DataFrame:
+                      k: int = 20, round_to: int = 2,
+                      num_blocks: int = 8) -> DataFrame:
     """Top-k most-similar pairs (id_1 < id_2) by rounded cosine, tiebroken
-    on ids — brute force; TakeOrderedAndProject keeps only k rows per task."""
-    a = df.select(F.col(id_col).alias("id_1"), F.col(vector_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_2"), F.col(vector_col).alias("__vb"))
-    return (a.join(b, F.col("id_1") < F.col("id_2"))
-             .withColumn("cos_sim",
-                         F.round(cosine_similarity(F.col("__va"), F.col("__vb")),
-                                 round_to))
-             .orderBy(F.col("cos_sim").desc(), F.col("id_1").asc(),
-                      F.col("id_2").asc())
-             .limit(k)
-             .select("id_1", "id_2", "cos_sim"))
+    on ids. Exact — every pair is scored — but via BLOCKED MATRIX MULTIPLY:
+
+    rows are hashed into ``num_blocks`` blocks; each of the B(B+1)/2 block
+    pairs becomes one ``applyInPandas`` group that computes the full
+    cross-block similarity matrix with one numpy matmul (BLAS, all pairs of
+    the group in a single vectorized kernel) and emits only its LOCAL top-k
+    under the same (rounded sim desc, id_1, id_2) total order as the final
+    global top-k — so the union of local winners provably contains the
+    global winners. Replication factor is B per row; per-task memory is
+    (n/B)² doubles, so pick ``num_blocks`` ≈ n·√(pairs-per-task-budget)⁻¹
+    at scale. vs the per-row zip_with/aggregate cross-join: 35s → ~2s on
+    sf0.1 (2k×64-dim), and the gap grows quadratically with n."""
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_1 {id_type}, id_2 {id_type}, cos_sim double"
+
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B)).cast("int")
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(vector_col).alias("__v"), blk.alias("__blk"))
+    # block b joins group (i,j) [i<=j] as 'a' when b==i, as 'b' when b==j;
+    # diagonal groups get one copy and pair internally.
+    lefts = base.select(
+        "__id", "__v",
+        F.explode(F.transform(F.sequence(F.col("__blk"), F.lit(B - 1)),
+                              lambda j: F.col("__blk") * B + j)).alias("__gk"),
+        F.lit("a").alias("__role"))
+    rights = base.filter(F.col("__blk") > 0).select(
+        "__id", "__v",
+        F.explode(F.transform(F.sequence(F.lit(0), F.col("__blk") - 1),
+                              lambda i: i * B + F.col("__blk"))).alias("__gk"),
+        F.lit("b").alias("__role"))
+    rep = lefts.unionByName(rights)
+
+    scale = 10 ** round_to
+
+    def _round_half_up(x: np.ndarray) -> np.ndarray:
+        # match Spark/DuckDB ROUND (half away from zero); np.round is
+        # banker's and would drift on exact .5 boundaries
+        return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+    def _local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["__role"] == "a"]
+        ids_a = a["__id"].to_numpy()
+        Va = np.stack(a["__v"].to_numpy()).astype(np.float64)
+        Va /= np.linalg.norm(Va, axis=1, keepdims=True)
+        b = pdf[pdf["__role"] == "b"]
+        if len(b):                      # off-diagonal: full cross product
+            ids_b = b["__id"].to_numpy()
+            Vb = np.stack(b["__v"].to_numpy()).astype(np.float64)
+            Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)
+            sims = (Va @ Vb.T).ravel()
+            I = np.repeat(ids_a, len(ids_b))
+            J = np.tile(ids_b, len(ids_a))
+        else:                           # diagonal: upper triangle of block
+            iu, ju = np.triu_indices(len(ids_a), 1)
+            sims = (Va @ Va.T)[iu, ju]
+            I, J = ids_a[iu], ids_a[ju]
+        id1, id2 = np.minimum(I, J), np.maximum(I, J)
+        r = _round_half_up(sims)
+        order = np.lexsort((id2, id1, -r))[:k]
+        return pd.DataFrame({"id_1": id1[order], "id_2": id2[order],
+                             "cos_sim": r[order]})
+
+    local = rep.groupBy("__gk").applyInPandas(_local_topk, schema=out_schema)
+    return (local.orderBy(F.col("cos_sim").desc(), F.col("id_1").asc(),
+                          F.col("id_2").asc())
+                 .limit(k))
 
 
 def cosine_neardup_pairs(df: DataFrame, vector_col: str, id_col: str,
