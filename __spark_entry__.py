@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pydata_vector_search_spark.catalog import read_table, register_sf_dir
 from pydata_vector_search_spark.functions import text as T
 from pydata_vector_search_spark.functions.vector import cosine_similarity
-from pydata_vector_search_spark.operators import dedup, knn
+from pydata_vector_search_spark.operators import ann, dedup, knn
 from pydata_vector_search_spark.operators.embedding import HashEncoder, embed_text
 
 SF0001 = "/root/testdata/sf0.001"
@@ -98,6 +98,34 @@ def q_hybrid_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (knn.hybrid_search_postfilter(
                 emb, "embedding", qv, filter=F.col("label") == 3,
                 k=5, fetch_k=100, round_to=2, tiebreaker="vec_id")
+               .withColumn("score", F.round(1 - F.col("_distance"), 2))
+               .select("vec_id", "label", "score"))
+
+
+_IVF_CACHE: dict[str, ann.IVFIndex] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> ann.IVFIndex:
+    """Build (once per sf_dir per process) an 8-centroid IVF index over the
+    embeddings table in a temp dir — parquet partitioned by centroid id."""
+    if sf_dir not in _IVF_CACHE:
+        import tempfile
+        emb = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="pvss_ivf_")
+        _IVF_CACHE[sf_dir] = ann.ivf_build(emb, "embedding", path,
+                                           num_centroids=8, seed=42)
+    return _IVF_CACHE[sf_dir]
+
+
+def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 approximate mode (SURVEY §4 O10): IVF build + partition-pruned
+    probe + exact re-rank. Probed at nprobe=all here so the result equals
+    exact KNN and the DuckDB oracle applies to the whole build/probe
+    machinery; small-nprobe recall is asserted in tests/test_ann.py."""
+    idx = _ivf_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    return (ann.ivf_search(spark, idx, qv, k=10, nprobe=8,
+                           round_to=2, tiebreaker="vec_id")
                .withColumn("score", F.round(1 - F.col("_distance"), 2))
                .select("vec_id", "label", "score"))
 
@@ -341,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn_join": q_vector_knn_join,
         "hybrid_prefilter": q_hybrid_prefilter,
         "hybrid_postfilter": q_hybrid_postfilter,
+        "ann_ivf_knn": q_ann_ivf_knn,
         "agg_pricing_summary": q_agg_pricing_summary,
         "group_topk": q_group_topk,
         "filter_like_project": q_filter_like_project,
@@ -460,6 +489,17 @@ def oracle_sql() -> dict[str, str]:
             FROM wide WHERE label = 3
             ORDER BY dist ASC, vec_id ASC
             LIMIT 5
+        """,
+        "ann_ivf_knn": f"""
+            WITH d AS (
+                SELECT e.vec_id, e.label,
+                       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist
+                FROM embeddings e
+            )
+            SELECT vec_id, label, round(1 - dist, 2) AS score
+            FROM d
+            ORDER BY dist ASC, vec_id ASC
+            LIMIT 10
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

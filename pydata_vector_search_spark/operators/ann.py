@@ -1,0 +1,192 @@
+"""IVF approximate-nearest-neighbor index (SURVEY.md §4 O10, §7 M5).
+
+The reference's ANN comes from the Lance index inside ``hudi_vector_search``
+(demo.ipynb c13:2-3 "operates on the full vector index"; index build/params
+never shown). Here the index is re-expressed with Spark's own storage
+primitives — the design the survey calls out:
+
+* **build**: MLlib KMeans learns ``num_centroids`` centroids (distributed,
+  seeded); every row gets its nearest-centroid id; the table is rewritten as
+  parquet **partitioned by centroid id**.
+* **probe**: rank centroids against the query vector driver-side (k×dim
+  floats — tiny), then scan ONLY the ``nprobe`` nearest partitions via an
+  ``IN`` filter that Catalyst turns into partition pruning, and exact
+  re-rank inside them with the same ``vector_search`` plan used for exact
+  mode (operators/knn.py).
+
+So "ANN probe" is literally "pruned scan + exact top-k": at 100 TB with
+1000 centroids and nprobe=20, each query touches 2% of the data, the probed
+partitions scan embarrassingly parallel, and no shuffle happens anywhere.
+Recall is governed by nprobe exactly as in classical IVF; exact mode stays
+the correctness oracle (tests assert recall against it).
+
+Cosine note: vectors are L2-normalized before clustering, so Euclidean
+KMeans on the unit sphere orders centroids identically to cosine distance.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pydata_vector_search_spark.functions.vector import query_vector_lit
+from pydata_vector_search_spark.operators.knn import vector_search
+
+_CID = "__cid"
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    return v / np.where(n == 0, 1.0, n)
+
+
+def train_centroids(df: DataFrame, vector_col: str,
+                    num_centroids: int, metric: str = "cosine",
+                    seed: int = 42, max_iter: int = 10,
+                    backend: str = "sample",
+                    sample_size: int = 65536) -> np.ndarray:
+    """Learn (num_centroids, dim) float64 centroids.
+
+    ``backend="sample"`` (default): Lloyd iterations in numpy over a
+    driver-side sample capped at ``sample_size`` rows — the standard IVF
+    training recipe (train on a bounded sample, assign everything): driver
+    memory stays bounded no matter the corpus size, and it avoids MLlib's
+    per-iteration job overhead (~20s fixed cost even on tiny data).
+    ``backend="mllib"``: distributed KMeans over ALL rows for when the
+    sample would be unrepresentative; MLlib is used only here (SURVEY §7
+    hard-point 4: no VectorUDT leakage — array<float> in, numpy out)."""
+    if backend == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.select(F.col(vector_col).cast("array<double>").alias("__arr"))
+        if metric == "cosine":
+            norm = F.sqrt(F.aggregate(
+                F.transform(F.col("__arr"), lambda x: x * x),
+                F.lit(0.0), lambda a, x: a + x))
+            feats = feats.select(
+                F.transform(F.col("__arr"), lambda x: x / norm).alias("__arr"))
+        feats = feats.select(array_to_vector("__arr").alias("features"))
+        model = KMeans(k=num_centroids, seed=seed, maxIter=max_iter,
+                       featuresCol="features").fit(feats)
+        return np.array([np.asarray(c, dtype=np.float64)
+                         for c in model.clusterCenters()])
+
+    sample = df.select(F.col(vector_col)).limit(sample_size).toPandas()
+    X = np.stack(sample.iloc[:, 0].to_numpy()).astype(np.float64)
+    if metric == "cosine":
+        X = _normalize(X)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(max_iter):
+        if metric == "cosine":
+            assign = np.argmax(X @ C.T, axis=1)
+        else:
+            assign = np.argmin(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        if metric == "cosine":
+            C = _normalize(C)
+    return C
+
+
+def assign_centroids(df: DataFrame, vector_col: str,
+                     centroids: np.ndarray, metric: str = "cosine",
+                     cid_col: str = _CID) -> DataFrame:
+    """Nearest-centroid id per row via an Arrow-batched pandas UDF: one
+    numpy matmul per batch against the closure-captured centroid matrix
+    (executor-side, no shuffle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = _normalize(centroids) if metric == "cosine" else centroids
+
+    @pandas_udf("int")
+    def _nearest(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        if metric == "cosine":
+            V = _normalize(V)
+            return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn(cid_col, _nearest(F.col(vector_col)))
+
+
+class IVFIndex:
+    """Handle to a built index: partitioned parquet + centroid matrix."""
+
+    def __init__(self, path: str, centroids: np.ndarray, metric: str,
+                 vector_col: str):
+        self.path = path
+        self.centroids = centroids
+        self.metric = metric
+        self.vector_col = vector_col
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        meta = spark.read.parquet(os.path.join(path, "centroids")) \
+                    .orderBy("cid").collect()
+        centroids = np.array([r.centroid for r in meta], dtype=np.float64)
+        return cls(path, centroids, meta[0].metric, meta[0].vector_col)
+
+
+def ivf_build(df: DataFrame, vector_col: str, path: str,
+              num_centroids: int = 64, metric: str = "cosine",
+              seed: int = 42, max_iter: int = 10,
+              backend: str = "sample") -> IVFIndex:
+    """Build the index: train → assign → rewrite partitioned by centroid.
+
+    One full shuffle-free pass for assignment, one partitioned write. At
+    scale the write clusters rows by ``__cid`` so partition pruning later
+    skips whole directories (and their parquet footers) per query."""
+    spark = df.sparkSession
+    centroids = train_centroids(df, vector_col, num_centroids, metric,
+                                seed=seed, max_iter=max_iter, backend=backend)
+    assigned = assign_centroids(df, vector_col, centroids, metric)
+    assigned.write.mode("overwrite").partitionBy(_CID).parquet(
+        os.path.join(path, "data"))
+    meta = [(int(i), [float(x) for x in c], metric, vector_col)
+            for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+            meta,
+            "cid int, centroid array<double>, metric string, vector_col string") \
+         .coalesce(1).write.mode("overwrite") \
+         .parquet(os.path.join(path, "centroids"))
+    return IVFIndex(path, centroids, metric, vector_col)
+
+
+def ivf_search(spark: SparkSession, index: IVFIndex,
+               query_vec: Sequence[float], k: int = 10, nprobe: int = 8,
+               filter: Column | None = None,
+               distance_col: str = "_distance",
+               tiebreaker: str | None = None,
+               round_to: int | None = None) -> DataFrame:
+    """Probe the ``nprobe`` centroid partitions nearest to ``query_vec``;
+    exact re-rank inside them. Plan: parquet scan with partition filter
+    ``__cid IN (...)`` (PartitionFilters in .explain — directories outside
+    the probe set are never opened) → TakeOrderedAndProject(k)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if index.metric == "cosine":
+        sims = _normalize(index.centroids) @ _normalize(q)
+        order = np.argsort(-sims, kind="stable")
+    else:
+        order = np.argsort(((index.centroids - q) ** 2).sum(-1), kind="stable")
+    probe = [int(c) for c in order[:nprobe]]
+
+    data = spark.read.parquet(os.path.join(index.path, "data")) \
+                .filter(F.col(_CID).isin(probe))
+    return vector_search(data, index.vector_col, query_vector_lit(q), k=k,
+                         metric=index.metric, filter=filter,
+                         distance_col=distance_col, tiebreaker=tiebreaker,
+                         round_to=round_to).drop(_CID)

@@ -1,0 +1,91 @@
+"""IVF index: build/load round-trip, partition pruning, recall vs exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.catalog import read_table
+from pydata_vector_search_spark.operators import ann, knn
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivf"))
+    return ann.ivf_build(emb, "embedding", path, num_centroids=8, seed=42)
+
+
+def _query(spark, sf_dir, vec_id=0):
+    emb = read_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir, index):
+    """nprobe = all centroids ⇒ identical to exact KNN (ANN is a pruned
+    scan + the same exact re-rank plan)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = _query(spark, sf_dir)
+    exact = [r.vec_id for r in knn.vector_search(
+        emb, "embedding", qv, k=10, tiebreaker="vec_id").collect()]
+    probed = [r.vec_id for r in ann.ivf_search(
+        spark, index, qv, k=10, nprobe=8, tiebreaker="vec_id").collect()]
+    assert probed == exact
+
+
+def test_ivf_recall_at_small_nprobe(spark, sf_dir, index):
+    emb = read_table(spark, sf_dir, "embeddings")
+    hits = 0
+    for vec_id in range(5):
+        qv = _query(spark, sf_dir, vec_id)
+        exact = {r.vec_id for r in knn.vector_search(
+            emb, "embedding", qv, k=10, tiebreaker="vec_id").collect()}
+        got = {r.vec_id for r in ann.ivf_search(
+            spark, index, qv, k=10, nprobe=3, tiebreaker="vec_id").collect()}
+        hits += len(got & exact)
+    assert hits / 50 >= 0.6  # nprobe=3 of 8 partitions
+
+
+def test_ivf_partition_pruning_in_plan(spark, sf_dir, index):
+    """The probe literally prunes partitions: __cid IN (...) must appear as
+    a PartitionFilter on the scan, not a post-scan Filter."""
+    qv = _query(spark, sf_dir)
+    df = ann.ivf_search(spark, index, qv, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__cid" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_ivf_load_round_trip(spark, sf_dir, index):
+    loaded = ann.IVFIndex.load(spark, index.path)
+    assert loaded.metric == "cosine"
+    assert loaded.vector_col == "embedding"
+    np.testing.assert_allclose(loaded.centroids, index.centroids)
+    qv = _query(spark, sf_dir)
+    a = [r.vec_id for r in ann.ivf_search(spark, index, qv, k=5,
+                                          tiebreaker="vec_id").collect()]
+    b = [r.vec_id for r in ann.ivf_search(spark, loaded, qv, k=5,
+                                          tiebreaker="vec_id").collect()]
+    assert a == b
+
+
+def test_ivf_hybrid_filter(spark, sf_dir, index):
+    """Pre-filter composes with the pruned scan (filter + partition prune
+    in one Catalyst plan)."""
+    qv = _query(spark, sf_dir)
+    got = ann.ivf_search(spark, index, qv, k=5, nprobe=8,
+                         filter=F.col("label") == 3,
+                         tiebreaker="vec_id").collect()
+    assert len(got) == 5
+    assert all(r.label == 3 for r in got)
+
+
+def test_train_centroids_mllib_backend(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    C = ann.train_centroids(emb, "embedding", 4, backend="mllib", max_iter=2)
+    assert C.shape[0] == 4
+    assert C.shape[1] == len(
+        read_table(spark, sf_dir, "embeddings").head().embedding)
+    # centroids are means of unit vectors: norms in (0, 1]
+    norms = np.linalg.norm(C, axis=1)
+    assert (norms > 0).all() and (norms <= 1.0 + 1e-9).all()
