@@ -261,6 +261,30 @@ def q_events_json_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day_bucket", "event_type"))
 
 
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 Structured Streaming: real readStream → watermark(1d) → tumbling
+    daily window agg → availableNow run into a memory sink. Append mode
+    emits exactly the windows closed by the final watermark
+    (win_end ≤ max(ts) − 1 day), which the oracle reproduces in SQL."""
+    import uuid as _uuid
+
+    from pydata_vector_search_spark import streaming as S
+
+    ev = S.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = S.tumbling_window_agg(ev, window="1 day", watermark="1 day")
+    name = f"q_stream_tumb_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}")
+            .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.unix_timestamp("win_start").cast("long").alias("win_start"),
+                    "event_type", F.col("n_events").cast("long").alias("n_events"),
+                    "sum_value")
+            .orderBy("win_start", "event_type"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis / dedup (driver mandate; SURVEY §2.9)
 # --------------------------------------------------------------------------
@@ -380,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "distinct_agg": q_distinct_agg,
         "events_json_window": q_events_json_window,
+        "stream_tumbling": q_stream_tumbling,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_neardup": q_minhash_neardup,
@@ -592,6 +617,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY day_bucket, event_type
             ORDER BY day_bucket, event_type
+        """,
+        "stream_tumbling": """
+            WITH wm AS (
+                SELECT epoch_ms(max(ts)) - 86400000 AS w FROM events
+            )
+            SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events, wm
+            GROUP BY win_start, event_type, wm.w
+            HAVING (win_start + 86400) * 1000 <= wm.w
+            ORDER BY win_start, event_type
         """,
         "text_stats": r"""
             SELECT doc_id,

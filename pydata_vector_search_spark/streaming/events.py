@@ -1,0 +1,173 @@
+"""Structured Streaming extension (SURVEY.md §2.9 / §7 M6).
+
+The reference is batch-only (README.md:9-21 describes only batch patterns;
+no readStream anywhere) — this module is the capability extension the survey
+scopes for the driver's ``events`` table: file-source stream → watermark →
+tumbling / sliding / session windows → (a) sink to memory/console, or
+(b) ``foreachBatch`` keyed upsert into a catalog table, closing the loop
+with the batch upsert operator (U1).
+
+Design notes for scale:
+
+* The file source is Spark's production pattern for replayable ingest; each
+  micro-batch lists new files only. Windowed aggregations keep per-window
+  partial state in the state store, partitioned by group key — state size
+  is windows × keys, independent of events scanned.
+* ``withWatermark`` bounds that state: windows older than the watermark are
+  finalized and evicted, late rows beyond it are dropped — without it an
+  append-mode aggregation would hold every window forever (unbounded state
+  = the classic 100 TB streaming failure).
+* The stateful running-total operator uses ``applyInPandasWithState``
+  (Arrow-batched per-key state) — the escape hatch for semantics windows
+  can't express.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+# Streaming file sources require an explicit schema (no inference at plan
+# time). ``ts`` arrives as parquet TIMESTAMP(NANOS) read as long (see
+# catalog.read_table) and is truncated to micros.
+_EVENTS_RAW = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),           # nanos-as-long
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """``readStream`` over the events parquet (file or directory).
+
+    Returns the same shape as ``catalog.read_table(..., "events")`` so every
+    batch transformation applies unchanged to the stream.
+
+    The file source monitors a DIRECTORY for new files (that's the
+    replayable-ingest contract); a single-file path (the sf fixtures) is
+    adapted via a symlink dir."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="pvss_stream_src_")
+        os.symlink(os.path.abspath(path),
+                   os.path.join(d, os.path.basename(path)))
+        path = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_RAW)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_window_agg(events: DataFrame, window: str = "1 day",
+                        watermark: str = "1 day") -> DataFrame:
+    """Per (tumbling window, event_type): count + sum(value). Late rows
+    beyond the watermark are dropped; closed windows are evicted."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_window_agg(events: DataFrame, window: str = "1 day",
+                       slide: str = "6 hours",
+                       watermark: str = "1 day") -> DataFrame:
+    """Overlapping windows: each event lands in window/slide buckets."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "n_events"))
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 day") -> DataFrame:
+    """Per-user sessions: a session extends while consecutive events are
+    within ``gap``. State is one open session per user, merged on overlap."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"),
+                    "user_id", "n_events", "sum_value"))
+
+
+_STATE_SCHEMA = StructType([StructField("total", DoubleType()),
+                            StructField("n", LongType())])
+_RUNNING_OUT = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def running_totals_stateful(events: DataFrame,
+                            timeout_duration: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator: running (count, sum(value)) per event_type
+    via ``applyInPandasWithState`` — per-key Arrow-batched state the window
+    operators can't express (a total over the whole stream, emitted every
+    micro-batch)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        import pandas as pd
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (events.groupBy("event_type")
+            .applyInPandasWithState(update, _RUNNING_OUT, _STATE_SCHEMA,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def stream_upsert_sink(stream_df: DataFrame, catalog, table: str, key: str,
+                       checkpoint: str, order_by: str | None = None,
+                       trigger_available_now: bool = True):
+    """``foreachBatch`` keyed upsert into a catalog table — the streaming
+    counterpart of the reference's Hudi upsert write (demo.ipynb c8:17-23).
+    Each micro-batch is first collapsed to one row per ``key`` (latest by
+    ``order_by`` desc when given — Hudi's precombine field — else an
+    arbitrary deterministic-per-batch row), then merged last-write-wins."""
+    from pyspark.sql import Window
+
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if order_by is not None:
+            w = Window.partitionBy(key).orderBy(F.col(order_by).desc())
+            b = (b.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            b = b.dropDuplicates([key])
+        if table in catalog:
+            upsert_table(catalog, table, b, key=key)
+        else:
+            catalog.write(table, b, key=key)
+
+    writer = (stream_df.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

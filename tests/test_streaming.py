@@ -1,0 +1,123 @@
+"""Structured Streaming over events: windows, watermark, stateful op,
+foreachBatch upsert sink. Each stream runs trigger(availableNow) to a
+memory sink and is compared against the equivalent batch computation."""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark import streaming as S
+from pydata_vector_search_spark.catalog import Catalog, read_table
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _run_to_memory(df, name, mode="append", timeout=120):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}_{uuid.uuid4().hex}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_stream_matches_batch_schema(spark):
+    st = S.read_events_stream(spark, EVENTS)
+    batch = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert st.isStreaming
+    assert st.schema == batch.schema
+
+
+def test_tumbling_window_agg_matches_batch(spark):
+    st = S.tumbling_window_agg(S.read_events_stream(spark, EVENTS),
+                               window="1 day", watermark="1 day")
+    name = f"tumb_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(st, name, mode="append")
+    got = {(r.win_start, r.event_type): (r.n_events, r.sum_value)
+           for r in spark.table(name).collect()}
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    exp = {(r.win_start, r.event_type): (r.n_events, r.sum_value)
+           for r in (ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+                       .agg(F.count(F.lit(1)).alias("n_events"),
+                            F.round(F.sum("value"), 2).alias("sum_value"))
+                       .select(F.col("win.start").alias("win_start"),
+                               "event_type", "n_events", "sum_value")
+                       .collect())}
+    # availableNow emits only windows closed by the final watermark; all
+    # emitted windows must exactly match batch, and most windows must emit.
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+    assert len(got) >= len(exp) - 2 * ev.select("event_type").distinct().count()
+
+
+def test_sliding_window_overlap(spark):
+    st = S.sliding_window_agg(S.read_events_stream(spark, EVENTS),
+                              window="1 day", slide="6 hours")
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(st, name)
+    rows = spark.table(name).collect()
+    assert rows
+    # every emitted window is day-long and 6h-aligned
+    for r in rows:
+        assert (r.win_end - r.win_start).total_seconds() == 86400
+        assert r.win_start.hour % 6 == 0
+
+
+def test_session_window_gap(spark):
+    st = S.session_window_agg(S.read_events_stream(spark, EVENTS),
+                              gap="30 minutes", watermark="1 day")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(st, name)
+    rows = spark.table(name).collect()
+    assert rows
+    assert all(r.sess_end > r.sess_start for r in rows)
+    # one user's sessions never overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.sess_start, r.sess_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1
+
+
+def test_running_totals_stateful(spark):
+    st = S.running_totals_stateful(S.read_events_stream(spark, EVENTS))
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(st, name, mode="update")
+    got = {r.event_type: (r.n_events, r.total_value)
+           for r in spark.table(name).collect()}
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    exp = {r.event_type: (r.n, r.total) for r in
+           ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("total")).collect()}
+    # single availableNow batch → final state equals the batch totals
+    assert got == exp
+
+
+def test_stream_upsert_sink_last_write_wins(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    st = S.read_events_stream(spark, EVENTS)
+    # project to a keyed latest-value-per-user table
+    latest = st.select("user_id", "ts", "event_type", "value")
+    q = S.stream_upsert_sink(latest, cat, "user_latest", key="user_id",
+                             order_by="ts",
+                             checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    n_first = cat.load("user_latest").count()
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert n_first == ev.select("user_id").distinct().count()
+    # second run with same data is idempotent on count
+    q2 = S.stream_upsert_sink(
+        S.read_events_stream(spark, EVENTS).select("user_id", "ts",
+                                                   "event_type", "value"),
+        cat, "user_latest", key="user_id", order_by="ts",
+        checkpoint=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert cat.load("user_latest").count() == n_first
