@@ -360,6 +360,23 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("doc_id"))
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline (driver mandate): binary media column →
+    mapInPandas struct decode (deterministic fake — pure md5/length math,
+    hence the SQL oracle) → relational agg over the typed metadata."""
+    from pydata_vector_search_spark.operators import multimodal as M
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text")
+    meta = M.decode_image_meta(media)
+    return (meta.select("doc_id", "image_meta.*")
+                .groupBy("format")
+                .agg(F.count(F.lit(1)).alias("n_images"),
+                     F.round(F.avg("width"), 2).alias("avg_width"),
+                     F.round(F.avg("height"), 2).alias("avg_height"),
+                     F.sum("n_bytes").alias("total_bytes"))
+                .orderBy("format"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution (marker-stopword rule)."""
     docs = _t(spark, sf_dir, "documents")
@@ -412,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_pairs": q_cosine_topk_pairs,
         "simhash_neardup": q_simhash_neardup,
         "embed_hash": q_embed_hash,
+        "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
     }
 
@@ -674,6 +692,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ORDER BY cos_sim DESC, id_1 ASC, id_2 ASC
             LIMIT 20
+        """,
+        "multimodal_meta": """
+            WITH meta AS (
+                SELECT doc_id,
+                       CASE (('0x' || substr(md5(text), 1, 1))::BIGINT % 4)
+                         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                         WHEN 2 THEN 'webp' ELSE 'gif' END AS format,
+                       16 + ('0x' || substr(md5(text), 2, 4))::BIGINT % 2048 AS width,
+                       16 + ('0x' || substr(md5(text), 6, 4))::BIGINT % 2048 AS height,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents
+            )
+            SELECT format, count(*) AS n_images,
+                   round(avg(width), 2) AS avg_width,
+                   round(avg(height), 2) AS avg_height,
+                   sum(n_bytes) AS total_bytes
+            FROM meta
+            GROUP BY format
+            ORDER BY format
         """,
         "lang_id": r"""
             WITH toks AS (
