@@ -102,6 +102,27 @@ def q_hybrid_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "label", "score"))
 
 
+def q_vector_knn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 SQL surface parity: the reference's cell-11 query spelled in pure
+    SQL — temp views + the single-row query_input view (its scalar-subquery
+    pattern, c11:2,10) + registered SQL functions whose bodies Catalyst
+    inlines (same physical plan as the DataFrame spelling)."""
+    from pydata_vector_search_spark.functions.sql import register_sql_functions
+    register_sql_functions(spark)
+    register_sf_dir(spark, sf_dir, tables=("embeddings",))
+    qv = _query_vec(spark, sf_dir)
+    spark.createDataFrame([(qv,)], "q_vec array<double>") \
+         .createOrReplaceTempView("query_input")
+    return spark.sql("""
+        SELECT e.vec_id, e.label,
+               round(cosine_similarity(CAST(e.embedding AS ARRAY<DOUBLE>),
+                                       q.q_vec), 2) AS score
+        FROM embeddings e CROSS JOIN query_input q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT 10
+    """)
+
+
 _IVF_CACHE: dict[str, ann.IVFIndex] = {}
 
 
@@ -407,6 +428,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vector_knn": q_vector_knn,
+        "vector_knn_sql": q_vector_knn_sql,
         "vector_knn_join": q_vector_knn_join,
         "hybrid_prefilter": q_hybrid_prefilter,
         "hybrid_postfilter": q_hybrid_postfilter,
@@ -491,6 +513,13 @@ def _minhash_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "vector_knn": f"""
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS score
+            FROM embeddings e
+            ORDER BY score DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "vector_knn_sql": f"""
             SELECT e.vec_id, e.label,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS score
             FROM embeddings e

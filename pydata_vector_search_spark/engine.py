@@ -44,3 +44,50 @@ class Engine:
     # -- upsert (reference U1: Hudi keyed upsert, c8:17-23) ---------------
     def upsert(self, table: str, new: DataFrame, key: str | None = None) -> None:
         upsert_op.upsert_table(self.catalog, table, new, key=key)
+
+    # -- SQL surface (reference: TVF + temp views, c11:2,5) ---------------
+    def register_sql(self, *tables: str) -> list[str]:
+        """Register engine SQL functions + named tables as temp views, so
+        ``engine.sql(...)`` can express the reference's query patterns."""
+        from pydata_vector_search_spark.functions.sql import register_sql_functions
+        for t in tables or self.catalog.names():
+            self.catalog.create_view(t)
+        return register_sql_functions(self.spark)
+
+    # -- embedding pipeline (reference V5/V6, executor-side) --------------
+    def embed(self, df: DataFrame, text_col: str, out_col: str = "embedding",
+              encoder=None, **kw) -> DataFrame:
+        from pydata_vector_search_spark.operators.embedding import (HashEncoder,
+                                                                    embed_text)
+        return embed_text(df, text_col, out_col,
+                          encoder=encoder or HashEncoder(), **kw)
+
+    # -- ANN index (reference O10: Lance vector index) --------------------
+    def ann_build(self, table: str | DataFrame, vector_col: str, path: str,
+                  **kw):
+        from pydata_vector_search_spark.operators.ann import ivf_build
+        df = self.table(table) if isinstance(table, str) else table
+        return ivf_build(df, vector_col, path, **kw)
+
+    def ann_search(self, index, query_vec: Sequence[float], k: int = 10,
+                   **kw) -> DataFrame:
+        from pydata_vector_search_spark.operators.ann import IVFIndex, ivf_search
+        if isinstance(index, str):
+            index = IVFIndex.load(self.spark, index)
+        return ivf_search(self.spark, index, query_vec, k=k, **kw)
+
+    # -- LLM-pipeline ops (driver mandate) --------------------------------
+    def dedup_exact(self, table: str | DataFrame, text_col: str,
+                    id_col: str) -> DataFrame:
+        from pydata_vector_search_spark.operators.dedup import exact_dedup
+        df = self.table(table) if isinstance(table, str) else table
+        return exact_dedup(df, text_col, id_col)
+
+    def neardup_pairs(self, table: str | DataFrame, text_col: str, id_col: str,
+                      method: str = "minhash", **kw) -> DataFrame:
+        from pydata_vector_search_spark.operators import dedup
+        df = self.table(table) if isinstance(table, str) else table
+        fns = {"minhash": dedup.minhash_neardup_pairs,
+               "simhash": dedup.simhash_neardup_pairs,
+               "jaccard": dedup.jaccard_similarity_join}
+        return fns[method](df, text_col, id_col, **kw)

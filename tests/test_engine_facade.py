@@ -1,0 +1,53 @@
+"""Engine facade: the one-object surface a reference user switches to."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.catalog import read_table
+from pydata_vector_search_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("engine_root")))
+    eng.ingest(read_table(spark, sf_dir, "embeddings"), "emb", key="vec_id")
+    eng.ingest(read_table(spark, sf_dir, "documents"), "docs", key="doc_id")
+    return eng
+
+
+def test_ingest_and_vector_search(engine):
+    qv = [float(x) for x in engine.table("emb")
+          .filter(F.col("vec_id") == 0).head().embedding]
+    hits = engine.vector_search("emb", "embedding", qv, k=5,
+                                tiebreaker="vec_id").collect()
+    assert len(hits) == 5 and hits[0].vec_id == 0
+
+
+def test_sql_surface_via_engine(engine):
+    engine.register_sql("emb")
+    n = engine.sql("SELECT count(*) AS n FROM emb").head().n
+    assert n == engine.table("emb").count()
+
+
+def test_embed_and_ann(engine, tmp_path):
+    emb64 = engine.embed(engine.table("docs").limit(64), "text", "vec")
+    idx = engine.ann_build(emb64, "vec", str(tmp_path / "ivf"),
+                           num_centroids=4)
+    qv = [float(x) for x in emb64.head().vec]
+    got = engine.ann_search(idx, qv, k=3, nprobe=4, tiebreaker="doc_id").collect()
+    assert len(got) == 3
+    assert got[0]._distance == pytest.approx(0.0, abs=1e-6)
+
+
+def test_neardup_via_engine(engine):
+    pairs = engine.neardup_pairs("docs", "text", "doc_id", method="minhash")
+    assert {"id_1", "id_2", "jaccard"} <= set(pairs.columns)
+
+
+def test_upsert_via_engine(engine, spark):
+    before = engine.table("emb").count()
+    one = engine.table("emb").limit(1).withColumn("label", F.lit(999))
+    engine.upsert("emb", one)
+    after = engine.table("emb")
+    assert after.count() == before
+    assert after.filter(F.col("label") == 999).count() == 1

@@ -1,0 +1,62 @@
+"""SQL surface: registered SQL functions inline into the same plans as the
+DataFrame spelling; the reference's c11 SQL query runs verbatim-shaped."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.catalog import read_table, register_sf_dir
+from pydata_vector_search_spark.functions.sql import register_sql_functions
+from pydata_vector_search_spark.functions.vector import cosine_similarity
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark, sf_dir):
+    register_sql_functions(spark)
+    register_sf_dir(spark, sf_dir, tables=("embeddings", "documents"))
+
+
+def test_sql_matches_dataframe_cosine(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    df_scores = (emb.select("vec_id",
+                            F.round(cosine_similarity("embedding", "embedding"),
+                                    6).alias("s")).collect())
+    sql_scores = spark.sql("""
+        SELECT vec_id, round(cosine_similarity(
+            CAST(embedding AS ARRAY<DOUBLE>),
+            CAST(embedding AS ARRAY<DOUBLE>)), 6) AS s
+        FROM embeddings""").collect()
+    assert {r.vec_id: r.s for r in df_scores} == {r.vec_id: r.s for r in sql_scores}
+
+
+def test_reference_c11_query_shape(spark):
+    qv = spark.sql("SELECT CAST(embedding AS ARRAY<DOUBLE>) AS q_vec "
+                   "FROM embeddings WHERE vec_id = 0")
+    qv.createOrReplaceTempView("query_input")
+    rows = spark.sql("""
+        SELECT e.vec_id,
+               round(1 - cosine_distance(CAST(e.embedding AS ARRAY<DOUBLE>),
+                                         q.q_vec), 2) AS score
+        FROM embeddings e CROSS JOIN query_input q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT 10
+    """).collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0 and rows[0].score == 1.0
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_sql_function_inlines_no_python_udf(spark):
+    plan = spark.sql("""
+        SELECT dot_product(CAST(embedding AS ARRAY<DOUBLE>),
+                           CAST(embedding AS ARRAY<DOUBLE>)) AS d
+        FROM embeddings""")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scalar_text_functions(spark):
+    r = spark.sql("""SELECT token_count('a b  c') AS n,
+                            fingerprint_md5(' A  b ') = fingerprint_md5('a b') AS same
+                  """).head()
+    assert r.n == 3
+    assert r.same is True
