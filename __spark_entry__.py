@@ -469,11 +469,14 @@ _SQL_SHINGLES = (
 
 def _minhash_oracle() -> str:
     num_hashes, bands, rows, thr = 12, 4, 3, 0.5
+    h1 = "('0x' || substr(md5(s), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(s), 9, 8))::BIGINT"
     sig_cols = ",\n                   ".join(
-        f"list_min(list_transform(sh, s -> md5(s || ':{i}'))) AS sig{i}"
+        f"list_min(list_transform(sh, s -> {h1} + {i} * {h2})) AS sig{i}"
         for i in range(num_hashes))
     band_cols = ",\n                   ".join(
-        "md5(" + " || '|' || ".join(f"sig{b * rows + r}" for r in range(rows))
+        "md5(" + " || '|' || ".join(f"sig{b * rows + r}::VARCHAR"
+                                    for r in range(rows))
         + f") AS band{b}" for b in range(bands))
     band_union = "\n                UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, band{b} AS key FROM banded"

@@ -40,11 +40,19 @@ def tokens_col(text: Column | str) -> Column:
 
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, fully JVM-side:
-    transform(sequence(0, len-n), i -> concat_ws(' ', slice(toks, i+1, n)))."""
+    """Distinct word n-gram shingles, fully JVM-side.
+
+    Formulated as n shifted slices zipped with string concat — O(tokens)
+    per row. The obvious ``transform(sequence(0, L-n), i -> concat_ws(' ',
+    slice(toks, i+1, n)))`` is O(tokens²): slice inside the interpreted
+    lambda copies the array per element (~5s of the old 13s minhash run
+    at sf0.1 was this)."""
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    m = F.size(toks) - (n - 1)                  # number of shingles
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
             .otherwise(F.array(normalized_text(text)))
 
@@ -69,18 +77,31 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH (md5-order permutations — cross-engine deterministic)
 # --------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """Array of ``num_hashes`` minima; element i = lexicographic min over
-    shingles of md5(shingle || ':i').
+def _h1h2(s: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit hashes from ONE md5: hex chars [0:8) and
+    [8:16) parsed as ints. Engine-independent (md5 + hex parse exist
+    everywhere) and 12× cheaper than salted per-permutation md5s."""
+    m = F.md5(s)
+    return (F.conv(F.substring(m, 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long"))
 
-    NOTE: higher-order-function lambdas run INTERPRETED (outside whole-stage
-    codegen) — ~30× slower than scalar md5. ``minhash_neardup_pairs`` uses
-    the explode + scalar-column formulation for its hot path; this per-row
-    expression stays as API surface (e.g. signatures on a stream)."""
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` minima; element i = min over shingles of
+    ``h1 + i*h2`` (Kirsch-Mitzenmacher double hashing over one md5 —
+    the same family any engine with md5 reproduces; no RNG, no seed).
+
+    NOTE: higher-order-function lambdas run INTERPRETED (outside
+    whole-stage codegen). ``minhash_neardup_pairs`` uses the explode +
+    scalar-column formulation for its hot path; this per-row expression
+    stays as API surface (e.g. signatures on a stream)."""
     def _perm(i: int):
         # closure-bound salt (a default arg would change the lambda's arity
         # and receive transform's index Column instead — see simhash64)
-        return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
+        def f(s):
+            h1, h2 = _h1h2(s)
+            return h1 + i * h2
+        return f
 
     return F.array(*[F.array_min(F.transform(shingles, _perm(i)))
                      for i in range(num_hashes)])
@@ -91,7 +112,8 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     keys = []
     for b in range(bands):
         sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
-        keys.append(F.md5(F.concat_ws("|", sl)))
+        keys.append(F.md5(F.concat_ws(
+            "|", F.transform(sl, lambda x: x.cast("string")))))
     return F.array(*keys)
 
 
@@ -138,22 +160,23 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     base = _barrier(df.select(F.col(id_col).alias("__id"),
                               shingles_col(text_col, n).alias("__sh")))
 
-    # Hot path stays in whole-stage codegen: explode shingles, compute the
-    # num_hashes salted md5s as SCALAR columns (HOF lambdas run interpreted,
-    # ~30× slower — measured 57s vs <2s on sf0.1), then take per-doc minima
-    # with a hash aggregate. Partial (map-side) min aggregation collapses
-    # each partition to one row per doc before the shuffle, so shuffle
-    # volume is docs × num_hashes regardless of shingle count — the
-    # property that matters at 100 TB.
+    # Hot path stays in whole-stage codegen: explode shingles, ONE md5 per
+    # shingle split into two 32-bit halves, the num_hashes values derived
+    # as h1 + i*h2 scalar columns (HOF lambdas run interpreted, ~30×
+    # slower — measured 57s vs <2s on sf0.1), then per-doc minima with a
+    # hash aggregate. Partial (map-side) min aggregation collapses each
+    # partition to one row per doc before the shuffle, so shuffle volume
+    # is docs × num_hashes regardless of shingle count — the property
+    # that matters at 100 TB.
     ex = base.select("__id", F.explode("__sh").alias("__s"))
+    h1, h2 = _h1h2(F.col("__s"))
     hashed = ex.select("__id", *[
-        F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}")
-        for i in range(num_hashes)])
+        (h1 + i * h2).alias(f"__h{i}") for i in range(num_hashes)])
     sig = hashed.groupBy("__id").agg(*[
         F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_hashes)])
 
     band_keys = [
-        F.md5(F.concat_ws("|", *[F.col(f"__m{b * rows + r}")
+        F.md5(F.concat_ws("|", *[F.col(f"__m{b * rows + r}").cast("string")
                                  for r in range(rows)])).alias(f"__band{b}")
         for b in range(bands)]
     banded = (sig.select("__id", *band_keys)
@@ -198,7 +221,13 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
             .withColumn("__n", F.size("__sh"))
             .select("__id", "__n", "__sh"))
     sh = _barrier(sh)
-    ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+    # Join on xxhash64(shingle), not the shingle string: the join key that
+    # shuffles twice (self-join) drops from ~n-gram-length bytes to 8, and
+    # probe/compare are long-equality. Counts are unchanged barring a
+    # 64-bit collision between two distinct shingles of the same doc pair
+    # (~p²/2⁶⁵ — negligible, and deterministic cross-run either way).
+    ex = (sh.select("__id", "__n", F.explode("__sh").alias("__s0"))
+            .select("__id", "__n", F.xxhash64("__s0").alias("__s")))
     if max_shingle_df is not None:
         dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         ex = (ex.join(dfreq.filter(F.col("__df") <= max_shingle_df), "__s"))
@@ -256,10 +285,28 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Block on the 4×16-bit chunks (pigeonhole: ≤3 differing bits → at least
     one 16-bit chunk identical), join per block, verify Hamming — the
-    standard scalable simhash dedup layout (one shuffle on chunk value)."""
-    base = _barrier(_fan_out(df, id_col).select(
-        F.col(id_col).alias("__id"),
-        simhash64(tokens_col(text_col)).alias("__sh")))
+    standard scalable simhash dedup layout (one shuffle on chunk value).
+
+    Hot path avoids the per-row ``simhash64`` expression (64 interpreted
+    HOF folds per row, ~5s of 7s at sf0.1): explode distinct tokens, hash
+    each once, and take the 64 bit-votes as scalar conditional sums in a
+    hash aggregate — identical signatures, whole-stage codegen throughout,
+    map-side partial aggregation bounding the shuffle at docs × 64 longs."""
+    toks = (_fan_out(df, id_col)
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(F.array_distinct(tokens_col(text_col)))
+                     .alias("__t"))
+            .select("__id", F.xxhash64("__t").alias("__h")))
+    votes = toks.groupBy("__id").agg(*[
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+         .alias(f"__v{b}") for b in range(64)])
+    bits = [F.when(F.col(f"__v{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+             .otherwise(F.lit(0).cast("long")) for b in range(64)]
+    sig = bits[0]
+    for x in bits[1:]:
+        sig = sig.bitwiseOR(x)
+    base = _barrier(votes.select("__id", sig.alias("__sh")))
     blocks = []
     for c in range(4):
         chunk = F.shiftrightunsigned(F.col("__sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
