@@ -265,6 +265,114 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("o_orderstatus"))
 
 
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 date functions: year/quarter/month extraction + agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                      F.quarter("o_orderdate").cast("long").alias("qtr"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             .orderBy("yr", "qtr"))
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 hierarchical rollup with grouping markers (subtotals + grand
+    total in one pass — Catalyst expands to a single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.grouping_id().cast("long").alias("gid"),
+                   F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                      "gid", "n", "sum_qty")
+              .orderBy("gid", "rf", "ls"))
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: lag + running sum per customer over order history."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select("o_custkey", "o_orderkey",
+                     F.round(F.col("o_totalprice"), 2).alias("price"),
+                     F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+                     F.round(F.sum("o_totalprice").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+                      .alias("running_total"))
+             .orderBy("o_custkey", "o_orderkey"))
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: part⋈lineitem + conditional aggregation (covers the
+    part table; dim side broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy(F.col("p_brand"))
+              .agg(F.round(F.sum(F.when(F.col("p_type").like("PROMO%"), rev)
+                                  .otherwise(F.lit(0.0))), 2).alias("promo_rev"),
+                   F.round(F.sum(rev), 2).alias("total_rev"),
+                   F.count(F.lit(1)).alias("n_lines"))
+              .orderBy("p_brand"))
+
+
+def q_from_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 JSON: from_json with an explicit schema (vs the path-extraction
+    spelling in events_json_window) + distinct agg per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (parsed.groupBy("event_type")
+                  .agg(F.countDistinct(F.col("p.k")).alias("distinct_k"),
+                       F.min(F.col("p.k")).alias("min_k"),
+                       F.max(F.col("p.k")).alias("max_k"))
+                  .orderBy("event_type"))
+
+
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left outer join + null-aware agg: every customer, including those
+    with no orders (count(order) = 0 via the null-skipping count)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+             .groupBy("c_custkey", "c_mktsegment")
+             .agg(F.count("o_orderkey").alias("n_orders"),
+                  F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+                   .alias("revenue"))
+             .orderBy("c_custkey")
+             .limit(50))
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 array functions over the embedding column: size / element_at /
+    slice-sum (first-4 prefix) — pruned scan reads only 2 columns."""
+    emb = _t(spark, sf_dir, "embeddings")
+    prefix = F.aggregate(F.slice(F.col("embedding").cast("array<double>"), 1, 4),
+                         F.lit(0.0), lambda a, x: a + x)
+    return (emb.select("vec_id",
+                       F.size("embedding").cast("long").alias("dim"),
+                       F.round(F.element_at(F.col("embedding"), 1).cast("double"), 4)
+                        .alias("first_val"),
+                       F.round(prefix, 4).alias("prefix_sum"))
+               .orderBy("vec_id")
+               .limit(100))
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4 string functions: substring/upper/replace/instr/lpad/concat_ws
+    (the reference's concat + truncation ops, c5:6,10, c11:15)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id",
+                     F.concat_ws(":", F.upper("lang"), "source").alias("tag"),
+                     F.substring("text", 1, 20).alias("head20"),
+                     F.length(F.replace("text", F.lit(" "), F.lit(""))).cast("long")
+                      .alias("n_nonspace"),
+                     F.instr("text", "the").cast("long").alias("first_the"),
+                     F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"))
+             .orderBy("doc_id")
+             .limit(100))
+
+
 # --------------------------------------------------------------------------
 # Events: timestamp + JSON scalar functions (SURVEY §2.7 C5)
 # --------------------------------------------------------------------------
@@ -442,6 +550,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_per_group": q_window_topk_per_group,
         "set_ops": q_set_ops,
         "distinct_agg": q_distinct_agg,
+        "date_functions": q_date_functions,
+        "rollup_agg": q_rollup_agg,
+        "window_running": q_window_running,
+        "promo_revenue": q_promo_revenue,
+        "from_json_stats": q_from_json_stats,
+        "outer_join_agg": q_outer_join_agg,
+        "array_functions": q_array_functions,
+        "string_functions": q_string_functions,
         "events_json_window": q_events_json_window,
         "stream_tumbling": q_stream_tumbling,
         "text_stats": q_text_stats,
@@ -657,6 +773,87 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "date_functions": """
+            SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY yr, qtr
+            ORDER BY yr, qtr
+        """,
+        "rollup_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY gid, rf, ls
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS price,
+                   round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_total
+            FROM orders
+            WHERE o_custkey < 30
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "promo_revenue": """
+            SELECT p_brand,
+                   round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 2) AS promo_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "from_json_stats": """
+            SELECT event_type,
+                   count(DISTINCT (props::JSON ->> 'k')::BIGINT) AS distinct_k,
+                   min((props::JSON ->> 'k')::BIGINT) AS min_k,
+                   max((props::JSON ->> 'k')::BIGINT) AS max_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "outer_join_agg": """
+            SELECT c_custkey, c_mktsegment,
+                   count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_mktsegment
+            ORDER BY c_custkey
+            LIMIT 50
+        """,
+        "array_functions": """
+            SELECT vec_id,
+                   len(embedding) AS dim,
+                   round(embedding[1]::DOUBLE, 4) AS first_val,
+                   round(embedding[1]::DOUBLE + embedding[2]::DOUBLE
+                         + embedding[3]::DOUBLE + embedding[4]::DOUBLE, 4) AS prefix_sum
+            FROM embeddings
+            ORDER BY vec_id
+            LIMIT 100
+        """,
+        "string_functions": """
+            SELECT doc_id,
+                   upper(lang) || ':' || source AS tag,
+                   substr(text, 1, 20) AS head20,
+                   length(replace(text, ' ', '')) AS n_nonspace,
+                   coalesce(position('the' IN text), 0) AS first_the,
+                   lpad(doc_id::VARCHAR, 8, '0') AS padded
+            FROM documents
+            ORDER BY doc_id
+            LIMIT 100
         """,
         "events_json_window": """
             SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_bucket,
