@@ -468,6 +468,27 @@ def q_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cosine_topk_pairs(emb, "embedding", "vec_id", k=20, round_to=2)
 
 
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (driver mandate): all pairs with rounded
+    cosine ≥ 0.45, exact coverage via hash-blocked matmul."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (dedup.cosine_threshold_pairs(emb, "embedding", "vec_id",
+                                         threshold=0.45, round_to=6)
+                 .orderBy("id_1", "id_2"))
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+ exact percentiles (median / p95, interpolated) per order status —
+    bit-identical interpolation across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.round(F.median("o_totalprice"), 2).alias("median_price"),
+                  F.round(F.percentile("o_totalprice", F.lit(0.95)), 2)
+                   .alias("p95_price"),
+                  F.count(F.lit(1)).alias("n"))
+             .orderBy("o_orderstatus"))
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming≤3 near-dup pairs (xxhash64 bit-vote — Spark-side hash,
     no DuckDB twin → rows-only check)."""
@@ -565,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "jaccard_join": q_jaccard_join,
         "cosine_topk_pairs": q_cosine_topk_pairs,
+        "cosine_neardup": q_cosine_neardup,
+        "percentiles": q_percentiles,
         "simhash_neardup": q_simhash_neardup,
         "embed_hash": q_embed_hash,
         "multimodal_meta": q_multimodal_meta,
@@ -940,6 +963,22 @@ def oracle_sql() -> dict[str, str]:
             FROM meta
             GROUP BY format
             ORDER BY format
+        """,
+        "cosine_neardup": """
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+            ORDER BY id_1, id_2
+        """,
+        "percentiles": """
+            SELECT o_orderstatus,
+                   round(median(o_totalprice), 2) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.95), 2) AS p95_price,
+                   count(*) AS n
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "lang_id": r"""
             WITH toks AS (

@@ -407,6 +407,62 @@ def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
                  .limit(k))
 
 
+def cosine_threshold_pairs(df: DataFrame, vector_col: str, id_col: str,
+                           threshold: float, round_to: int = 6,
+                           num_blocks: int = 8) -> DataFrame:
+    """All pairs (id_1 < id_2) with ROUNDED cosine ≥ threshold — exact
+    coverage via the same hash-blocked matmul as ``cosine_topk_pairs``
+    (thresholding on the rounded value keeps the cut engine-independent:
+    an unrounded float within 1e-16 of the threshold must not flip)."""
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_1 {id_type}, id_2 {id_type}, cos_sim double"
+
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B)).cast("int")
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(vector_col).alias("__v"), blk.alias("__blk"))
+    lefts = base.select(
+        "__id", "__v",
+        F.explode(F.transform(F.sequence(F.col("__blk"), F.lit(B - 1)),
+                              lambda j: F.col("__blk") * B + j)).alias("__gk"),
+        F.lit("a").alias("__role"))
+    rights = base.filter(F.col("__blk") > 0).select(
+        "__id", "__v",
+        F.explode(F.transform(F.sequence(F.lit(0), F.col("__blk") - 1),
+                              lambda i: i * B + F.col("__blk"))).alias("__gk"),
+        F.lit("b").alias("__role"))
+    rep = lefts.unionByName(rights)
+    scale = 10 ** round_to
+
+    def _filter_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["__role"] == "a"]
+        ids_a = a["__id"].to_numpy()
+        Va = np.stack(a["__v"].to_numpy()).astype(np.float64)
+        Va /= np.linalg.norm(Va, axis=1, keepdims=True)
+        b = pdf[pdf["__role"] == "b"]
+        if len(b):
+            ids_b = b["__id"].to_numpy()
+            Vb = np.stack(b["__v"].to_numpy()).astype(np.float64)
+            Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)
+            sims = (Va @ Vb.T).ravel()
+            I = np.repeat(ids_a, len(ids_b))
+            J = np.tile(ids_b, len(ids_a))
+        else:
+            iu, ju = np.triu_indices(len(ids_a), 1)
+            sims = (Va @ Va.T)[iu, ju]
+            I, J = ids_a[iu], ids_a[ju]
+        r = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+        keep = r >= threshold
+        return pd.DataFrame({"id_1": np.minimum(I, J)[keep],
+                             "id_2": np.maximum(I, J)[keep],
+                             "cos_sim": r[keep]})
+
+    return rep.groupBy("__gk").applyInPandas(_filter_pairs, schema=out_schema)
+
+
 def cosine_neardup_pairs(df: DataFrame, vector_col: str, id_col: str,
                          threshold: float = 0.95) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact, brute force)."""
