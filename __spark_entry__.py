@@ -265,6 +265,42 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("o_orderstatus"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union + last-over-window, one shuffle): for each signup,
+    the user's latest purchase value at-or-before it. Oracle = DuckDB's
+    native ASOF LEFT JOIN."""
+    from pydata_vector_search_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "signup")
+              .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts", "value"))
+    return (asof_join(left, right, on="user_id", time_col="ts",
+                      value_cols=["value"])
+            .select("event_id", "user_id",
+                    F.round("value_r", 2).alias("value_r"))
+            .orderBy("event_id"))
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via coarse-bucket equi-join + exact filter:
+    purchases within 1 hour after each signup of the same user."""
+    from pydata_vector_search_spark.operators.joins import range_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts", "value"))
+    windows = (ev.filter(F.col("event_type") == "signup")
+                 .select(F.col("event_id").alias("signup_id"), "user_id",
+                         F.col("ts").alias("w_start"),
+                         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end")))
+    return (range_join(purchases, windows, on="user_id", time_col="ts",
+                       start_col="w_start", end_col="w_end",
+                       grain_seconds=3600)
+            .select("signup_id", F.col("event_id").alias("purchase_id"),
+                    F.round("value", 2).alias("value"))
+            .orderBy("signup_id", "purchase_id"))
+
+
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 date functions: year/quarter/month extraction + agg."""
     o = _t(spark, sf_dir, "orders")
@@ -571,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_per_group": q_window_topk_per_group,
         "set_ops": q_set_ops,
         "distinct_agg": q_distinct_agg,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "date_functions": q_date_functions,
         "rollup_agg": q_rollup_agg,
         "window_running": q_window_running,
@@ -796,6 +834,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, round(r.value, 2) AS value_r
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'signup') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            ORDER BY l.event_id
+        """,
+        "range_join": """
+            SELECT s.signup_id, p.event_id AS purchase_id,
+                   round(p.value, 2) AS value
+            FROM (SELECT event_id AS signup_id, user_id, ts AS w_start,
+                         ts + INTERVAL 1 HOUR AS w_end
+                  FROM events WHERE event_type = 'signup') s
+            JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+              ON s.user_id = p.user_id
+             AND p.ts >= s.w_start AND p.ts < s.w_end
+            ORDER BY s.signup_id, purchase_id
         """,
         "date_functions": """
             SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
