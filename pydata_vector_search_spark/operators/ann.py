@@ -135,10 +135,13 @@ class IVFIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
-        meta = spark.read.parquet(os.path.join(path, "centroids")) \
-                    .orderBy("cid").collect()
-        centroids = np.array([r.centroid for r in meta], dtype=np.float64)
-        return cls(path, centroids, meta[0].metric, meta[0].vector_col)
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(path, "centroids.parquet")) \
+              .to_pydict()
+        order = np.argsort(t["cid"])
+        centroids = np.array([t["centroid"][i] for i in order],
+                             dtype=np.float64)
+        return cls(path, centroids, t["metric"][0], t["vector_col"][0])
 
 
 def ivf_build(df: DataFrame, vector_col: str, path: str,
@@ -150,19 +153,30 @@ def ivf_build(df: DataFrame, vector_col: str, path: str,
     One full shuffle-free pass for assignment, one partitioned write. At
     scale the write clusters rows by ``__cid`` so partition pruning later
     skips whole directories (and their parquet footers) per query."""
-    spark = df.sparkSession
     centroids = train_centroids(df, vector_col, num_centroids, metric,
                                 seed=seed, max_iter=max_iter, backend=backend)
     assigned = assign_centroids(df, vector_col, centroids, metric)
+    # Cluster rows by centroid BEFORE the partitioned write: without this,
+    # every write task holds rows of every centroid and emits one file per
+    # (task × centroid) — the classic small-files explosion (32 tasks ×
+    # 1000 centroids = 32k files). Hash-repartitioning on the centroid id
+    # makes each task own whole centroids → one file per centroid dir.
+    assigned = assigned.repartition(num_centroids, F.col(_CID))
     assigned.write.mode("overwrite").partitionBy(_CID).parquet(
         os.path.join(path, "data"))
-    meta = [(int(i), [float(x) for x in c], metric, vector_col)
-            for i, c in enumerate(centroids)]
-    spark.createDataFrame(
-            meta,
-            "cid int, centroid array<double>, metric string, vector_col string") \
-         .coalesce(1).write.mode("overwrite") \
-         .parquet(os.path.join(path, "centroids"))
+    # Centroids are driver-side metadata (k × dim floats) — write them with
+    # pyarrow directly; a distributed write job for 8 rows costs seconds of
+    # job overhead and buys nothing.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    meta = pa.table({
+        "cid": pa.array(range(len(centroids)), pa.int32()),
+        "centroid": pa.array([list(map(float, c)) for c in centroids],
+                             pa.list_(pa.float64())),
+        "metric": pa.array([metric] * len(centroids)),
+        "vector_col": pa.array([vector_col] * len(centroids)),
+    })
+    pq.write_table(meta, os.path.join(path, "centroids.parquet"))
     return IVFIndex(path, centroids, metric, vector_col)
 
 
