@@ -413,6 +413,22 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Events: timestamp + JSON scalar functions (SURVEY §2.7 C5)
 # --------------------------------------------------------------------------
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase salted aggregation (operators/skew.py) — must
+    be value-identical to the plain GROUP BY the oracle runs."""
+    from pydata_vector_search_spark.operators.skew import salted_aggregate
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(ev, ["event_type"],
+                           {"n_events": ("count", "value"),
+                            "sum_value": ("sum", "value"),
+                            "avg_value": ("avg", "value")},
+                           num_salts=8, spread_col="event_id")
+    return (out.select("event_type", "n_events",
+                       F.round("sum_value", 2).alias("sum_value"),
+                       F.round("avg_value", 2).alias("avg_value"))
+               .orderBy("event_type"))
+
+
 def q_events_json_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: get_json_object + tumbling daily bucket (epoch-aligned) + agg."""
     ev = _t(spark, sf_dir, "events")
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_agg": q_outer_join_agg,
         "array_functions": q_array_functions,
         "string_functions": q_string_functions,
+        "salted_agg": q_salted_agg,
         "events_json_window": q_events_json_window,
         "stream_tumbling": q_stream_tumbling,
         "text_stats": q_text_stats,
@@ -936,6 +953,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
             LIMIT 100
+        """,
+        "salted_agg": """
+            SELECT event_type, count(value) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 2) AS avg_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_json_window": """
             SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_bucket,
