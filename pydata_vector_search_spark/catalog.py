@@ -26,6 +26,7 @@ class TableInfo:
     path: str
     key: str | None = None            # record key for upsert (reference: job_id)
     partition_by: list[str] = field(default_factory=list)
+    num_buckets: int = 0              # >0: bucketed table (session catalog)
 
 
 class Catalog:
@@ -68,10 +69,35 @@ class Catalog:
         self._persist()
         return info
 
+    def write_bucketed(self, name: str, df: DataFrame, key: str,
+                       num_buckets: int = 32,
+                       mode: str = "overwrite") -> TableInfo:
+        """Bucketed managed table: rows hash-clustered AND sorted by the
+        record key at write time. Two tables bucketed the same way join
+        with ZERO exchanges (verified in tests) — at 100 TB this is the
+        difference between re-shuffling the fact table per join and never
+        shuffling it at all. Spark requires the session catalog for bucket
+        metadata, so this uses ``saveAsTable`` (warehouse dir), not a bare
+        path; reads go through ``spark.table``."""
+        (df.write.mode(mode)
+           .bucketBy(num_buckets, key).sortBy(key)
+           .option("path", os.path.join(self.root, name))
+           .saveAsTable(name))
+        info = TableInfo(name=name, path=os.path.join(self.root, name),
+                         key=key, num_buckets=num_buckets)
+        self._tables[name] = info
+        self._persist()
+        return info
+
     # -- access ------------------------------------------------------------
     def load(self, name: str) -> DataFrame:
-        """Snapshot scan (reference S4: spark.read.format('hudi').load, c11:5)."""
-        return self.spark.read.parquet(self._tables[name].path)
+        """Snapshot scan (reference S4: spark.read.format('hudi').load, c11:5).
+        Bucketed tables load via the session catalog so the bucket spec
+        survives into join planning."""
+        info = self._tables[name]
+        if info.num_buckets:
+            return self.spark.table(name)
+        return self.spark.read.parquet(info.path)
 
     def info(self, name: str) -> TableInfo:
         return self._tables[name]

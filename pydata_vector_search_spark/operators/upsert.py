@@ -39,12 +39,41 @@ def merge_last_write_wins(old: DataFrame, new: DataFrame, key: str,
 
 
 def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> None:
-    """COW upsert into a catalog table: read snapshot → merge → rewrite."""
+    """COW upsert into a catalog table.
+
+    Non-partitioned: read snapshot → merge → full rewrite (exactly the
+    reference's NonpartitionedKeyGenerator COW behavior, c8:18-19).
+
+    Partitioned: classic partition-scoped COW — only the partitions the
+    new batch touches are read (partition pruning), merged, and replaced
+    (dynamic partition overwrite); untouched partitions' files are never
+    opened or rewritten. At 100 TB this is the difference between a
+    full-table rewrite per batch and work proportional to the batch."""
+    import operator
+    from functools import reduce
+
     info = catalog.info(name)
     key = key or info.key
     if key is None:
         raise ValueError(f"table {name!r} has no record key; register with key=")
     old = catalog.load(name)
+
+    if info.partition_by:
+        touched = [tuple(r) for r in
+                   new.select(*info.partition_by).distinct().collect()]
+        pred = reduce(operator.or_, [
+            reduce(operator.and_,
+                   [F.col(c).eqNullSafe(F.lit(v))
+                    for c, v in zip(info.partition_by, p)])
+            for p in touched])
+        merged = merge_last_write_wins(old.filter(pred), new, key)
+        (merged.localCheckpoint(eager=True)
+               .write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy(*info.partition_by)
+               .parquet(info.path))
+        return
+
     merged = merge_last_write_wins(old, new, key)
     # Materialize before overwrite (can't overwrite a path while reading it).
     tmp = merged.localCheckpoint(eager=True) if merged.isStreaming is False else merged

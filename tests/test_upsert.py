@@ -32,3 +32,53 @@ def test_catalog_upsert_roundtrip(spark, tmp_path):
     # reattach from disk (catalog persistence)
     cat2 = Catalog(spark, str(tmp_path / "cat"))
     assert "t" in cat2 and cat2.info("t").key == "k"
+
+
+def test_partition_scoped_upsert_leaves_other_partitions_untouched(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import Catalog, read_table
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    ev = read_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "event_type", "value")
+    cat.write("ev_part", ev, key="event_id", partition_by=["event_type"])
+    table_path = cat.info("ev_part").path
+
+    def files_of(part):
+        d = os.path.join(table_path, f"event_type={part}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_error = files_of("error")
+    batch = (ev.filter(F.col("event_type") == "purchase").limit(5)
+               .withColumn("value", F.lit(-1.0)))
+    n_before = cat.load("ev_part").count()
+    upsert_table(cat, "ev_part", batch)
+
+    after = cat.load("ev_part")
+    assert after.count() == n_before                      # pure update
+    assert after.filter(F.col("value") == -1.0).count() == 5
+    assert files_of("error") == before_error              # partition untouched
+
+
+def test_partition_scoped_upsert_inserts_new_keys(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import Catalog, read_table
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    ev = read_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "event_type", "value")
+    cat.write("ev_part", ev, key="event_id", partition_by=["event_type"])
+    n = cat.load("ev_part").count()
+    new_rows = spark.createDataFrame(
+        [(10_000_001, "purchase", 1.5), (10_000_002, "newtype", 2.5)],
+        "event_id long, event_type string, value double")
+    upsert_table(cat, "ev_part", new_rows)
+    after = cat.load("ev_part")
+    assert after.count() == n + 2
+    assert after.filter(F.col("event_type") == "newtype").count() == 1
