@@ -562,6 +562,16 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("doc_id"))
 
 
+def q_chunk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries): per-chunk token
+    count + fingerprint, reproduced exactly by the SQL oracle."""
+    from pydata_vector_search_spark.operators.chunking import chunk_summary
+    docs = _t(spark, sf_dir, "documents")
+    return (chunk_summary(docs, "text", "doc_id", divisor=32)
+            .select("doc_id", "chunk_idx", "n_tokens", "start_pos", "chunk_fp")
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline (driver mandate): binary media column →
     mapInPandas struct decode (deterministic fake — pure md5/length math,
@@ -645,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "simhash_neardup": q_simhash_neardup,
         "embed_hash": q_embed_hash,
+        "chunk_summary": q_chunk_summary,
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
     }
@@ -1028,6 +1039,30 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ORDER BY cos_sim DESC, id_1 ASC, id_2 ASC
             LIMIT 20
+        """,
+        "chunk_summary": f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       generate_subscripts(tk, 1) - 1 AS pos,
+                       unnest(tk) AS tok
+                FROM toks
+            ), flagged AS (
+                SELECT doc_id, pos, tok,
+                       coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 = 0
+                                         THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                0) AS chunk_idx
+                FROM t
+            )
+            SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+                   min(pos) AS start_pos,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+            FROM flagged
+            GROUP BY doc_id, chunk_idx
+            ORDER BY doc_id, chunk_idx
         """,
         "multimodal_meta": """
             WITH meta AS (
