@@ -413,6 +413,20 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Events: timestamp + JSON scalar functions (SURVEY §2.7 C5)
 # --------------------------------------------------------------------------
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (F.session_window, gap 30 min) — the oracle
+    reconstructs identical sessions via lag + cumulative-sum grouping."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"),
+                       "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value"))
+              .select(F.unix_timestamp("sess.start").cast("long").alias("sess_start"),
+                      F.unix_timestamp("sess.end").cast("long").alias("sess_end"),
+                      "user_id", "n_events", "sum_value")
+              .orderBy("user_id", "sess_start"))
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-phase salted aggregation (operators/skew.py) — must
     be value-identical to the plain GROUP BY the oracle runs."""
@@ -643,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_agg": q_outer_join_agg,
         "array_functions": q_array_functions,
         "string_functions": q_string_functions,
+        "session_windows": q_session_windows,
         "salted_agg": q_salted_agg,
         "events_json_window": q_events_json_window,
         "stream_tumbling": q_stream_tumbling,
@@ -964,6 +979,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
             LIMIT 100
+        """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), grouped AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM marked
+            )
+            SELECT floor(epoch(min(ts)))::BIGINT AS sess_start,
+                   floor(epoch(max(ts) + INTERVAL 30 MINUTES))::BIGINT AS sess_end,
+                   user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM grouped
+            GROUP BY user_id, sess_id
+            ORDER BY user_id, sess_start
         """,
         "salted_agg": """
             SELECT event_type, count(value) AS n_events,

@@ -96,3 +96,26 @@ def with_source_text(df: DataFrame, cols: list[str],
     """Reference V6: text_for_vector = title + ' ' + description
     (demo.ipynb c5:10) as concat_ws."""
     return df.withColumn(out_col, F.concat_ws(" ", *cols))
+
+
+def embed_text_mllib(df: DataFrame, text_col: str,
+                     out_col: str = "embedding", dim: int = 64,
+                     min_doc_freq: int = 0) -> DataFrame:
+    """Built-in distributed embedding via MLlib HashingTF → IDF (the
+    BASELINE.json "MLlib for batch embedding" path; SURVEY §2.2 V5
+    fallback): term-hash counts at ``dim`` features, IDF-weighted, emitted
+    as plain ``array<float>`` so every downstream vector operator (KNN,
+    IVF, near-dup) runs on it unchanged. Entirely JVM-side — no Python in
+    the pipeline; the IDF fit is one distributed pass."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    tf = HashingTF(inputCol="__words", outputCol="__tf", numFeatures=dim)
+    stage = tf.transform(tok.transform(df))
+    idf = IDF(inputCol="__tf", outputCol="__idf",
+              minDocFreq=min_doc_freq).fit(stage)
+    return (idf.transform(stage)
+               .withColumn(out_col,
+                           vector_to_array("__idf").cast("array<float>"))
+               .drop("__words", "__tf", "__idf"))

@@ -51,3 +51,22 @@ def test_cosine_self_distance_zero(spark):
     df = spark.createDataFrame([(v,)], "v array<double>")
     d = df.select(cosine_distance("v", query_vector_lit(v)).alias("d")).head().d
     assert abs(d) < 1e-12
+
+
+def test_embed_text_mllib_tfidf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.operators import knn
+    from pydata_vector_search_spark.operators.embedding import embed_text_mllib
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    emb = embed_text_mllib(docs, "text", dim=32)
+    row = emb.select(F.size("embedding").alias("d")).head()
+    assert row.d == 32
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    # TF-IDF vectors feed the standard KNN path
+    qv = [float(x) for x in emb.head().embedding]
+    hits = knn.vector_search(emb, "embedding", qv, k=3,
+                             tiebreaker="doc_id").collect()
+    assert len(hits) == 3 and hits[0]._distance < 1e-6
