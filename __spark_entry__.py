@@ -556,10 +556,12 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming≤3 near-dup pairs (xxhash64 bit-vote — Spark-side hash,
-    no DuckDB twin → rows-only check)."""
+    """SimHash Hamming≤3 near-dup pairs. The 60-bit md5-derived signature
+    makes the full pipeline (bit-votes, chunk blocking, Hamming verify)
+    reproducible in SQL — oracle-checked, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
     return (dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+                 .withColumn("hamming", F.col("hamming").cast("long"))
                  .orderBy("id_1", "id_2"))
 
 
@@ -729,6 +731,45 @@ def _minhash_oracle() -> str:
             JOIN sh sb ON cand.id_2 = sb.doc_id
             WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {thr}
+            ORDER BY id_1, id_2
+        """
+
+
+def _simhash_oracle() -> str:
+    bits, max_hamming = 60, 3
+    h = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+    vote_cols = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    chunk_union = "\n                UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS blk, (sig >> {c * 15}) & 32767 AS chunk "
+        "FROM sigs" for c in range(4))
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS t
+                FROM documents
+            ), hashed AS (
+                SELECT doc_id, {h} AS h FROM toks
+            ), votes AS (
+                SELECT doc_id,
+                   {vote_cols}
+                FROM hashed GROUP BY doc_id
+            ), sigs AS (
+                SELECT doc_id, {sig_expr} AS sig FROM votes
+            ), blocks AS (
+                {chunk_union}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+                       a.sig AS s1, b.sig AS s2
+                FROM blocks a JOIN blocks b
+                  ON a.blk = b.blk AND a.chunk = b.chunk
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_1, id_2, bit_count(xor(s1, s2)) AS hamming
+            FROM cand
+            WHERE bit_count(xor(s1, s2)) <= {max_hamming}
             ORDER BY id_1, id_2
         """
 
@@ -1056,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY keep_doc_id
         """,
         "minhash_neardup": _minhash_oracle(),
+        "simhash_neardup": _simhash_oracle(),
         "jaccard_join": f"""
             WITH toks AS (
                 SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents

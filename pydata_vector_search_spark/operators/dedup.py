@@ -283,33 +283,42 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Block on the 4×16-bit chunks (pigeonhole: ≤3 differing bits → at least
-    one 16-bit chunk identical), join per block, verify Hamming — the
-    standard scalable simhash dedup layout (one shuffle on chunk value).
+    Block on the 4×15-bit chunks (pigeonhole: ≤3 differing bits → at least
+    one chunk identical), join per block, verify Hamming — the standard
+    scalable simhash dedup layout (one shuffle on chunk value).
 
     Hot path avoids the per-row ``simhash64`` expression (64 interpreted
     HOF folds per row, ~5s of 7s at sf0.1): explode distinct tokens, hash
-    each once, and take the 64 bit-votes as scalar conditional sums in a
-    hash aggregate — identical signatures, whole-stage codegen throughout,
-    map-side partial aggregation bounding the shuffle at docs × 64 longs."""
+    each once, and take the bit-votes as scalar conditional sums in a
+    hash aggregate — whole-stage codegen throughout, map-side partial
+    aggregation bounding the shuffle at docs × bits longs.
+
+    The signature is 60-bit: token hash = first 15 md5 hex chars parsed as
+    int, which fits SIGNED 64-bit in every engine (a full 64-bit value
+    would overflow DuckDB's BIGINT parse), so the whole pipeline —
+    signatures, blocking, Hamming — is reproducible in SQL and the
+    declared query is oracle-checked rather than rows-only."""
+    bits_n = 60
     toks = (_fan_out(df, id_col)
             .select(F.col(id_col).alias("__id"),
                     F.explode(F.array_distinct(tokens_col(text_col)))
                      .alias("__t"))
-            .select("__id", F.xxhash64("__t").alias("__h")))
+            .select("__id",
+                    F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
+                     .cast("long").alias("__h")))
     votes = toks.groupBy("__id").agg(*[
         F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-         .alias(f"__v{b}") for b in range(64)])
+         .alias(f"__v{b}") for b in range(bits_n)])
     bits = [F.when(F.col(f"__v{b}") > 0,
                    F.shiftleft(F.lit(1).cast("long"), b))
-             .otherwise(F.lit(0).cast("long")) for b in range(64)]
+             .otherwise(F.lit(0).cast("long")) for b in range(bits_n)]
     sig = bits[0]
     for x in bits[1:]:
         sig = sig.bitwiseOR(x)
     base = _barrier(votes.select("__id", sig.alias("__sh")))
     blocks = []
     for c in range(4):
-        chunk = F.shiftrightunsigned(F.col("__sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
+        chunk = F.shiftrightunsigned(F.col("__sh"), c * 15).bitwiseAND(F.lit(0x7FFF))
         blocks.append(base.select("__id", "__sh", F.lit(c).alias("__blk"),
                                   chunk.alias("__chunk")))
     b = blocks[0]
