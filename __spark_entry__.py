@@ -566,15 +566,17 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Executor-side embedding pipeline (mapInPandas + deterministic hash
-    encoder): returns per-doc dim + unit-norm check (non-SQL-expressible →
-    rows-only check)."""
-    docs = _t(spark, sf_dir, "documents").limit(50)
-    emb = embed_text(docs, "text", "embedding", encoder=HashEncoder(dim=64))
-    from pydata_vector_search_spark.functions.vector import l2_norm
+    """Executor-side embedding pipeline: mapInPandas + the SQL-reproducible
+    Md5Encoder, so even the Arrow-batched Python encode stage is
+    oracle-checked (components re-derived in SQL from md5 arithmetic).
+    HashEncoder/SentenceTransformer run on the identical plumbing."""
+    from pydata_vector_search_spark.operators.embedding import Md5Encoder
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    emb = embed_text(docs, "text", "embedding", encoder=Md5Encoder(dim=8))
     return (emb.select("doc_id",
                        F.size("embedding").cast("long").alias("dim"),
-                       F.round(l2_norm("embedding"), 2).alias("norm"))
+                       *[F.round(F.element_at("embedding", j + 1).cast("double"), 4)
+                          .alias(f"e{j}") for j in range(4)])
                .orderBy("doc_id"))
 
 
@@ -1142,6 +1144,27 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id, chunk_idx
             ORDER BY doc_id, chunk_idx
+        """,
+        "embed_hash": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+                FROM documents WHERE doc_id < 50
+            ), comps AS (
+                SELECT doc_id,
+                   sum(('0x' || substr(md5(t || ':0'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c0,
+                   sum(('0x' || substr(md5(t || ':1'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c1,
+                   sum(('0x' || substr(md5(t || ':2'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c2,
+                   sum(('0x' || substr(md5(t || ':3'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c3,
+                   sum(('0x' || substr(md5(t || ':4'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c4,
+                   sum(('0x' || substr(md5(t || ':5'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c5,
+                   sum(('0x' || substr(md5(t || ':6'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c6,
+                   sum(('0x' || substr(md5(t || ':7'), 1, 8))::BIGINT / 4294967296.0 - 0.5) AS c7
+                FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, 8 AS dim, round(c0 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 4) AS e0, round(c1 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 4) AS e1, round(c2 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 4) AS e2, round(c3 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 4) AS e3
+            FROM comps
+            ORDER BY doc_id
         """,
         "multimodal_meta": """
             WITH meta AS (

@@ -50,6 +50,30 @@ class HashEncoder:
         return out.astype(np.float32)
 
 
+class Md5Encoder:
+    """SQL-reproducible encoder: component j of a token is
+    ``int(md5(tok + ':' + j)[:8], 16) / 2³² − 0.5``; a document embeds as
+    the L2-normalized sum of its token vectors. Unlike ``HashEncoder``
+    (seeded Gaussians — numpy-only), every arithmetic step here exists in
+    any engine with md5, so the executor-side mapInPandas pipeline can be
+    hash-checked against a DuckDB oracle end-to-end."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def encode_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim))
+        for i, t in enumerate(texts):
+            for tok in (t or "").lower().split():
+                for j in range(self.dim):
+                    h = hashlib.md5(f"{tok}:{j}".encode()).hexdigest()[:8]
+                    out[i, j] += int(h, 16) / 2**32 - 0.5
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return out.astype(np.float64)
+
+
 class SentenceTransformerEncoder:
     """Adapter for the reference's model (all-MiniLM-L6-v2, demo.ipynb
     c1:11). Import-gated: raises at construction if the library is absent."""
