@@ -249,6 +249,45 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("lang", "rn"))
 
 
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 keyed last-write-wins merge (the reference's Hudi upsert
+    semantics, demo.ipynb c8:17-23) as a pure plan: union + window dedup.
+    Batch = orders below key 1000 re-priced; merged table must show the
+    new rows winning and every other row unchanged."""
+    from pydata_vector_search_spark.operators.upsert import merge_last_write_wins
+    o = _t(spark, sf_dir, "orders")
+    batch = (o.filter(F.col("o_orderkey") < 1000)
+              .withColumn("o_totalprice", F.lit(0.0))
+              .withColumn("o_orderstatus", F.lit("X")))
+    merged = merge_last_write_wins(o, batch, key="o_orderkey")
+    return (merged.groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.sum("o_totalprice"), 2).alias("total"))
+                  .orderBy("o_orderstatus"))
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank family: rank / dense_rank / lead over order history."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (o.select("o_custkey", "o_orderkey",
+                     F.rank().over(w).cast("long").alias("rnk"),
+                     F.dense_rank().over(w).cast("long").alias("drnk"),
+                     F.lead("o_orderkey", 1).over(w).alias("next_key"))
+             .orderBy("o_custkey", "rnk", "o_orderkey"))
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond UNION: INTERSECT and EXCEPT of customer vs supplier
+    nation keys, tagged and unioned into one deterministic result."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    only_c = c.subtract(s).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only_c).orderBy("tag", "nk")
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL + DISTINCT: nations appearing as customer or supplier homes."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -649,7 +688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_multiway": q_join_multiway,
         "semi_anti_join": q_semi_anti_join,
         "window_topk_per_group": q_window_topk_per_group,
+        "window_ranks": q_window_ranks,
         "set_ops": q_set_ops,
+        "intersect_except": q_intersect_except,
+        "upsert_merge": q_upsert_merge,
         "distinct_agg": q_distinct_agg,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -905,6 +947,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn <= 3
             ORDER BY lang, rn
+        """,
+        "window_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   lead(o_orderkey, 1) OVER w AS next_key
+            FROM orders
+            WHERE o_custkey < 20
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ORDER BY o_custkey, rnk, o_orderkey
+        """,
+        "intersect_except": """
+            SELECT nk, 'both' AS tag FROM (
+                SELECT c_nationkey AS nk FROM customer
+                INTERSECT
+                SELECT s_nationkey AS nk FROM supplier
+            )
+            UNION ALL
+            SELECT nk, 'cust_only' AS tag FROM (
+                SELECT c_nationkey AS nk FROM customer
+                EXCEPT
+                SELECT s_nationkey AS nk FROM supplier
+            )
+            ORDER BY tag, nk
+        """,
+        "upsert_merge": """
+            WITH unioned AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority, 0 AS commit_ts
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_custkey, 'X', 0.0,
+                       o_orderdate, o_orderpriority, 1 AS commit_ts
+                FROM orders WHERE o_orderkey < 1000
+            ), merged AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                                 ORDER BY commit_ts DESC) AS rn
+                    FROM unioned
+                ) WHERE rn = 1
+            )
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM merged
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "set_ops": """
             SELECT DISTINCT nationkey FROM (
