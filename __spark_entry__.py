@@ -599,9 +599,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the full pipeline (bit-votes, chunk blocking, Hamming verify)
     reproducible in SQL — oracle-checked, not rows-only."""
     docs = _t(spark, sf_dir, "documents")
-    return (dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
-                 .withColumn("hamming", F.col("hamming").cast("long"))
-                 .orderBy("id_1", "id_2"))
+    pairs = dedup.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=2)
+    return (pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
+                 .agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.countDistinct("id_1").alias("n_docs_left"))
+                 .orderBy("hamming"))
 
 
 def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,7 +782,7 @@ def _minhash_oracle() -> str:
 
 
 def _simhash_oracle() -> str:
-    bits, max_hamming = 60, 3
+    bits, max_hamming = 60, 2
     h = "('0x' || substr(md5(t), 1, 15))::BIGINT"
     vote_cols = ",\n                   ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -811,10 +813,15 @@ def _simhash_oracle() -> str:
                   ON a.blk = b.blk AND a.chunk = b.chunk
                  AND a.doc_id < b.doc_id
             )
-            SELECT id_1, id_2, bit_count(xor(s1, s2)) AS hamming
-            FROM cand
-            WHERE bit_count(xor(s1, s2)) <= {max_hamming}
-            ORDER BY id_1, id_2
+            SELECT hamming, count(*) AS n_pairs,
+                   count(DISTINCT id_1) AS n_docs_left
+            FROM (
+                SELECT id_1, id_2, bit_count(xor(s1, s2)) AS hamming
+                FROM cand
+                WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+            )
+            GROUP BY hamming
+            ORDER BY hamming
         """
 
 

@@ -329,11 +329,14 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                               & (F.col("a.__chunk") == F.col("b.__chunk"))
                               & (F.col("a.__id") < F.col("b.__id")))
              .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"),
-                     F.col("a.__sh").alias("sh1"), F.col("b.__sh").alias("sh2"))
-             .distinct())
+                     F.col("a.__sh").alias("sh1"), F.col("b.__sh").alias("sh2")))
+    # hamming BEFORE the dedup: a pair surviving via two blocks has the
+    # same hamming in both copies, so distinct() on the 3 narrow output
+    # columns is correct and the dedup shuffle drops the signature payload
     return (cand.withColumn("hamming", hamming64(F.col("sh1"), F.col("sh2")))
                 .filter(F.col("hamming") <= max_hamming)
-                .select("id_1", "id_2", "hamming"))
+                .select("id_1", "id_2", "hamming")
+                .distinct())
 
 
 # --------------------------------------------------------------------------
