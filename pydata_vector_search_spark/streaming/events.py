@@ -16,7 +16,11 @@ Design notes for scale:
 * ``withWatermark`` bounds that state: windows older than the watermark are
   finalized and evicted, late rows beyond it are dropped — without it an
   append-mode aggregation would hold every window forever (unbounded state
-  = the classic 100 TB streaming failure).
+  = the classic 100 TB streaming failure). Note Spark's (3.4+) split
+  watermarks: late-record FILTERING uses the previous batch's watermark
+  while EVICTION uses the current one, so a too-late row is only
+  guaranteed-dropped from the second batch after the watermark advanced
+  (pinned in tests/test_streaming_watermark.py).
 * The stateful running-total operator uses ``applyInPandasWithState``
   (Arrow-batched per-key state) — the escape hatch for semantics windows
   can't express.
