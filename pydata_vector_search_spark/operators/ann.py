@@ -109,6 +109,8 @@ def assign_centroids(df: DataFrame, vector_col: str,
 
     @pandas_udf("int")
     def _nearest(vs: pd.Series) -> pd.Series:
+        if vs.empty:        # empty Arrow batch (e.g. filtered partition)
+            return pd.Series([], dtype="int32")
         V = np.stack(vs.to_numpy()).astype(np.float64)
         if metric == "cosine":
             V = _normalize(V)

@@ -390,12 +390,18 @@ def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
         # banker's and would drift on exact .5 boundaries
         return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
+    _EMPTY = pd.DataFrame({"id_1": [], "id_2": [], "cos_sim": []})
+
     def _local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["__role"] == "a"]
+        b = pdf[pdf["__role"] == "b"]
+        # a sparse block leaves one-sided groups: block i empty still
+        # receives role-b rows for every group (i, j)
+        if a.empty or (b.empty and len(a) < 2):
+            return _EMPTY
         ids_a = a["__id"].to_numpy()
         Va = np.stack(a["__v"].to_numpy()).astype(np.float64)
         Va /= np.linalg.norm(Va, axis=1, keepdims=True)
-        b = pdf[pdf["__role"] == "b"]
         if len(b):                      # off-diagonal: full cross product
             ids_b = b["__id"].to_numpy()
             Vb = np.stack(b["__v"].to_numpy()).astype(np.float64)
@@ -449,12 +455,16 @@ def cosine_threshold_pairs(df: DataFrame, vector_col: str, id_col: str,
     rep = lefts.unionByName(rights)
     scale = 10 ** round_to
 
+    _EMPTY = pd.DataFrame({"id_1": [], "id_2": [], "cos_sim": []})
+
     def _filter_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["__role"] == "a"]
+        b = pdf[pdf["__role"] == "b"]
+        if a.empty or (b.empty and len(a) < 2):   # one-sided group
+            return _EMPTY
         ids_a = a["__id"].to_numpy()
         Va = np.stack(a["__v"].to_numpy()).astype(np.float64)
         Va /= np.linalg.norm(Va, axis=1, keepdims=True)
-        b = pdf[pdf["__role"] == "b"]
         if len(b):
             ids_b = b["__id"].to_numpy()
             Vb = np.stack(b["__v"].to_numpy()).astype(np.float64)

@@ -84,3 +84,23 @@ def test_embed_text_deterministic_unit_norm(spark):
     n = math.sqrt(sum(x * x for x in by_id[1]))
     assert abs(n - 1.0) < 1e-5             # unit norm
     assert len(by_id[1]) == 32
+
+
+def test_cosine_topk_pairs_tiny_input(spark):
+    """Inputs smaller than the block count leave one-sided/singleton
+    groups — must not crash and must still score every pair."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>")
+    got = dedup.cosine_topk_pairs(df, "embedding", "vec_id", k=3).collect()
+    assert len(got) == 3            # all C(3,2) pairs scored
+    assert got[0].id_1 == 1 and got[0].id_2 == 2   # most similar first
+    thr = dedup.cosine_threshold_pairs(df, "embedding", "vec_id",
+                                       threshold=0.9).collect()
+    assert {(r.id_1, r.id_2) for r in thr} == {(1, 2)}
+
+
+def test_cosine_topk_pairs_single_row(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "vec_id int, embedding array<double>")
+    assert dedup.cosine_topk_pairs(df, "embedding", "vec_id", k=3).count() == 0
