@@ -61,6 +61,8 @@ def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> 
     if info.partition_by:
         touched = [tuple(r) for r in
                    new.select(*info.partition_by).distinct().collect()]
+        if not touched:           # empty batch: nothing to rewrite
+            return
         pred = reduce(operator.or_, [
             reduce(operator.and_,
                    [F.col(c).eqNullSafe(F.lit(v))

@@ -82,3 +82,16 @@ def test_partition_scoped_upsert_inserts_new_keys(spark, tmp_path):
     after = cat.load("ev_part")
     assert after.count() == n + 2
     assert after.filter(F.col("event_type") == "newtype").count() == 1
+
+
+def test_partition_scoped_upsert_empty_batch_is_noop(spark, tmp_path):
+    from pydata_vector_search_spark.catalog import Catalog, read_table
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    ev = read_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "event_type", "value")
+    cat.write("ev_part", ev, key="event_id", partition_by=["event_type"])
+    n = cat.load("ev_part").count()
+    upsert_table(cat, "ev_part", ev.limit(0))
+    assert cat.load("ev_part").count() == n
