@@ -112,6 +112,23 @@ class Catalog:
         """Temp-view registration (reference S5: createOrReplaceTempView, c11:2,5)."""
         self.load(name).createOrReplaceTempView(view_name or name)
 
+    def compact(self, name: str, target_partitions: int | None = None) -> None:
+        """Small-files maintenance: rewrite the table at a sane file count
+        (streaming upsert sinks and frequent small batches accrete files;
+        at scale every extra file is a task + a footer read per query).
+        Partitioned tables keep their layout; ``target_partitions``
+        defaults to the session's parallelism."""
+        info = self._tables[name]
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        df = self.load(name)
+        if info.partition_by:
+            df = df.repartition(n, *info.partition_by)
+        else:
+            df = df.repartition(n)
+        snapshot = df.localCheckpoint(eager=True)
+        self.write(name, snapshot, key=info.key,
+                   partition_by=info.partition_by or None)
+
     def drop(self, name: str, delete_files: bool = True) -> None:
         """Table drop (reference S7: shutil.rmtree(TABLE_PATH), c8:10-11)."""
         info = self._tables.pop(name, None)

@@ -145,7 +145,8 @@ def _barrier(df: DataFrame) -> DataFrame:
 
 def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           n: int = 3, num_hashes: int = 12, bands: int = 4,
-                          threshold: float = 0.5) -> DataFrame:
+                          threshold: float = 0.5,
+                          max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs (id_1 < id_2) with exact-Jaccard verification of
     LSH candidates. Returns (id_1, id_2, jaccard).
 
@@ -186,6 +187,12 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     buckets = (banded.groupBy("__band", "__key")
                      .agg(F.collect_list("__id").alias("__ids"))
                      .filter(F.size("__ids") > 1))
+    if max_bucket_size is not None:
+        # skew guard: a degenerate bucket of B docs contributes O(B²)
+        # candidate pairs on one reducer; capping trades recall on the
+        # hottest buckets for bounded work (identical docs still pair via
+        # their other, smaller buckets or the exact-dedup pass)
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     cand = (buckets
             .select(F.explode("__ids").alias("id_1"), "__ids")
             .select("id_1", F.explode("__ids").alias("id_2"))
@@ -280,7 +287,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          max_block_size: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Block on the 4×15-bit chunks (pigeonhole: ≤3 differing bits → at least
@@ -324,6 +332,14 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     b = blocks[0]
     for x in blocks[1:]:
         b = b.unionByName(x)
+    if max_block_size is not None:
+        # same skew guard as minhash buckets: a hot 15-bit chunk value
+        # (e.g. every near-empty doc) would put O(B²) pairs on one reducer
+        counts = b.groupBy("__blk", "__chunk").agg(
+            F.count(F.lit(1)).alias("__bn"))
+        b = (b.join(counts.filter(F.col("__bn") <= max_block_size),
+                    ["__blk", "__chunk"])
+              .drop("__bn"))
     cand = (b.alias("a").join(b.alias("b"),
                               (F.col("a.__blk") == F.col("b.__blk"))
                               & (F.col("a.__chunk") == F.col("b.__chunk"))

@@ -104,3 +104,26 @@ def test_cosine_topk_pairs_single_row(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])],
                                "vec_id int, embedding array<double>")
     assert dedup.cosine_topk_pairs(df, "embedding", "vec_id", k=3).count() == 0
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    rows = [(i, "the exact same document text repeated again and again here")
+            for i in range(30)] + [(100, "a completely different text body")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = dedup.minhash_neardup_pairs(df, "text", "doc_id",
+                                           threshold=0.9).count()
+    capped = dedup.minhash_neardup_pairs(df, "text", "doc_id", threshold=0.9,
+                                         max_bucket_size=5).count()
+    assert uncapped == 30 * 29 // 2     # quadratic in the hot bucket
+    assert capped == 0                  # hot bucket excluded entirely
+
+
+def test_simhash_block_cap_bounds_candidates(spark):
+    rows = [(i, "identical content for every single row of this corpus")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = dedup.simhash_neardup_pairs(df, "text", "doc_id").count()
+    capped = dedup.simhash_neardup_pairs(df, "text", "doc_id",
+                                         max_block_size=4).count()
+    assert uncapped == 20 * 19 // 2
+    assert capped == 0

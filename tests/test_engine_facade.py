@@ -51,3 +51,19 @@ def test_upsert_via_engine(engine, spark):
     after = engine.table("emb")
     assert after.count() == before
     assert after.filter(F.col("label") == 999).count() == 1
+
+
+def test_catalog_compact_reduces_files(spark, tmp_path):
+    import glob
+
+    from pydata_vector_search_spark.catalog import Catalog, read_table
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    o = read_table(spark, "/root/testdata/sf0.001", "orders").repartition(16)
+    cat.write("orders_frag", o, key="o_orderkey")
+    before = len(glob.glob(f"{cat.info('orders_frag').path}/*.parquet"))
+    n = cat.load("orders_frag").count()
+    cat.compact("orders_frag", target_partitions=2)
+    after = len(glob.glob(f"{cat.info('orders_frag').path}/*.parquet"))
+    assert after < before and after <= 2
+    assert cat.load("orders_frag").count() == n
