@@ -28,8 +28,23 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    # warm the JVM + parquet footer caches with one tiny action
+    # Warm fixed session costs so per-query numbers measure the QUERY, not
+    # JVM/Python-worker startup: one action per table (footer + page
+    # cache), one Arrow/pandas round-trip (forks the Python workers), one
+    # codegen'd expression (JIT paths).
     spark.range(1).count()
+    from pydata_vector_search_spark.catalog import read_table
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            read_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long").count()
+    spark.range(1000).select(F.md5(F.col("id").cast("string"))).count()
 
     timings: dict[str, float] = {}
     total = 0.0
