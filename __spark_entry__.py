@@ -295,6 +295,49 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.unionByName(s).distinct().orderBy("nationkey"))
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts spread into one column per event type
+    (explicit value list → stable schema; Catalyst compiles to conditional
+    aggregation, which is exactly what the oracle spells)."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.withColumn("day_bucket", day)
+              .groupBy("day_bucket")
+              .pivot("event_type", types)
+              .count()
+              .na.fill(0, types)
+              .select("day_bucket", *[F.col(t).cast("long").alias(t)
+                                      for t in types])
+              .orderBy("day_bucket"))
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS in the SQL surface (Catalyst
+    rewrites to semi/anti joins — same plan family as semi_anti_join)."""
+    register_sf_dir(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql("""
+        SELECT c.c_custkey,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_totalprice > 300000)
+                    THEN 1 ELSE 0 END AS has_big_order
+        FROM customer c
+        ORDER BY c.c_custkey
+        LIMIT 100
+    """)
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_suppkey")
+              .agg(F.count(F.lit(1)).alias("n_lines"),
+                   F.round(F.sum("l_quantity"), 2).alias("qty"))
+              .filter(F.col("n_lines") >= 40)
+              .orderBy("l_suppkey"))
+
+
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: count distinct (reference's driver-side set() count, c5:13)."""
     o = _t(spark, sf_dir, "orders")
@@ -695,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_except": q_intersect_except,
         "upsert_merge": q_upsert_merge,
         "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "exists_subquery": q_exists_subquery,
+        "having": q_having,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "date_functions": q_date_functions,
@@ -1008,6 +1054,35 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT s_nationkey AS nationkey FROM supplier
             ) ORDER BY nationkey
+        """,
+        "pivot": """
+            SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_bucket,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events
+            GROUP BY day_bucket
+            ORDER BY day_bucket
+        """,
+        "exists_subquery": """
+            SELECT c.c_custkey,
+                   CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_custkey = c.c_custkey
+                                       AND o.o_totalprice > 300000)
+                        THEN 1 ELSE 0 END AS has_big_order
+            FROM customer c
+            ORDER BY c.c_custkey
+            LIMIT 100
+        """,
+        "having": """
+            SELECT l_suppkey, count(*) AS n_lines,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY l_suppkey
+            HAVING count(*) >= 40
+            ORDER BY l_suppkey
         """,
         "distinct_agg": """
             SELECT o_orderstatus,
