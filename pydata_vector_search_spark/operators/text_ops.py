@@ -1,0 +1,67 @@
+"""DataFrame-level text analysis hot paths.
+
+``functions/text.py`` holds the per-row Column expressions (API surface,
+composable anywhere). The marker-counting ones run their lambdas
+interpreted (outside whole-stage codegen) — fine per row, wrong as the
+corpus-wide hot path. This module re-expresses them as explode →
+broadcast-join → conditional-sum pipelines with map-side partial
+aggregation: identical results (tests pin equality against the Column
+versions row for row), fully codegen'd, shuffle bounded at docs × counts.
+
+Measured honesty note (sf0.1, 5k docs × ~100 tokens): the Column version
+WINS here (1.2 s vs 1.6 s warm) — 0.5M interpreted lambda evals are
+cheaper than exploding 500k token rows through a join+aggregate. The
+table formulation pays off when per-row interpreted work dominates the
+exchange: long documents, many marker sets, or reuse of the exploded
+tokens across several analyses. Both stay available; pick by profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pydata_vector_search_spark.functions.text import _LANG_MARKERS, normalized_text
+
+
+def lang_id_table(df: DataFrame, text_col: str, id_col: str,
+                  out_col: str = "pred_lang") -> DataFrame:
+    """(id, pred_lang) for every row — same semantics as
+    ``functions.text.lang_id`` (charset short-circuit, marker-count argmax
+    with fixed priority, 'und' when no marker hits).
+
+    Plan: base scan computes the two charset regex flags (scalar,
+    codegen'd); distinct tokens explode once and inner-join the ~12-row
+    broadcast marker table, so the aggregate only ever sees marker
+    occurrences (corpus-size-independent per doc); a left join re-attaches
+    docs with zero hits."""
+    spark = df.sparkSession
+    markers = [(tok, lang) for lang, toks in _LANG_MARKERS.items()
+               for tok in toks]
+    mdf = spark.createDataFrame(markers, "tok string, lang string")
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).rlike(r"[一-鿿]").alias("__zh"),
+        F.col(text_col).rlike(r"[Ѐ-ӿ]").alias("__ru"))
+
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.explode(F.split(normalized_text(text_col), " "))
+                       .alias("tok")))
+    hits = (toks.join(F.broadcast(mdf), "tok")
+                .groupBy("__id")
+                .agg(*[F.sum(F.when(F.col("lang") == l, 1).otherwise(0))
+                        .alias(f"__h_{l}") for l in _LANG_MARKERS]))
+
+    j = base.join(hits, "__id", "left").na.fill(
+        0, [f"__h_{l}" for l in _LANG_MARKERS])
+    h = {l: F.col(f"__h_{l}") for l in _LANG_MARKERS}
+    best = F.greatest(*h.values())
+    latin = (F.when(best == 0, F.lit("und"))
+              .when(h["en"] == best, F.lit("en"))
+              .when(h["es"] == best, F.lit("es"))
+              .when(h["fr"] == best, F.lit("fr"))
+              .otherwise(F.lit("de")))
+    pred = (F.when(F.col("__zh"), F.lit("zh"))
+             .when(F.col("__ru"), F.lit("ru"))
+             .otherwise(latin))
+    return j.select(F.col("__id").alias(id_col), pred.alias(out_col))

@@ -62,3 +62,36 @@ def test_lang_id(docs):
 def test_quality_score_bounds(docs):
     vals = [r.q for r in docs.select(T.quality_score("text").alias("q")).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_lang_id_table_matches_column_expr(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.functions.text import lang_id
+    from pydata_vector_search_spark.operators.text_ops import lang_id_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    col_version = {r.doc_id: r.l for r in
+                   docs.select("doc_id", lang_id("text").alias("l")).collect()}
+    table_version = {r.doc_id: r.pred_lang for r in
+                     lang_id_table(docs, "text", "doc_id").collect()}
+    assert table_version == col_version
+
+
+def test_lang_id_table_synthetic_langs(spark):
+    from pydata_vector_search_spark.operators.text_ops import lang_id_table
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "el gato los perros las casas"),
+         (3, "le chat et les chiens"),
+         (4, "der hund und die katze"),
+         (5, "xyz qqq zzz"),
+         (6, "这是中文文本 the and of"),
+         (7, "Это русский текст")],
+        "doc_id int, text string")
+    got = {r.doc_id: r.pred_lang
+           for r in lang_id_table(df, "text", "doc_id").collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de",
+                   5: "und", 6: "zh", 7: "ru"}
