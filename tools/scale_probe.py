@@ -1,0 +1,79 @@
+"""Repeatable scale-up probe: duplicate the sf0.1 tables N× into /tmp and
+time the scale-sensitive operators. Validates the 100 TB design claims
+empirically (no stage should degrade super-linearly beyond inherent
+output growth). Usage: python tools/scale_probe.py [N] — default 10.
+
+Results from the round-1 run at N=10 are recorded in README.md."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = "/root/testdata/sf0.1"
+    out = f"/tmp/pvss_scale{n_copies}"
+
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.operators import dedup, knn
+    from pydata_vector_search_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    n = docs.count()
+    big = None
+    for i in range(n_copies):
+        d = (docs.withColumn("doc_id", (F.col("doc_id") + F.lit(i * n))
+                             .cast("long"))
+                 .withColumn("text", F.when(F.lit(i) == 0, F.col("text"))
+                             .otherwise(F.concat(F.col("text"),
+                                                 F.lit(f" v{i}")))))
+        big = d if big is None else big.unionByName(d)
+    big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    m = emb.count()
+    bige = None
+    for i in range(n_copies):
+        e = emb.withColumn("vec_id", (F.col("vec_id") + F.lit(i * m))
+                           .cast("long"))
+        bige = e if bige is None else bige.unionByName(e)
+    bige.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    bd = spark.read.parquet(f"{out}/documents.parquet")
+    be = spark.read.parquet(f"{out}/embeddings.parquet")
+    print(f"scale {n_copies}x: {bd.count()} docs, {be.count()} vectors")
+
+    def timed(label, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        print(f"{label}: {result} in {time.perf_counter() - t0:.1f}s")
+
+    qv = [float(x) for x in be.head().embedding]
+    timed("exact KNN", lambda: len(knn.vector_search(
+        be, "embedding", qv, k=10, tiebreaker="vec_id").collect()))
+    timed("minhash near-dup pairs", lambda: dedup.minhash_neardup_pairs(
+        bd, "text", "doc_id").count())
+    timed("simhash near-dup pairs", lambda: dedup.simhash_neardup_pairs(
+        bd, "text", "doc_id", max_hamming=2).count())
+    # note: per-row replication factor IS num_blocks — raise it for memory,
+    # not parallelism (group count B(B+1)/2 already exceeds cores at 16)
+    timed("blocked-matmul topk pairs", lambda: dedup.cosine_topk_pairs(
+        be, "embedding", "vec_id", k=20, num_blocks=16).count())
+    timed("jaccard join pairs", lambda: dedup.jaccard_similarity_join(
+        bd, "text", "doc_id", max_shingle_df=1000).count())
+
+    shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
