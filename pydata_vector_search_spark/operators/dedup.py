@@ -217,11 +217,17 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
                             n: int = 3, threshold: float = 0.5,
                             max_shingle_df: int | None = None) -> DataFrame:
     """All pairs with exact n-gram Jaccard ≥ threshold, via the scalable
-    formulation: explode shingles → self-join on shingle → count
-    co-occurrences per pair → |A∩B| / (|A|+|B|-|A∩B|).
+    co-occurrence formulation: explode shingles → self-join on shingle →
+    count co-occurrences per pair → |A∩B| / (|A|+|B|−|A∩B|).
 
     ``max_shingle_df`` drops shingles appearing in more than that many docs
-    (skew guard; biases Jaccard down slightly — leave None for exact)."""
+    (skew guard; biases Jaccard down slightly — leave None for exact).
+
+    Cost is Σ_s df(s)² over shingle document frequencies. On Zipfian
+    corpora with hot shingles prefer ``jaccard_similarity_join_prefix``
+    (same results, candidates bounded by rare-shingle prefixes); measured
+    on the synthetic corpora here the count-based form wins (no hot
+    shingles to defuse, and it never ships the shingle arrays)."""
     df = _fan_out(df, id_col)
     sh = (df.select(F.col(id_col).alias("__id"),
                     shingles_col(text_col, n).alias("__sh"))
@@ -252,6 +258,64 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
                 / (F.col("n1") + F.col("n2") - F.col("inter")))
                  .filter(F.col("jaccard") >= threshold)
                  .select("id_1", "id_2", "jaccard"))
+
+
+def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
+                                   n: int = 3, threshold: float = 0.5,
+                                   max_shingle_df: int | None = None) -> DataFrame:
+    """Exact Jaccard join via PREFIX FILTERING (Bayardo et al., "Scaling
+    Up All Pairs Similarity Search", WWW'07): under a global rarest-first
+    shingle order, any pair with J ≥ t must share a shingle within each
+    doc's first ``|d| − ⌈t·|d|⌉ + 1`` shingles, so the candidate self-join
+    explodes ONLY prefixes; candidates are verified with exact
+    ``array_intersect`` Jaccard (results identical to the count-based
+    form — equality-pinned in tests).
+
+    When to choose which: the candidate join here is bounded by
+    rare-shingle document frequencies — the win on Zipfian corpora where
+    hot shingles make Σ df(s)² explode. The price is shipping full
+    shingle arrays for verification, which dominates when the candidate
+    set ≈ the result set (duplicate-heavy corpora): measured 112 s vs
+    125 s at 10×-duplicated sf0.1, and 5.5 s vs 2.8 s at sf0.1 — hence
+    the count-based default.
+
+    ``max_shingle_df`` here drops candidate GENERATION by hot shingles
+    only: surviving pairs keep exact scores (unlike the count-based cap,
+    which biases scores)."""
+    df = _fan_out(df, id_col)
+    sh = (df.select(F.col(id_col).alias("__id"),
+                    shingles_col(text_col, n).alias("__sh"))
+            .withColumn("__n", F.size("__sh"))
+            .select("__id", "__n", "__sh"))
+    sh = _barrier(sh)
+    # hash shingles to longs: the keys that shuffle (df join + self-join)
+    # drop to 8 bytes; collision odds ~p²/2⁶⁵, deterministic either way
+    ex = (sh.select("__id", "__n", F.explode("__sh").alias("__s0"))
+            .select("__id", "__n", F.xxhash64("__s0").alias("__s")))
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_shingle_df)
+    ranked = ex.join(dfreq, "__s")   # inner: capped shingles drop out here
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(),
+                                           F.col("__s").asc())
+    prefix_len = (F.col("__n")
+                  - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+    pref = (ranked.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= prefix_len)
+                  .select("__id", "__s"))
+    cand = (pref.alias("a").join(pref.alias("b"),
+                                 (F.col("a.__s") == F.col("b.__s"))
+                                 & (F.col("a.__id") < F.col("b.__id")))
+                .select(F.col("a.__id").alias("id_1"),
+                        F.col("b.__id").alias("id_2"))
+                .distinct())
+    inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
+    union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
+    return (cand.join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
+                .join(sh.alias("sb"), F.col("id_2") == F.col("sb.__id"))
+                .withColumn("jaccard", inter.cast("double") / union)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_1", "id_2", "jaccard"))
 
 
 # --------------------------------------------------------------------------

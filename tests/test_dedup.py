@@ -127,3 +127,13 @@ def test_simhash_block_cap_bounds_candidates(spark):
                                          max_block_size=4).count()
     assert uncapped == 20 * 19 // 2
     assert capped == 0
+
+
+def test_jaccard_prefix_matches_count_based(docs):
+    a = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+         dedup.jaccard_similarity_join(docs, "text", "doc_id",
+                                       threshold=0.5).collect()}
+    b = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+         dedup.jaccard_similarity_join_prefix(docs, "text", "doc_id",
+                                              threshold=0.5).collect()}
+    assert a == b and a
