@@ -509,6 +509,20 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("user_id", "sess_start"))
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding windows (1 day window / 6 h slide): every event lands
+    in 4 overlapping windows; the oracle reconstructs them as a UNION of
+    the 4 slide-aligned shifts."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 day", "6 hours").alias("win"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select(F.unix_timestamp("win.start").cast("long")
+                       .alias("win_start"),
+                      "event_type", "n_events")
+              .orderBy("win_start", "event_type"))
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-phase salted aggregation (operators/skew.py) — must
     be value-identical to the plain GROUP BY the oracle runs."""
@@ -751,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_agg": q_outer_join_agg,
         "array_functions": q_array_functions,
         "string_functions": q_string_functions,
+        "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         "salted_agg": q_salted_agg,
         "events_json_window": q_events_json_window,
@@ -1193,6 +1208,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
             LIMIT 100
+        """,
+        "sliding_windows": """
+            WITH shifted AS (
+                SELECT (floor((epoch(ts) - k * 21600) / 86400) * 86400
+                        + k * 21600)::BIGINT AS win_start,
+                       event_type
+                FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+            )
+            SELECT win_start, event_type, count(*) AS n_events
+            FROM shifted
+            GROUP BY win_start, event_type
+            ORDER BY win_start, event_type
         """,
         "session_windows": """
             WITH marked AS (
