@@ -123,6 +123,21 @@ def q_vector_knn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN (every query row gets its top-k): broadcast nested-loop
+    over the corpus + per-query window top-k — the plan for scoring a
+    query BATCH, vs the single-vector TakeOrderedAndProject path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("left_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    return (knn.knn_join(queries_df, corpus, "embedding", k=3,
+                         round_to=6)
+               .select("left_id", "right_id",
+                       F.col("_distance").alias("dist"))
+               .orderBy("left_id", "right_id"))
+
+
 _IVF_CACHE: dict[str, ann.IVFIndex] = {}
 
 
@@ -740,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_prefilter": q_hybrid_prefilter,
         "hybrid_postfilter": q_hybrid_postfilter,
         "ann_ivf_knn": q_ann_ivf_knn,
+        "knn_join": q_knn_join,
         "agg_pricing_summary": q_agg_pricing_summary,
         "group_topk": q_group_topk,
         "filter_like_project": q_filter_like_project,
@@ -937,6 +953,21 @@ def oracle_sql() -> dict[str, str]:
             FROM wide WHERE label = 3
             ORDER BY dist ASC, vec_id ASC
             LIMIT 5
+        """,
+        "knn_join": """
+            SELECT left_id, right_id, dist FROM (
+                SELECT q.vec_id AS left_id, e.vec_id AS right_id,
+                       round(1 - list_cosine_similarity(
+                           q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dist,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(
+                               q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) ASC,
+                                    e.vec_id ASC) AS rn
+                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+                CROSS JOIN embeddings e
+            ) WHERE rn <= 3
+            ORDER BY left_id, right_id
         """,
         "ann_ivf_knn": f"""
             WITH d AS (

@@ -85,7 +85,8 @@ def hybrid_search_postfilter(df: DataFrame,
 def knn_join(left: DataFrame, right: DataFrame, vector_col: str,
              k: int, metric: str = "cosine",
              left_id: str = "left_id", right_id: str = "right_id",
-             distance_col: str = "_distance") -> DataFrame:
+             distance_col: str = "_distance",
+             round_to: int | None = None) -> DataFrame:
     """For every left row, its k nearest right rows (brute-force block
     nested-loop + per-left-key top-k via window).
 
@@ -100,8 +101,10 @@ def knn_join(left: DataFrame, right: DataFrame, vector_col: str,
     lv, rv = f"__lvec", f"__rvec"
     l = left.select(F.col(left_id), F.col(vector_col).alias(lv))
     r = right.select(F.col(right_id), F.col(vector_col).alias(rv))
-    joined = F.broadcast(l).crossJoin(r).withColumn(
-        distance_col, distance_expr(metric, F.col(lv), F.col(rv)))
+    dist = distance_expr(metric, F.col(lv), F.col(rv))
+    if round_to is not None:    # round BEFORE the rank for cross-engine ties
+        dist = F.round(dist, round_to)
+    joined = F.broadcast(l).crossJoin(r).withColumn(distance_col, dist)
     w = Window.partitionBy(left_id).orderBy(F.col(distance_col).asc(),
                                             F.col(right_id).asc())
     return (joined.withColumn("__rn", F.row_number().over(w))
