@@ -91,3 +91,46 @@ class Engine:
                "simhash": dedup.simhash_neardup_pairs,
                "jaccard": dedup.jaccard_similarity_join}
         return fns[method](df, text_col, id_col, **kw)
+
+    def chunk(self, table: str | DataFrame, text_col: str, id_col: str,
+              divisor: int = 32) -> DataFrame:
+        """Content-defined chunking → (id, chunk_idx, chunk_text, n_tokens);
+        feed the result straight back into ``embed``."""
+        from pydata_vector_search_spark.operators.chunking import chunk_texts
+        df = self.table(table) if isinstance(table, str) else table
+        return chunk_texts(df, text_col, id_col, divisor=divisor)
+
+    # -- temporal joins ---------------------------------------------------
+    def asof_join(self, left: str | DataFrame, right: str | DataFrame,
+                  on: str, time_col: str, **kw) -> DataFrame:
+        from pydata_vector_search_spark.operators.joins import asof_join
+        l = self.table(left) if isinstance(left, str) else left
+        r = self.table(right) if isinstance(right, str) else right
+        return asof_join(l, r, on=on, time_col=time_col, **kw)
+
+    def range_join(self, left: str | DataFrame, right: str | DataFrame,
+                   on: str, time_col: str, start_col: str, end_col: str,
+                   **kw) -> DataFrame:
+        from pydata_vector_search_spark.operators.joins import range_join
+        l = self.table(left) if isinstance(left, str) else left
+        r = self.table(right) if isinstance(right, str) else right
+        return range_join(l, r, on=on, time_col=time_col,
+                          start_col=start_col, end_col=end_col, **kw)
+
+    # -- streaming --------------------------------------------------------
+    def stream_events(self, path: str, **kw) -> DataFrame:
+        from pydata_vector_search_spark.streaming import read_events_stream
+        return read_events_stream(self.spark, path, **kw)
+
+    def stream_upsert(self, stream_df: DataFrame, table: str, key: str,
+                      checkpoint: str, **kw):
+        from pydata_vector_search_spark.streaming import stream_upsert_sink
+        return stream_upsert_sink(stream_df, self.catalog, table, key=key,
+                                  checkpoint=checkpoint, **kw)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, table: str, **kw) -> None:
+        self.catalog.compact(table, **kw)
+
+    def drop(self, table: str, delete_files: bool = True) -> None:
+        self.catalog.drop(table, delete_files=delete_files)

@@ -67,3 +67,34 @@ def test_catalog_compact_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{cat.info('orders_frag').path}/*.parquet"))
     assert after < before and after <= 2
     assert cat.load("orders_frag").count() == n
+
+
+def test_chunk_and_temporal_joins_via_engine(engine, spark, sf_dir):
+    chunks = engine.chunk("docs", "text", "doc_id", divisor=16)
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens"} <= set(chunks.columns)
+    assert chunks.count() > engine.table("docs").count()
+
+    from pydata_vector_search_spark.catalog import read_table
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.filter(F.col("event_type") == "signup") \
+             .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase") \
+              .select("user_id", "ts", "value")
+    out = engine.asof_join(left, right, on="user_id", time_col="ts",
+                           value_cols=["value"])
+    assert "value_r" in out.columns and out.count() == left.count()
+
+
+def test_stream_and_maintenance_via_engine(engine, spark, tmp_path):
+    st = engine.stream_events("/root/testdata/sf0.001/events.parquet")
+    assert st.isStreaming
+    q = engine.stream_upsert(
+        st.select("user_id", "ts", "value"), "user_latest", key="user_id",
+        order_by="ts", checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    n = engine.table("user_latest").count()
+    assert n > 0
+    engine.compact("user_latest", target_partitions=1)
+    assert engine.table("user_latest").count() == n
+    engine.drop("user_latest")
+    assert "user_latest" not in engine.catalog
