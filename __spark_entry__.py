@@ -730,6 +730,139 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Relational surface, batch 2 (free Spark SQL consequences — SURVEY §2 "X"
+# rows: cube, ntile/percent_rank, unnest, decorrelated scalar subquery,
+# full outer join, CASE bucketing, value-frame windows, TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 CUBE: all 4 grouping combinations of (status, priority) in one
+    shuffle (Catalyst Expand → partial+final hash agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.grouping_id().cast("long").alias("gid"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                     "gid", "n", "sum_price")
+             .orderBy("gid", "status", "priority"))
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution family: ntile / percent_rank / cume_dist.
+    Partitioned by mktsegment (keeps the window parallel — no global
+    single-partition sort at scale); total order inside each partition
+    via the (acctbal, custkey) tiebreaker."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (c.select("c_custkey", "c_mktsegment",
+                     F.round("c_acctbal", 2).alias("acctbal"),
+                     F.ntile(4).over(w).alias("quartile"),
+                     F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+                     F.round(F.cume_dist().over(w), 4).alias("cume"))
+             .orderBy("c_mktsegment", "c_custkey"))
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST): normalized whitespace tokenization →
+    token frequency top-20. explode stays inside whole-stage codegen;
+    the count is a partial+final hash agg on the exploded rows."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (docs.select(F.explode(F.split(norm, " ")).alias("token"))
+                .filter(F.length("token") > 0)
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("token").asc())
+                .limit(20))
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape. The oracle spells it as a correlated scalar
+    subquery; the Spark plan is the DECORRELATED form — pre-aggregate
+    avg(quantity) per part once, broadcast-join it back — which is the
+    plan Catalyst's subquery decorrelation produces anyway and the only
+    shape that scales (no per-row re-scan of lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    per_part = (li.groupBy("l_partkey")
+                  .agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(per_part, "l_partkey")
+              .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+              .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 full outer join of two pre-aggregated sides (customer vs
+    supplier presence per nation) + null-aware coalesce. Aggregating
+    BEFORE the join keeps both sides tiny at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"))
+    return (cn.join(sn, "nk", "full_outer")
+              .select(F.col("nk").alias("nationkey"),
+                      F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                      F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"))
+              .orderBy("nationkey"))
+
+
+def q_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + conditional aggregation — one scan, one agg."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = (F.when(F.col("c_acctbal") < 0, "negative")
+               .when(F.col("c_acctbal") < 3000, "low")
+               .when(F.col("c_acctbal") < 7000, "mid")
+               .otherwise("high"))
+    return (c.withColumn("balance_bucket", bucket)
+             .groupBy("balance_bucket")
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+                  F.countDistinct("c_mktsegment").alias("n_segments"))
+             .orderBy("balance_bucket"))
+
+
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions over explicit frames: first_value (growing
+    frame), last_value (full-partition frame), nth_value."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (o.select("o_custkey", "o_orderkey",
+                     F.round(F.first_value("o_totalprice").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+                      .alias("first_price"),
+                     F.round(F.last_value("o_totalprice").over(w_full), 2)
+                      .alias("last_price"),
+                     F.round(F.nth_value("o_totalprice", 2).over(w_full), 2)
+                      .alias("second_price"))
+             .orderBy("o_custkey", "o_orderkey"))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with filters on every input, revenue
+    agg per order, top-10. customer is broadcast; lineitem (the fact)
+    shuffles once, on l_orderkey, for the agg."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("l_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("orderdate").asc(),
+                       F.col("l_orderkey").asc())
+              .limit(10))
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -798,6 +931,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_summary": q_chunk_summary,
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
+        "cube_agg": q_cube_agg,
+        "ntile_buckets": q_ntile_buckets,
+        "explode_tokens": q_explode_tokens,
+        "scalar_subquery": q_scalar_subquery,
+        "full_outer_join": q_full_outer_join,
+        "case_buckets": q_case_buckets,
+        "first_last_window": q_first_last_window,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -1455,5 +1596,103 @@ def oracle_sql() -> dict[str, str]:
                        END AS pred_lang
                 FROM scored
             ) GROUP BY pred_lang ORDER BY pred_lang
+        """,
+        "cube_agg": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY gid, status, priority
+        """,
+        "ntile_buckets": """
+            SELECT c_custkey, c_mktsegment,
+                   round(c_acctbal, 2) AS acctbal,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 4) AS pct_rank,
+                   round(cume_dist() OVER w, 4) AS cume
+            FROM customer
+            WHERE c_custkey <= 300
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_mktsegment, c_custkey
+        """,
+        "explode_tokens": r"""
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+            )
+            WHERE length(token) > 0
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
+        """,
+        "scalar_subquery": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand = 'Brand#4'
+              AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = part.p_partkey)
+        """,
+        "full_outer_join": """
+            WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+                        FROM customer GROUP BY c_nationkey),
+                 sn AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+                        FROM supplier GROUP BY s_nationkey)
+            SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(n_suppliers, 0) AS n_suppliers
+            FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+            ORDER BY nationkey
+        """,
+        "case_buckets": """
+            SELECT balance_bucket,
+                   count(*) AS n_customers,
+                   round(avg(c_acctbal), 2) AS avg_balance,
+                   count(DISTINCT c_mktsegment) AS n_segments
+            FROM (
+                SELECT c_acctbal, c_mktsegment,
+                       CASE WHEN c_acctbal < 0 THEN 'negative'
+                            WHEN c_acctbal < 3000 THEN 'low'
+                            WHEN c_acctbal < 7000 THEN 'mid'
+                            ELSE 'high' END AS balance_bucket
+                FROM customer
+            )
+            GROUP BY balance_bucket
+            ORDER BY balance_bucket
+        """,
+        "first_last_window": """
+            SELECT o_custkey, o_orderkey,
+                   round(first_value(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS first_price,
+                   round(last_value(o_totalprice) OVER w_full, 2) AS last_price,
+                   round(nth_value(o_totalprice, 2) OVER w_full, 2) AS second_price
+            FROM orders
+            WHERE o_custkey < 30
+            WINDOW w_full AS (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, orderdate
+            ORDER BY revenue DESC, orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
     }
