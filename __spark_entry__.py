@@ -862,6 +862,65 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
               .limit(10))
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint subtotals without the full cube) —
+    SQL surface; Catalyst plans one Expand + single shuffle."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               cast(grouping_id() AS bigint) AS gid,
+               count(*) AS n,
+               round(avg(l_discount), 4) AS avg_disc
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY gid, rf, ls
+    """)
+
+
+def q_regexp_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 regex: regexp_extract (leading word of p_type) + group count."""
+    p = _t(spark, sf_dir, "part")
+    return (p.select(F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+                     "p_retailprice")
+             .groupBy("type_head")
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+             .orderBy("type_head"))
+
+
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (not ROWS): per customer, how many of their
+    orders fall within $1000 below each order's price, and their sum.
+    Peers are included by VALUE, so the result is tie-order independent."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = (Window.partitionBy("o_custkey").orderBy("o_totalprice")
+               .rangeBetween(-1000, 0))
+    return (o.select("o_custkey", "o_orderkey",
+                     F.round("o_totalprice", 2).alias("price"),
+                     F.count(F.lit(1)).over(w).alias("n_in_band"),
+                     F.round(F.sum("o_totalprice").over(w), 2).alias("band_sum"))
+             .orderBy("o_custkey", "o_orderkey"))
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-pipeline cleaning query end-to-end: keep documents
+    that pass language ID, quality score, and token-length gates — the
+    composition a 100 TB corpus actually runs (all JVM-side scalar
+    expressions; filters evaluate in one scan, no UDFs). Thresholds cut
+    on ROUNDED values so float drift can't flip membership."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        T.token_count("text").alias("n_tokens"),
+                        F.round(T.quality_score("text"), 2).alias("quality"),
+                        T.lang_id("text").alias("pred_lang"))
+                .filter((F.col("quality") >= 0.5)
+                        & (F.col("pred_lang") == "en")
+                        & (F.col("n_tokens") >= 20))
+                .orderBy("doc_id")
+                .limit(100))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -939,6 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_buckets": q_case_buckets,
         "first_last_window": q_first_last_window,
         "shipping_priority": q_shipping_priority,
+        "grouping_sets": q_grouping_sets,
+        "regexp_extract_agg": q_regexp_extract_agg,
+        "range_frame_window": q_range_frame_window,
+        "corpus_filter": q_corpus_filter,
     }
 
 
@@ -1694,5 +1757,71 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, orderdate
             ORDER BY revenue DESC, orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        "grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+                   count(*) AS n,
+                   round(avg(l_discount), 4) AS avg_disc
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            ORDER BY gid, rf, ls
+        """,
+        "regexp_extract_agg": r"""
+            SELECT regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part
+            GROUP BY type_head
+            ORDER BY type_head
+        """,
+        "range_frame_window": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS price,
+                   count(*) OVER w AS n_in_band,
+                   round(sum(o_totalprice) OVER w, 2) AS band_sum
+            FROM orders
+            WHERE o_custkey < 30
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "corpus_filter": r"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), hits AS (
+                SELECT doc_id, text,
+                       len(list_filter(tk, w -> w IN ('the','and','of'))) AS h_en,
+                       len(list_filter(tk, w -> w IN ('el','los','las'))) AS h_es,
+                       len(list_filter(tk, w -> w IN ('le','les','et'))) AS h_fr,
+                       len(list_filter(tk, w -> w IN ('der','und','die'))) AS h_de
+                FROM toks
+            ), feats AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       round(0.4 * least(length(text) / 200.0, 1.0)
+                           + 0.3 * (CASE WHEN length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+'))
+                                              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+                           + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+                                                    / length(text), 1.0)), 2) AS quality,
+                       CASE
+                         WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                         WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                         WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                         WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                         WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                         WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                         ELSE 'de'
+                       END AS pred_lang
+                FROM hits
+            )
+            SELECT doc_id, n_tokens, quality, pred_lang
+            FROM feats
+            WHERE quality >= 0.5 AND pred_lang = 'en' AND n_tokens >= 20
+            ORDER BY doc_id
+            LIMIT 100
         """,
     }
