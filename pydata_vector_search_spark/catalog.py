@@ -17,7 +17,7 @@ import os
 import shutil
 from dataclasses import dataclass, field, asdict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 @dataclass
@@ -27,6 +27,7 @@ class TableInfo:
     key: str | None = None            # record key for upsert (reference: job_id)
     partition_by: list[str] = field(default_factory=list)
     num_buckets: int = 0              # >0: bucketed table (session catalog)
+    last_commit: int = 0              # monotonically increasing commit id (1 = bootstrap)
 
 
 class Catalog:
@@ -56,15 +57,25 @@ class Catalog:
         return info
 
     def write(self, name: str, df: DataFrame, key: str | None = None,
-              mode: str = "overwrite", partition_by: list[str] | None = None) -> TableInfo:
-        """Write a managed table (reference S3: mode('overwrite') write, c8:26)."""
+              mode: str = "overwrite", partition_by: list[str] | None = None,
+              reset_history: bool = True) -> TableInfo:
+        """Write a managed table (reference S3: mode('overwrite') write, c8:26).
+
+        A fresh write is commit 1 (the bootstrap load) and clears any
+        previous change log; maintenance rewrites (compaction) pass
+        ``reset_history=False`` to preserve commit history."""
         path = os.path.join(self.root, name)
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        prev = self._tables.get(name)
+        if reset_history:
+            shutil.rmtree(self._changes_root(name), ignore_errors=True)
+        last = 1 if reset_history or prev is None else prev.last_commit
         info = TableInfo(name=name, path=path, key=key,
-                         partition_by=list(partition_by or []))
+                         partition_by=list(partition_by or []),
+                         last_commit=last)
         self._tables[name] = info
         self._persist()
         return info
@@ -88,6 +99,56 @@ class Catalog:
         self._tables[name] = info
         self._persist()
         return info
+
+    # -- incremental / CDC (the reference stack's Hudi incremental pull) ----
+    def _changes_root(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}__changes")
+
+    def log_commit(self, name: str, batch: DataFrame) -> int:
+        """Append a change batch to the table's commit log.
+
+        The log is hive-partitioned by commit id (``commit=N/``), so an
+        incremental read of commits > N is a PARTITION-PRUNED scan — cost
+        proportional to the changed data, never to the table. Called by
+        ``upsert_table`` with the upsert batch; the snapshot itself holds
+        no history (it stays a plain COW parquet table)."""
+        info = self._tables[name]
+        commit = info.last_commit + 1
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self._changes_root(name), f"commit={commit}"))
+        info.last_commit = commit
+        self._persist()
+        return commit
+
+    def current_commit(self, name: str) -> int:
+        return self._tables[name].last_commit
+
+    def read_incremental(self, name: str, since_commit: int,
+                         latest_only: bool = True) -> DataFrame:
+        """Hudi-style incremental pull: rows changed AFTER ``since_commit``.
+
+        ``latest_only`` keeps one row per record key (the latest commit's
+        value) when the same key was upserted several times in the range —
+        the semantics a downstream incremental consumer wants. The returned
+        frame carries a ``commit`` column.
+
+        Commit 1 is the bootstrap load and lives only in the snapshot;
+        consumers start from ``since_commit >= 1``."""
+        info = self._tables[name]
+        if since_commit < 1:
+            raise ValueError(
+                "commit 1 is the bootstrap load: read it via load(), then "
+                "consume incrementally with since_commit >= 1")
+        croot = self._changes_root(name)
+        if since_commit >= info.last_commit or not os.path.isdir(croot):
+            empty = self.load(name).withColumn("commit", F.lit(0).cast("int"))
+            return empty.filter(F.lit(False))
+        df = self.spark.read.parquet(croot).filter(F.col("commit") > since_commit)
+        if latest_only and info.key:
+            w = Window.partitionBy(info.key).orderBy(F.col("commit").desc())
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+        return df
 
     # -- access ------------------------------------------------------------
     def load(self, name: str) -> DataFrame:
@@ -127,7 +188,8 @@ class Catalog:
             df = df.repartition(n)
         snapshot = df.localCheckpoint(eager=True)
         self.write(name, snapshot, key=info.key,
-                   partition_by=info.partition_by or None)
+                   partition_by=info.partition_by or None,
+                   reset_history=False)
 
     def drop(self, name: str, delete_files: bool = True) -> None:
         """Table drop (reference S7: shutil.rmtree(TABLE_PATH), c8:10-11)."""
@@ -135,6 +197,8 @@ class Catalog:
         self._persist()
         if info and delete_files and info.path.startswith(self.root):
             shutil.rmtree(info.path, ignore_errors=True)
+        if info and delete_files:
+            shutil.rmtree(self._changes_root(name), ignore_errors=True)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -45,6 +45,17 @@ class Engine:
     def upsert(self, table: str, new: DataFrame, key: str | None = None) -> None:
         upsert_op.upsert_table(self.catalog, table, new, key=key)
 
+    # -- incremental pull (the reference stack's Hudi incremental query) --
+    def read_incremental(self, table: str, since_commit: int,
+                         latest_only: bool = True) -> DataFrame:
+        """Rows changed after ``since_commit`` — partition-pruned commit-log
+        scan, cost ∝ changed data. See Catalog.read_incremental."""
+        return self.catalog.read_incremental(table, since_commit,
+                                             latest_only=latest_only)
+
+    def current_commit(self, table: str) -> int:
+        return self.catalog.current_commit(table)
+
     # -- SQL surface (reference: TVF + temp views, c11:2,5) ---------------
     def register_sql(self, *tables: str) -> list[str]:
         """Register engine SQL functions + named tables as temp views, so

@@ -61,8 +61,14 @@ def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> 
     if info.partition_by:
         touched = [tuple(r) for r in
                    new.select(*info.partition_by).distinct().collect()]
-        if not touched:           # empty batch: nothing to rewrite
+        if not touched:           # empty batch: nothing to rewrite, no commit
             return
+        # Append the batch to the commit log FIRST (while any inputs it
+        # derives from are still readable), enabling incremental pulls
+        # (catalog.read_incremental) — the Hudi incremental-query semantics
+        # of the reference stack. A failed rewrite leaves an orphan log
+        # commit; the snapshot stays consistent either way.
+        catalog.log_commit(name, new)
         pred = reduce(operator.or_, [
             reduce(operator.and_,
                    [F.col(c).eqNullSafe(F.lit(v))
@@ -76,8 +82,10 @@ def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> 
                .parquet(info.path))
         return
 
+    # Log the batch before the snapshot rewrite (see note above).
+    catalog.log_commit(name, new)
     merged = merge_last_write_wins(old, new, key)
     # Materialize before overwrite (can't overwrite a path while reading it).
     tmp = merged.localCheckpoint(eager=True) if merged.isStreaming is False else merged
     catalog.write(name, tmp, key=key, mode="overwrite",
-                  partition_by=info.partition_by or None)
+                  partition_by=info.partition_by or None, reset_history=False)
