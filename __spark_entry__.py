@@ -921,6 +921,36 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(100))
 
 
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental/CDC pull (the reference stack's Hudi incremental query):
+    bootstrap a keyed table, apply two deterministic upsert commits, then
+    read only what changed since the bootstrap — latest value per key,
+    served by a partition-pruned scan of the commit log (cost ∝ changed
+    data). The oracle reproduces the last-write-wins outcome in pure SQL."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    # The working set is ~5k rows however large `orders` is; coalesce so the
+    # bootstrap + two COW rewrites are a handful of tasks, not 32 tiny files
+    # each (same small-files rationale as Catalog.compact).
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000).coalesce(4)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_inc_"))
+    cat.write("t", o, key="o_orderkey")                       # commit 1
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") < 500)
+                 .withColumn("o_orderstatus", F.lit("X"))
+                 .withColumn("o_totalprice", F.lit(0.0)))     # commit 2
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") < 200)
+                 .withColumn("o_orderstatus", F.lit("Y"))
+                 .withColumn("o_totalprice", F.lit(1.0)))     # commit 3
+    inc = cat.read_incremental("t", since_commit=1)           # latest per key
+    return (inc.groupBy(F.col("commit").alias("commit_id"), "o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("commit_id", "o_orderstatus"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1002,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_extract_agg": q_regexp_extract_agg,
         "range_frame_window": q_range_frame_window,
         "corpus_filter": q_corpus_filter,
+        "incremental_read": q_incremental_read,
     }
 
 
@@ -1823,5 +1854,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality >= 0.5 AND pred_lang = 'en' AND n_tokens >= 20
             ORDER BY doc_id
             LIMIT 100
+        """,
+        "incremental_read": """
+            WITH changed AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey < 200 THEN 3 ELSE 2 END AS commit_id,
+                       CASE WHEN o_orderkey < 200 THEN 'Y' ELSE 'X' END AS o_orderstatus,
+                       CASE WHEN o_orderkey < 200 THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS o_totalprice
+                FROM orders WHERE o_orderkey < 500
+            )
+            SELECT commit_id, o_orderstatus,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM changed
+            GROUP BY commit_id, o_orderstatus
+            ORDER BY commit_id, o_orderstatus
         """,
     }
