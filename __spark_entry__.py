@@ -921,6 +921,23 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(100))
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 scale path: approx_count_distinct (HLL++) next to the exact
+    count. Sketch internals differ across engines, so the DECLARED result
+    carries the exact count plus a boolean that Spark's sketch landed
+    within 5% — the oracle asserts the same rows with the flag literally
+    true. At 100 TB the sketch is the difference between a fixed-size
+    partial aggregate and a shuffle of every distinct key."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("exact_customers"),
+                  F.approx_count_distinct("o_custkey", 0.02).alias("_approx"))
+             .select("o_orderstatus", "exact_customers",
+                     (F.abs(F.col("_approx") - F.col("exact_customers"))
+                      <= 0.05 * F.col("exact_customers")).alias("sketch_ok"))
+             .orderBy("o_orderstatus"))
+
+
 def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental/CDC pull (the reference stack's Hudi incremental query):
     bootstrap a keyed table, apply two deterministic upsert commits, then
@@ -1033,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_window": q_range_frame_window,
         "corpus_filter": q_corpus_filter,
         "incremental_read": q_incremental_read,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1869,5 +1887,13 @@ def oracle_sql() -> dict[str, str]:
             FROM changed
             GROUP BY commit_id, o_orderstatus
             ORDER BY commit_id, o_orderstatus
+        """,
+        "approx_distinct": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS exact_customers,
+                   TRUE AS sketch_ok
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
     }

@@ -56,6 +56,12 @@ class Engine:
     def current_commit(self, table: str) -> int:
         return self.catalog.current_commit(table)
 
+    def stream_changes(self, table: str) -> DataFrame:
+        """CDC tail-follow: a streaming DataFrame over the table's commit
+        log (exactly-once per change batch via the consumer's checkpoint)."""
+        from pydata_vector_search_spark.streaming import read_changes_stream
+        return read_changes_stream(self.spark, self.catalog, table)
+
     # -- SQL surface (reference: TVF + temp views, c11:2,5) ---------------
     def register_sql(self, *tables: str) -> list[str]:
         """Register engine SQL functions + named tables as temp views, so

@@ -144,6 +144,37 @@ def running_totals_stateful(events: DataFrame,
                                     GroupStateTimeout.NoTimeout))
 
 
+def read_changes_stream(spark: SparkSession, catalog, table: str) -> DataFrame:
+    """Streaming CDC tail-follow of a table's commit log (the streaming
+    SOURCE counterpart of ``stream_upsert_sink``).
+
+    Every upsert commit lands as new files under ``commit=N/`` in the
+    table's change log (catalog.log_commit); Spark's file stream source
+    lists only UNSEEN files per micro-batch and tracks them in the
+    checkpoint, so a downstream consumer sees each change batch exactly
+    once — across restarts — without the engine keeping any consumer
+    state. ``commit`` arrives as a real column (hive partition dir), so
+    per-commit grouping/filtering prunes files, not rows.
+
+    At scale this is the standard lakehouse CDC pattern: the log is
+    append-only, listing cost is proportional to new commits, and the
+    snapshot table never carries history columns.
+    """
+    from pyspark.sql.types import IntegerType
+
+    info = catalog.info(table)
+    root = catalog._changes_root(table)
+    import os as _os
+    if not _os.path.isdir(root):
+        raise ValueError(
+            f"table {info.name!r} has no change log yet (no upsert commits); "
+            "bootstrap consumers read the snapshot via catalog.load()")
+    schema = catalog.load(table).schema.add("commit", IntegerType())
+    return (spark.readStream.schema(schema)
+            .option("basePath", root)
+            .parquet(root))
+
+
 def stream_upsert_sink(stream_df: DataFrame, catalog, table: str, key: str,
                        checkpoint: str, order_by: str | None = None,
                        trigger_available_now: bool = True):

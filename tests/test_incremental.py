@@ -112,6 +112,41 @@ def test_engine_facade_incremental(spark, tmp_path):
     assert {(r.k, r.v) for r in eng.read_incremental("t", 1).collect()} == {(2, "b")}
 
 
+def test_stream_changes_exactly_once_across_restart(spark, cat, tmp_path):
+    """CDC tail-follow: an availableNow pass drains all existing commits;
+    after new commits land, a restart from the SAME checkpoint delivers
+    only the unseen files (file-source offset tracking = exactly-once)."""
+    from pydata_vector_search_spark.streaming import read_changes_stream
+
+    cat.write("t", _df(spark, [(1, "a")]), key="k")
+    upsert_table(cat, "t", _df(spark, [(2, "b")]))   # commit 2
+    upsert_table(cat, "t", _df(spark, [(2, "c")]))   # commit 3
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got = []
+        q = (read_changes_stream(spark, cat, "t")
+             .writeStream.foreachBatch(
+                 lambda b, _id: got.extend(
+                     (r.k, r.v, r.commit) for r in b.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return set(got)
+
+    assert drain() == {(2, "b", 2), (2, "c", 3)}
+
+    upsert_table(cat, "t", _df(spark, [(3, "d")]))   # commit 4
+    assert drain() == {(3, "d", 4)}                  # ONLY the new commit
+
+
+def test_stream_changes_requires_commits(spark, cat):
+    from pydata_vector_search_spark.streaming import read_changes_stream
+    cat.write("t", _df(spark, [(1, "a")]), key="k")
+    with pytest.raises(ValueError):
+        read_changes_stream(spark, cat, "t")
+
+
 def test_partitioned_upsert_logs_commits(spark, cat):
     df = spark.createDataFrame([(1, "p1", "a"), (2, "p2", "b")],
                                "k int, p string, v string")
