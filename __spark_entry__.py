@@ -785,14 +785,22 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan Catalyst's subquery decorrelation produces anyway and the only
     shape that scales (no per-row re-scan of lineitem)."""
     li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    per_part = (li.groupBy("l_partkey")
-                  .agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty")))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-              .join(per_part, "l_partkey")
-              .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-              .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
-                   F.count(F.lit(1)).alias("n_lines")))
+    pk = (_t(spark, sf_dir, "part")
+          .filter(F.col("p_brand") == "Brand#4").select("p_partkey"))
+    # Restrict the fact to the brand's parts BEFORE the per-part aggregate:
+    # the avg per partkey is unchanged (a part's rows are all kept or all
+    # dropped), but the aggregate's shuffle carries only the brand subset
+    # instead of every part — the difference between a tiny and a
+    # fact-sized exchange at 100 TB.
+    li_brand = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey)
+    per_part = (li_brand.groupBy("l_partkey")
+                        .agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty")))
+    # per_part is ≤ one row per brand part — broadcast it so the fact side
+    # never shuffles (the static planner can't see how small it is).
+    return (li_brand.join(F.broadcast(per_part), "l_partkey")
+                    .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+                    .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+                         F.count(F.lit(1)).alias("n_lines")))
 
 
 def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:

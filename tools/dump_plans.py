@@ -34,6 +34,17 @@ NOTES = {
         "num_hashes before any shuffle; the banded self-join reuses one "
         "exchange (ReusedExchange); exact Jaccard verification touches "
         "only co-bucketed candidate pairs."),
+    "shipping_priority": (
+        "TPC-H Q3 shape: both filtered dimensions broadcast "
+        "(BroadcastHashJoin); lineitem — the fact — is scanned once with "
+        "its date filter pushed down and shuffles exactly once, on the "
+        "aggregate key. TakeOrderedAndProject caps the result at k."),
+    "scalar_subquery": (
+        "TPC-H Q17 shape, written DECORRELATED: the per-part avg is one "
+        "hash aggregate over lineitem, joined back instead of a per-row "
+        "correlated re-scan; the brand dimension is broadcast. This is "
+        "the only shape that survives 100 TB — correlated execution would "
+        "rescan the fact once per outer row."),
 }
 
 
@@ -51,9 +62,11 @@ def main() -> None:
            " on local[32]. These are",
            "the plans the scale arguments in README.md claim; re-generate with",
            "`python tools/dump_plans.py`.", ""]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
     for name, note in NOTES.items():
         df = entry.queries()[name](spark, sf)
-        plan = df._jdf.queryExecution().explainString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
         head = plan.split("\n\n")[0]
         out += [f"## {name}", "", note, "", "```", head.strip(), "```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(
