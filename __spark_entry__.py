@@ -30,14 +30,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+_QVEC_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Deterministic query vector: the embedding of a fixed vec_id.
 
     Mirrors the reference's pattern of encoding one query text driver-side
-    and passing it as a literal/scalar-subquery (demo.ipynb c11:1-2,10)."""
-    row = (_t(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") == vec_id).select("embedding").head())
-    return [float(x) for x in row[0]]
+    and passing it as a literal/scalar-subquery (demo.ipynb c11:1-2,10).
+    Memoized per (sf_dir, vec_id): the fixtures are immutable, and every
+    vector query re-fetching the same single row costs a full ~0.4 s job."""
+    k = (sf_dir, vec_id)
+    if k not in _QVEC_CACHE:
+        row = (_t(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") == vec_id).select("embedding").head())
+        _QVEC_CACHE[k] = [float(x) for x in row[0]]
+    return _QVEC_CACHE[k]
 
 
 def _score(vec_col, qvec) -> F.Column:
