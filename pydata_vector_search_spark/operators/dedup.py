@@ -378,10 +378,22 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("__id",
                     F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
                      .cast("long").alias("__h")))
-    votes = toks.groupBy("__id").agg(*[
-        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-         .alias(f"__v{b}") for b in range(bits_n)])
-    bits = [F.when(F.col(f"__v{b}") > 0,
+    # Lane-packed bit votes: summing 60 separate ±1 columns compiles a
+    # 60-buffer hash aggregate (~8 s of whole-stage codegen cold, measured).
+    # Instead sum the RAW bit (0/1) of bits b, b+20, b+40 packed into three
+    # 16-bit lanes of one long → 20 aggregate buffers, same map-side
+    # partial-agg shuffle bound. vote_b > 0 ⇔ 2*ones_b > n_tokens. Lane
+    # bound: ones ≤ n ≤ 65535 distinct tokens per doc (docs are chunked
+    # far below this; lane sum peaks < 2^49, no overflow).
+    lanes, groups = 3, 20
+    packed = [F.sum(sum(
+        F.shiftleft(F.shiftright(F.col("__h"), b + groups * j)
+                     .bitwiseAND(F.lit(1)), 16 * j)
+        for j in range(lanes))).alias(f"__p{b}") for b in range(groups)]
+    votes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"), *packed)
+    ones = [F.shiftright(F.col(f"__p{b % groups}"), 16 * (b // groups))
+             .bitwiseAND(F.lit(0xFFFF)) for b in range(bits_n)]
+    bits = [F.when(ones[b] * 2 > F.col("__n"),
                    F.shiftleft(F.lit(1).cast("long"), b))
              .otherwise(F.lit(0).cast("long")) for b in range(bits_n)]
     sig = bits[0]

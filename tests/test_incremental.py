@@ -140,6 +140,30 @@ def test_stream_changes_exactly_once_across_restart(spark, cat, tmp_path):
     assert drain() == {(3, "d", 4)}                  # ONLY the new commit
 
 
+def test_replay_reconstructs_snapshot(spark, cat):
+    """The CDC invariant: bootstrap ⊕ replay(change log) == snapshot.
+    A consumer applying commits in order must converge to exactly the
+    table's current state — this is what makes the log a correct
+    replication/derived-view feed."""
+    import random
+    rng = random.Random(7)
+    boot = [(i, f"v{i}") for i in range(50)]
+    cat.write("t", _df(spark, boot), key="k")
+    state = dict(boot)
+    for c in range(4):
+        batch = [(rng.randrange(80), f"c{c}_{j}") for j in range(15)]
+        batch = list({k: (k, v) for k, v in batch}.values())  # unique keys/batch
+        upsert_table(cat, "t", _df(spark, batch))
+        state.update(batch)
+
+    replayed = dict(boot)
+    for r in (cat.read_incremental("t", 1, latest_only=False)
+                 .orderBy("commit").collect()):
+        replayed[r.k] = r.v
+    assert replayed == state
+    assert {(r.k, r.v) for r in cat.load("t").collect()} == set(state.items())
+
+
 def test_stream_changes_requires_commits(spark, cat):
     from pydata_vector_search_spark.streaming import read_changes_stream
     cat.write("t", _df(spark, [(1, "a")]), key="k")
