@@ -937,6 +937,18 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(100))
 
 
+def q_vector_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V3 metric coverage beyond cosine: exact L2 (Euclidean) top-10 —
+    same TakeOrderedAndProject shape, distance expression swapped
+    (the reference's TVF takes the metric as an argument, c11:10)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    hits = knn.vector_search(emb, "embedding", qv, k=10, metric="l2",
+                             round_to=2, tiebreaker="vec_id")
+    return hits.select("vec_id", "label",
+                       F.col("_distance").alias("l2_dist"))
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 scale path: approx_count_distinct (HLL++) next to the exact
     count. Sketch internals differ across engines, so the DECLARED result
@@ -1067,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "incremental_read": q_incremental_read,
         "approx_distinct": q_approx_distinct,
+        "vector_knn_l2": q_vector_knn_l2,
     }
 
 
@@ -1911,5 +1924,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "vector_knn_l2": f"""
+            SELECT e.vec_id, e.label,
+                   round(list_distance(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS l2_dist
+            FROM embeddings e
+            ORDER BY l2_dist ASC, e.vec_id ASC
+            LIMIT 10
         """,
     }
