@@ -28,6 +28,9 @@ class TableInfo:
     partition_by: list[str] = field(default_factory=list)
     num_buckets: int = 0              # >0: bucketed table (session catalog)
     last_commit: int = 0              # monotonically increasing commit id (1 = bootstrap)
+    format: str = "parquet"           # any Spark DataSource (csv/json/orc/text)
+    options: dict = field(default_factory=dict)   # reader options (csv header, …)
+    has_schema: bool = False          # an explicit schema was given at registration
 
 
 class Catalog:
@@ -39,6 +42,7 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
         self._meta_path = os.path.join(root, "_catalog.json")
         self._tables: dict[str, TableInfo] = {}
+        self._schemas: dict = {}      # session-scoped explicit schemas (not persisted)
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 for name, info in json.load(f).items():
@@ -49,9 +53,21 @@ class Catalog:
             json.dump({n: asdict(t) for n, t in self._tables.items()}, f, indent=2)
 
     # -- registration ------------------------------------------------------
-    def register_path(self, name: str, path: str, key: str | None = None) -> TableInfo:
-        """Attach an existing Parquet file/dir as a named table (external)."""
-        info = TableInfo(name=name, path=path, key=key)
+    def register_path(self, name: str, path: str, key: str | None = None,
+                      format: str = "parquet",
+                      schema=None, **options) -> TableInfo:
+        """Attach an existing file/dir as a named external table.
+
+        ``format`` may be any Spark DataSource (parquet/csv/json/orc/text).
+        Non-parquet sources are for INGEST convenience — at scale, land
+        them once into a managed parquet table (``write``) so reads get
+        columnar pruning + pushdown; csv/json scans re-parse text every
+        query and csv can't push predicates. A provided ``schema`` avoids
+        a full inference pass over the files."""
+        info = TableInfo(name=name, path=path, key=key, format=format,
+                         options=dict(options), has_schema=schema is not None)
+        if schema is not None:
+            self._schemas[name] = schema
         self._tables[name] = info
         self._persist()
         return info
@@ -158,7 +174,10 @@ class Catalog:
         info = self._tables[name]
         if info.num_buckets:
             return self.spark.table(name)
-        return self.spark.read.parquet(info.path)
+        reader = self.spark.read.options(**info.options)
+        if name in self._schemas:
+            reader = reader.schema(self._schemas[name])
+        return reader.format(info.format).load(info.path)
 
     def info(self, name: str) -> TableInfo:
         return self._tables[name]
