@@ -599,6 +599,41 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start", "event_type"))
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 stream-static join: the events STREAM enriched with the static
+    customer dimension (broadcast — each micro-batch hash-joins against
+    the dim without shuffling the stream), then watermarked tumbling
+    windows per market segment. The watermark is applied BEFORE the join
+    so emission tracks source timestamps, not join survivors; append mode
+    emits exactly the windows closed by the final watermark, which the
+    oracle reproduces in SQL."""
+    import uuid as _uuid
+
+    from pydata_vector_search_spark import streaming as S
+
+    ev = S.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    agg = (ev.withWatermark("ts", "1 day")
+             .join(F.broadcast(cust), "user_id")
+             .groupBy(F.window("ts", "1 day").alias("win"), "c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value")))
+    name = f"q_stream_enrich_{_uuid.uuid4().hex[:8]}"
+    q = (agg.select(F.unix_timestamp("win.start").cast("long").alias("win_start"),
+                    "c_mktsegment", "n_events", "sum_value")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}")
+            .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select("win_start", "c_mktsegment",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    "sum_value")
+            .orderBy("win_start", "c_mktsegment"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis / dedup (driver mandate; SURVEY §2.9)
 # --------------------------------------------------------------------------
@@ -1080,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read": q_incremental_read,
         "approx_distinct": q_approx_distinct,
         "vector_knn_l2": q_vector_knn_l2,
+        "stream_static_join": q_stream_static_join,
     }
 
 
@@ -1931,5 +1967,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             ORDER BY l2_dist ASC, e.vec_id ASC
             LIMIT 10
+        """,
+        "stream_static_join": """
+            WITH wm AS (
+                SELECT epoch_ms(max(ts)) - 86400000 AS w FROM events
+            )
+            SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS win_start,
+                   c_mktsegment,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            CROSS JOIN wm
+            GROUP BY win_start, c_mktsegment, wm.w
+            HAVING (win_start + 86400) * 1000 <= wm.w
+            ORDER BY win_start, c_mktsegment
         """,
     }
