@@ -599,6 +599,22 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start", "event_type"))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the mandate names: whitespace split and a
+    BPE-ish regex (letter runs / digits / symbols) — all JVM-side
+    expressions in one scan, plus the corpus-level totals a tokenizer
+    budget estimate needs."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select("doc_id",
+                          T.token_count("text").alias("ws_tokens"),
+                          T.token_count_bpe("text").alias("bpe_tokens"))
+    return (per_doc.groupBy()
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ws_tokens").alias("total_ws"),
+                 F.sum("bpe_tokens").alias("total_bpe"),
+                 F.round(F.avg("bpe_tokens"), 2).alias("avg_bpe")))
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 stream-static join: the events STREAM enriched with the static
     customer dimension (broadcast — each micro-batch hash-joins against
@@ -1116,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "vector_knn_l2": q_vector_knn_l2,
         "stream_static_join": q_stream_static_join,
+        "token_counts": q_token_counts,
     }
 
 
@@ -1982,5 +1999,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY win_start, c_mktsegment, wm.w
             HAVING (win_start + 86400) * 1000 <= wm.w
             ORDER BY win_start, c_mktsegment
+        """,
+        "token_counts": r"""
+            SELECT count(*) AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws,
+                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpe,
+                   round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 2) AS avg_bpe
+            FROM documents
         """,
     }

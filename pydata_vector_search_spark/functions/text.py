@@ -34,6 +34,20 @@ def token_count(text: Column | str) -> Column:
         F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pre-tokenizer, simplified to constructs Java regex and RE2
+# (DuckDB) evaluate identically: letter runs, single digits, single
+# non-alphanumeric symbols. Approximates BPE token counts (every BPE token
+# boundary is a subset of these splits) without a vocab file.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: matches of ``BPE_ISH_PATTERN`` (driver mandate:
+    'token counting (whitespace + a BPE-ish regex)'). JVM-side
+    regexp_extract_all — no UDF."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Document fingerprint = md5 of the normalized text (cross-engine
     stable; DuckDB md5() produces the same hex)."""

@@ -95,3 +95,33 @@ def test_lang_id_table_synthetic_langs(spark):
            for r in lang_id_table(df, "text", "doc_id").collect()}
     assert got == {1: "en", 2: "es", 3: "fr", 4: "de",
                    5: "und", 6: "zh", 7: "ru"}
+
+
+def test_token_count_bpe_matches_python_re(spark, sf_dir):
+    import re
+
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.functions.text import (BPE_ISH_PATTERN,
+                                                           token_count_bpe)
+
+    pat = re.compile(BPE_ISH_PATTERN)
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    rows = docs.select("doc_id", "text",
+                       token_count_bpe("text").alias("n")).collect()
+    assert rows
+    for r in rows:
+        assert r.n == len(pat.findall(r.text)), r.doc_id
+
+
+def test_token_count_bpe_edge_cases(spark):
+    from pydata_vector_search_spark.functions.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        [(1, "hello, world!"),        # 2 words + 2 symbols
+         (2, "abc123"),               # 1 letter-run + 3 single digits
+         (3, ""),                     # empty
+         (4, "  \t "),                # whitespace only
+         (5, "don't stop")],          # apostrophe splits
+        "i int, t string")
+    got = {r.i: r.n for r in df.select("i", token_count_bpe("t").alias("n")).collect()}
+    assert got == {1: 4, 2: 4, 3: 0, 4: 0, 5: 4}
