@@ -25,8 +25,44 @@ from pydata_vector_search_spark.operators.embedding import HashEncoder, embed_te
 
 SF0001 = "/root/testdata/sf0.001"
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable by executor Python workers
+    regardless of the driver process's cwd/PYTHONPATH.
+
+    The driver harness builds its OWN SparkSession and may run from any
+    directory; queries that ship Python (mapInPandas / applyInPandas)
+    would then fail unpickling with ModuleNotFoundError, because workers
+    inherit the JVM's env, not the driver's sys.path. ``addPyFile`` of a
+    package zip fixes it for any session, any cwd, local or cluster."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    import pydata_vector_search_spark as pkg
+    pkgdir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"pvss_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkgdir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(
+                            full, os.path.dirname(pkgdir)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return read_table(spark, sf_dir, name)
 
 
