@@ -1735,7 +1735,7 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END)
                                 OVER (PARTITION BY doc_id ORDER BY pos
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                                0) AS chunk_idx
+                                0)::BIGINT AS chunk_idx
                 FROM t
             )
             SELECT doc_id, chunk_idx, count(*) AS n_tokens,
@@ -1780,7 +1780,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT format, count(*) AS n_images,
                    round(avg(width), 2) AS avg_width,
                    round(avg(height), 2) AS avg_height,
-                   sum(n_bytes) AS total_bytes
+                   sum(n_bytes)::BIGINT AS total_bytes
             FROM meta
             GROUP BY format
             ORDER BY format
