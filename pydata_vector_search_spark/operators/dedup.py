@@ -484,17 +484,26 @@ def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
 
     _EMPTY = pd.DataFrame({"id_1": [], "id_2": [], "cos_sim": []})
 
-    def _local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _local_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # the group key, not role presence, decides the pairing mode: group
+        # gk covers block-pair (i, j) = (gk // B, gk % B). A sparse hash
+        # block leaves off-diagonal groups one-sided (block j empty → no
+        # role-'b' rows); such a group must emit NOTHING — falling back to
+        # intra-block pairing would re-emit block i's pairs once per empty
+        # partner block.
+        gk = key[0]
+        i, j = gk // B, gk % B
         a = pdf[pdf["__role"] == "a"]
         b = pdf[pdf["__role"] == "b"]
-        # a sparse block leaves one-sided groups: block i empty still
-        # receives role-b rows for every group (i, j)
-        if a.empty or (b.empty and len(a) < 2):
+        if i == j:
+            if len(a) < 2:
+                return _EMPTY
+        elif a.empty or b.empty:
             return _EMPTY
         ids_a = a["__id"].to_numpy()
         Va = np.stack(a["__v"].to_numpy()).astype(np.float64)
         Va /= np.linalg.norm(Va, axis=1, keepdims=True)
-        if len(b):                      # off-diagonal: full cross product
+        if i != j:                      # off-diagonal: full cross product
             ids_b = b["__id"].to_numpy()
             Vb = np.stack(b["__v"].to_numpy()).astype(np.float64)
             Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)
@@ -549,15 +558,23 @@ def cosine_threshold_pairs(df: DataFrame, vector_col: str, id_col: str,
 
     _EMPTY = pd.DataFrame({"id_1": [], "id_2": [], "cos_sim": []})
 
-    def _filter_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _filter_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # same key-driven mode selection as cosine_topk_pairs: an
+        # off-diagonal group with an empty 'b' side emits nothing (see
+        # _local_topk comment — intra-block fallback would duplicate pairs)
+        gk = key[0]
+        i, j = gk // B, gk % B
         a = pdf[pdf["__role"] == "a"]
         b = pdf[pdf["__role"] == "b"]
-        if a.empty or (b.empty and len(a) < 2):   # one-sided group
+        if i == j:
+            if len(a) < 2:
+                return _EMPTY
+        elif a.empty or b.empty:
             return _EMPTY
         ids_a = a["__id"].to_numpy()
         Va = np.stack(a["__v"].to_numpy()).astype(np.float64)
         Va /= np.linalg.norm(Va, axis=1, keepdims=True)
-        if len(b):
+        if i != j:
             ids_b = b["__id"].to_numpy()
             Vb = np.stack(b["__v"].to_numpy()).astype(np.float64)
             Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)

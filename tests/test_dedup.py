@@ -100,6 +100,39 @@ def test_cosine_topk_pairs_tiny_input(spark):
     assert {(r.id_1, r.id_2) for r in thr} == {(1, 2)}
 
 
+def test_cosine_pairs_sparse_block_no_duplicates(spark):
+    """Regression: rows concentrated in ONE hash block while the other
+    num_blocks-1 blocks are empty. Each off-diagonal group (i, j) then has
+    an empty 'b' side; the old code fell into the diagonal branch and
+    re-emitted block i's intra-block pairs once per empty partner block
+    (every pair appeared num_blocks times). Every pair must appear
+    exactly once."""
+    from pyspark.sql import functions as SF
+    B = 8
+    # discover ids that Spark's own xxhash64 sends to the same block
+    probe = spark.range(200).select(
+        SF.col("id").cast("int").alias("id"),
+        SF.pmod(SF.xxhash64(SF.col("id").cast("string")), SF.lit(B))
+          .cast("int").alias("blk"))
+    by_block = {}
+    for r in probe.collect():
+        by_block.setdefault(r.blk, []).append(r.id)
+    ids = next(v for v in by_block.values() if len(v) >= 3)[:3]
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]
+    df = spark.createDataFrame(list(zip(ids, vecs)),
+                               "vec_id int, embedding array<double>")
+
+    topk = dedup.cosine_topk_pairs(df, "embedding", "vec_id",
+                                   k=30, num_blocks=B).collect()
+    assert len(topk) == 3                       # C(3,2), no duplicates
+    assert len({(r.id_1, r.id_2) for r in topk}) == 3
+
+    thr = dedup.cosine_threshold_pairs(df, "embedding", "vec_id",
+                                       threshold=-1.0, num_blocks=B).collect()
+    pairs = [(r.id_1, r.id_2) for r in thr]
+    assert len(pairs) == 3 and len(set(pairs)) == 3
+
+
 def test_cosine_topk_pairs_single_row(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])],
                                "vec_id int, embedding array<double>")
