@@ -66,6 +66,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _await_stream(q, timeout_sec: int = 300) -> None:
+    """Block until the streaming query finishes; raise instead of reading a
+    half-populated memory sink (awaitTermination returns False on timeout —
+    ignoring it silently truncates results)."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} still running after {timeout_sec}s; "
+            "refusing to read a partially-filled sink")
+
+
 _QVEC_CACHE: dict[tuple[str, int], list[float]] = {}
 
 
@@ -627,7 +638,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("append")
             .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}")
             .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     return (spark.table(name)
             .select(F.unix_timestamp("win_start").cast("long").alias("win_start"),
                     "event_type", F.col("n_events").cast("long").alias("n_events"),
@@ -678,7 +689,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("append")
             .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}")
             .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_stream(q)
     return (spark.table(name)
             .select("win_start", "c_mktsegment",
                     F.col("n_events").cast("long").alias("n_events"),
@@ -2038,8 +2049,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": r"""
             SELECT count(*) AS n_docs,
-                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws,
-                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpe,
+                   sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS total_ws,
+                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT AS total_bpe,
                    round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 2) AS avg_bpe
             FROM documents
         """,

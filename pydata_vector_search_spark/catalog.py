@@ -79,8 +79,25 @@ class Catalog:
 
         A fresh write is commit 1 (the bootstrap load) and clears any
         previous change log; maintenance rewrites (compaction) pass
-        ``reset_history=False`` to preserve commit history."""
+        ``reset_history=False`` to preserve commit history.
+
+        Refuses to overwrite an EXTERNAL (registered path / non-parquet /
+        explicit-schema) or BUCKETED registration: rebuilding those as a
+        managed parquet table would silently change the table's path,
+        format, and bucket metadata out from under readers (upsert and
+        compact route through here, so they inherit the guard). Drop or
+        re-register the name first."""
         path = os.path.join(self.root, name)
+        prior = self._tables.get(name)
+        if prior is not None and (
+                prior.num_buckets or prior.format != "parquet"
+                or prior.options or prior.has_schema or prior.path != path):
+            kind = "bucketed" if prior.num_buckets else "external"
+            raise ValueError(
+                f"table {name!r} is a {kind} registration "
+                f"(format={prior.format!r}, path={prior.path!r}); "
+                "write/upsert/compact would silently convert it to a "
+                "managed parquet table — drop() it or register a new name")
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)

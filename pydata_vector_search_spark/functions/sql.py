@@ -43,7 +43,8 @@ _FUNCTIONS: dict[str, str] = {
         RETURN 1.0D - {_DOT} / ({_NORM_A} * {_NORM_B})""",
     "token_count": r"""
         (t STRING) RETURNS INT
-        RETURN size(split(trim(t), '\\s+'))""",
+        RETURN CASE WHEN length(trim(t)) = 0 THEN 0
+                    ELSE size(split(trim(t), '\\s+')) END""",
     "fingerprint_md5": r"""
         (t STRING) RETURNS STRING
         RETURN md5(trim(regexp_replace(lower(t), '\\s+', ' ')))""",

@@ -370,6 +370,11 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     would overflow DuckDB's BIGINT parse), so the whole pipeline —
     signatures, blocking, Hamming — is reproducible in SQL and the
     declared query is oracle-checked rather than rows-only."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk pigeonhole "
+            "guarantee (4 blocks of 15 bits recall all pairs only up to "
+            "hamming 3); raise the block count instead of the threshold")
     bits_n = 60
     toks = (_fan_out(df, id_col)
             .select(F.col(id_col).alias("__id"),

@@ -170,3 +170,9 @@ def test_jaccard_prefix_matches_count_based(docs):
          dedup.jaccard_similarity_join_prefix(docs, "text", "doc_id",
                                               threshold=0.5).collect()}
     assert a == b and a
+
+
+def test_simhash_rejects_unguaranteed_hamming(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=4)

@@ -60,3 +60,18 @@ def test_scalar_text_functions(spark):
                   """).head()
     assert r.n == 3
     assert r.same is True
+
+
+def test_sql_token_count_matches_dataframe_on_edge_cases(spark):
+    """SQL and DataFrame token_count agree, including the empty string
+    (SQL split('') yields [''] — the CASE guard pins it to 0)."""
+    from pydata_vector_search_spark.functions.text import token_count
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "two words"), (5, "  padded  ")],
+        "id int, t string")
+    df.createOrReplaceTempView("tc_edge")
+    sql = {r.id: r.n for r in spark.sql(
+        "SELECT id, token_count(t) AS n FROM tc_edge").collect()}
+    dfv = {r.id: r.n for r in df.select(
+        "id", token_count("t").alias("n")).collect()}
+    assert sql == dfv == {1: 0, 2: 0, 3: 1, 4: 2, 5: 1}

@@ -121,3 +121,22 @@ def test_stream_upsert_sink_last_write_wins(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt2"))
     q2.awaitTermination(120)
     assert cat.load("user_latest").count() == n_first
+
+
+def test_await_stream_raises_on_timeout():
+    """The memory-sink readback must never race a still-running query."""
+    import pytest as _pytest
+    from __spark_entry__ import _await_stream
+
+    class _Stuck:
+        name = "stuck"
+        stopped = False
+        def awaitTermination(self, timeout):
+            return False
+        def stop(self):
+            self.stopped = True
+
+    q = _Stuck()
+    with _pytest.raises(TimeoutError, match="partially-filled"):
+        _await_stream(q, timeout_sec=1)
+    assert q.stopped

@@ -95,3 +95,30 @@ def test_partition_scoped_upsert_empty_batch_is_noop(spark, tmp_path):
     n = cat.load("ev_part").count()
     upsert_table(cat, "ev_part", ev.limit(0))
     assert cat.load("ev_part").count() == n
+
+
+def test_write_refuses_external_and_bucketed_conversion(spark, tmp_path):
+    """write/upsert/compact must not silently convert an external or
+    bucketed registration into a managed parquet table."""
+    import pytest as _pytest
+    from pydata_vector_search_spark.catalog import Catalog
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+
+    csv_dir = str(tmp_path / "ext.csv")
+    df.write.mode("overwrite").option("header", True).csv(csv_dir)
+    cat.register_path("ext", csv_dir, format="csv", header=True)
+    with _pytest.raises(ValueError, match="external"):
+        cat.write("ext", df)
+    assert cat.info("ext").format == "csv"          # registration untouched
+
+    cat.write_bucketed("bkt", df, key="id", num_buckets=4)
+    with _pytest.raises(ValueError, match="bucketed"):
+        cat.write("bkt", df)
+    with _pytest.raises(ValueError, match="bucketed"):
+        cat.compact("bkt")
+    assert cat.info("bkt").num_buckets == 4
+
+    # managed tables still overwrite fine
+    cat.write("managed", df)
+    cat.write("managed", df)
