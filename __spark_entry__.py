@@ -96,9 +96,10 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
 
 
 def _score(vec_col, qvec) -> F.Column:
-    from pydata_vector_search_spark.functions.vector import query_vector_lit
-    q = query_vector_lit(qvec)
-    return F.round(cosine_similarity(F.col(vec_col), q), 2)
+    # unrolled codegen-path cosine (~20× the HOF scan; functions/vector.py)
+    from pydata_vector_search_spark.functions.vector import cosine_similarity_lit
+    return F.round(cosine_similarity_lit(F.col(vec_col),
+                                         [float(v) for v in qvec]), 2)
 
 
 _ORACLE_Q = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
@@ -187,7 +188,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select(F.col("vec_id").alias("left_id"), "embedding")
     corpus = emb.select(F.col("vec_id").alias("right_id"), "embedding")
     return (knn.knn_join(queries_df, corpus, "embedding", k=3,
-                         round_to=6)
+                         round_to=6, dim=len(_query_vec(spark, sf_dir)))
                .select("left_id", "right_id",
                        F.col("_distance").alias("dist"))
                .orderBy("left_id", "right_id"))

@@ -2,22 +2,33 @@
 
 The reference gets cosine distance from the Lance index inside the
 `hudi_vector_search` TVF, emitting a `_distance` pseudo-column with
-score = 1 - _distance (demo.ipynb c11:8,10, raw L724-728). Here the metric is
-a first-class Catalyst expression over plain `array<float>` columns —
-`zip_with` + `aggregate` — which means:
+score = 1 - _distance (demo.ipynb c11:8,10, raw L724-728). Here the metric
+is a first-class Catalyst expression over plain `array<float>` columns, in
+two spellings (equal after in-query rounding, like the DuckDB oracle):
 
-* it runs JVM-side inside whole-stage codegen (no Python, no JNI);
-* Catalyst can push filters *below* it (the pre-filter hybrid search the
-  reference explicitly lacks, demo.ipynb c13:1-4);
-* accumulation is an explicit left-to-right fold **in double**, so results
-  are deterministic and match a DuckDB oracle after rounding.
+* **Unrolled scalar form** (``*_lit`` / ``*_dim``) — the hot path. When the
+  query vector is a literal, or the dimension is known, the dot/norm folds
+  expand to a left-deep tree of ``GetArrayItem``/multiply/add scalar
+  expressions that run INSIDE whole-stage codegen. The higher-order-function
+  form does not: Spark evaluates ``zip_with``/``aggregate`` lambdas
+  interpreted, a measured ~4-30× penalty on scan-bound operators (same
+  pitfall engineered out of minhash/simhash — see operators/dedup.py).
+* **HOF form** (``dot_product``/``l2_distance``/...) — dimension-agnostic
+  semantic reference, kept for column-vs-column use where the dimension is
+  unknown. Explicit left-to-right double-precision fold; agrees with the
+  unrolled form (and the DuckDB oracle) after in-query rounding.
 
-At 100 TB these expressions scan embarrassingly parallel over partitions —
-no shuffle, no driver involvement; the only cost is bytes read, which column
-pruning keeps proportional to the embedding column itself.
+Catalyst pushes filters *below* either form (the pre-filter hybrid search
+the reference explicitly lacks, demo.ipynb c13:1-4). At 100 TB these
+expressions scan embarrassingly parallel over partitions — no shuffle, no
+driver involvement; the only cost is bytes read, which column pruning keeps
+proportional to the embedding column itself.
 """
 
 from __future__ import annotations
+
+import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, functions as F
 
@@ -66,6 +77,156 @@ def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
         return _METRICS[metric](a, b)
     except KeyError:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+
+
+# --------------------------------------------------------------------------
+# unrolled (codegen-path) forms
+# --------------------------------------------------------------------------
+# Mathematically identical to the HOF folds above; last-ulp bits may differ
+# (different association order), which every declared query already absorbs
+# by rounding in-query — the same tolerance that makes the DuckDB oracle
+# comparable at all. Two codegen facts drive the term shapes below, both
+# measured at 1M rows × 64 dims on this container:
+#
+# 1. BALANCED add tree, not a left-deep chain. A 64-deep nested Add
+#    generates one serial dependency chain in a single expression; pairwise
+#    reduction halves the depth to 6 and lets the JIT pipeline the adds
+#    (left-deep cosine 5.7s → balanced 0.5s).
+# 2. Every GetArrayItem must appear in SOME repeated subexpression.
+#    Codegen's subexpression elimination promotes repeated subtrees to
+#    statement-level locals, which the method splitter can then cut into
+#    JIT-compilable pieces; 64 single-use getItems inline into one huge
+#    method that HotSpot refuses to compile (plain dot 9.5s, l2-via-pow
+#    11.7s → with a repeated term 0.4-0.5s). cosine and norm repeat
+#    elements naturally (a[i] in dot and norm; a[i]*a[i]); standalone dot
+#    uses (m+m)/2 — exact for every double below max/2, inf/NaN/-0.0
+#    preserving — and l2 spells (d*d), not pow(d,2), so d repeats.
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def _balanced_sum(terms: list[Column]) -> Column:
+    while len(terms) > 1:
+        terms = [terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    return terms[0]
+
+
+def _elem(a: Column, i: int) -> Column:
+    return a.getItem(i).cast("double")
+
+
+def dot_product_lit(a: Column | str, q: Sequence[float]) -> Column:
+    """Dot product against a LITERAL query vector, unrolled to scalar
+    multiply/add codegen expressions (the exact-KNN scan hot path)."""
+    a = _c(a)
+
+    def term(i: int) -> Column:
+        m = _elem(a, i) * float(q[i])
+        return (m + m) / 2.0            # repeated subtree → CSE (see header)
+
+    return _balanced_sum([term(i) for i in range(len(q))])
+
+
+def _dot_terms(a: Column, q: Sequence[float]) -> Column:
+    # un-baited dot for composition with a norm over the same elements —
+    # the norm's a[i]*a[i] already repeats every getItem
+    return _balanced_sum([_elem(a, i) * float(q[i]) for i in range(len(q))])
+
+
+def l2_norm_dim(a: Column | str, dim: int) -> Column:
+    a = _c(a)
+    return F.sqrt(_balanced_sum([_elem(a, i) * _elem(a, i)
+                                 for i in range(dim)]))
+
+
+def _py_norm(q: Sequence[float]) -> float:
+    acc = 0.0
+    for v in q:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def cosine_similarity_lit(a: Column | str, q: Sequence[float]) -> Column:
+    a = _c(a)
+    return _dot_terms(a, q) / (l2_norm_dim(a, len(q)) * _py_norm(q))
+
+
+def cosine_distance_lit(a: Column | str, q: Sequence[float]) -> Column:
+    return F.lit(1.0) - cosine_similarity_lit(a, q)
+
+
+def l2_distance_lit(a: Column | str, q: Sequence[float]) -> Column:
+    a = _c(a)
+
+    def term(i: int) -> Column:
+        d = _elem(a, i) - float(q[i])
+        return d * d                    # d repeats → CSE; pow(d,2) doesn't
+
+    return F.sqrt(_balanced_sum([term(i) for i in range(len(q))]))
+
+
+_METRICS_LIT = {
+    "cosine": cosine_distance_lit,
+    "l2": l2_distance_lit,
+    "dot": lambda a, q: -dot_product_lit(a, q),
+}
+
+
+def distance_expr_lit(metric: str, a: Column | str,
+                      q: Sequence[float]) -> Column:
+    """Codegen-path distance against a literal query vector."""
+    try:
+        return _METRICS_LIT[metric](a, q)
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS_LIT)}")
+
+
+def dot_product_dim(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Column-vs-column dot product unrolled for a KNOWN dimension (batch
+    KNN joins score corpus×query pairs per row — the HOF form would pay
+    the interpreter on every pair)."""
+    a, b = _c(a), _c(b)
+
+    def term(i: int) -> Column:
+        m = _elem(a, i) * _elem(b, i)
+        return (m + m) / 2.0
+
+    return _balanced_sum([term(i) for i in range(dim)])
+
+
+def cosine_similarity_dim(a: Column | str, b: Column | str,
+                          dim: int) -> Column:
+    a, b = _c(a), _c(b)
+    dot = _balanced_sum([_elem(a, i) * _elem(b, i) for i in range(dim)])
+    return dot / (l2_norm_dim(a, dim) * l2_norm_dim(b, dim))
+
+
+def l2_distance_dim(a: Column | str, b: Column | str, dim: int) -> Column:
+    a, b = _c(a), _c(b)
+
+    def term(i: int) -> Column:
+        d = _elem(a, i) - _elem(b, i)
+        return d * d
+
+    return F.sqrt(_balanced_sum([term(i) for i in range(dim)]))
+
+
+_METRICS_DIM = {
+    "cosine": lambda a, b, d: F.lit(1.0) - cosine_similarity_dim(a, b, d),
+    "l2": l2_distance_dim,
+    "dot": lambda a, b, d: -dot_product_dim(a, b, d),
+}
+
+
+def distance_expr_dim(metric: str, a: Column | str, b: Column | str,
+                      dim: int) -> Column:
+    """Codegen-path column-vs-column distance for a known dimension."""
+    try:
+        return _METRICS_DIM[metric](a, b, dim)
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS_DIM)}")
 
 
 def query_vector_lit(vec) -> Column:

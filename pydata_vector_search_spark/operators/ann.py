@@ -202,7 +202,7 @@ def ivf_search(spark: SparkSession, index: IVFIndex,
 
     data = spark.read.parquet(os.path.join(index.path, "data")) \
                 .filter(F.col(_CID).isin(probe))
-    return vector_search(data, index.vector_col, query_vector_lit(q), k=k,
+    return vector_search(data, index.vector_col, [float(v) for v in q], k=k,
                          metric=index.metric, filter=filter,
                          distance_col=distance_col, tiebreaker=tiebreaker,
                          round_to=round_to).drop(_CID)

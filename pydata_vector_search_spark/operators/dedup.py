@@ -621,11 +621,12 @@ def hyperplane_lsh_neardup(df: DataFrame, vector_col: str, id_col: str,
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
 
-    from pydata_vector_search_spark.functions.vector import dot_product, query_vector_lit
+    from pydata_vector_search_spark.functions.vector import (
+        cosine_similarity_dim, dot_product_lit)
     sig = None
     for i in range(num_planes):
-        bit = F.when(dot_product(F.col(vector_col),
-                                 query_vector_lit(planes[i])) > 0,
+        bit = F.when(dot_product_lit(F.col(vector_col),
+                                     [float(v) for v in planes[i]]) > 0,
                      F.shiftleft(F.lit(1).cast("long"), i)) \
                .otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
@@ -636,6 +637,7 @@ def hyperplane_lsh_neardup(df: DataFrame, vector_col: str, id_col: str,
                                  & (F.col("a.__id") < F.col("b.__id")))
              .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"),
                      F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb")))
-    return (cand.withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+    return (cand.withColumn("cos_sim", cosine_similarity_dim(
+                    F.col("__va"), F.col("__vb"), dim))
                 .filter(F.col("cos_sim") >= threshold)
                 .select("id_1", "id_2", "cos_sim"))

@@ -25,7 +25,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from pydata_vector_search_spark.functions.vector import distance_expr, query_vector_lit
+from pydata_vector_search_spark.functions.vector import (
+    distance_expr,
+    distance_expr_dim,
+    distance_expr_lit,
+)
 
 
 def vector_search(df: DataFrame,
@@ -45,10 +49,16 @@ def vector_search(df: DataFrame,
     deterministic under rounded ties — both required for cross-engine
     hash-matching (SURVEY.md §2.6 ⚠).
     """
-    q = query_vec if isinstance(query_vec, Column) else query_vector_lit(query_vec)
     if filter is not None:
         df = df.filter(filter)  # pre-filter: Catalyst pushes this into the scan
-    dist = distance_expr(metric, F.col(vector_col), q)
+    if isinstance(query_vec, Column):
+        # dimension unknown at plan time → HOF (interpreted) reference form
+        dist = distance_expr(metric, F.col(vector_col), query_vec)
+    else:
+        # literal query vector → unrolled scalar expressions, whole-stage
+        # codegen end-to-end (~20× the HOF scan; see functions/vector)
+        dist = distance_expr_lit(metric, F.col(vector_col),
+                                 [float(v) for v in query_vec])
     if round_to is not None:
         dist = F.round(dist, round_to)
     out = df.withColumn(distance_col, dist)
@@ -86,22 +96,28 @@ def knn_join(left: DataFrame, right: DataFrame, vector_col: str,
              k: int, metric: str = "cosine",
              left_id: str = "left_id", right_id: str = "right_id",
              distance_col: str = "_distance",
-             round_to: int | None = None) -> DataFrame:
+             round_to: int | None = None,
+             dim: int | None = None) -> DataFrame:
     """For every left row, its k nearest right rows (brute-force block
     nested-loop + per-left-key top-k via window).
 
     Scale path: broadcast the smaller side (query batch), keep the corpus
     partitioned — Spark plans BroadcastNestedLoopJoin; each executor scores
     its corpus slice against the in-memory query block, and the window
-    row_number ≤ k is a partial top-k per query. For huge query sets use the
-    IVF index (operators/ann.py) instead.
+    row_number ≤ k is a partial top-k per query. Pass ``dim`` to unroll the
+    distance into codegen scalar expressions (the |Q|·|corpus| pair scoring
+    is exactly where the interpreted-HOF tax multiplies). For huge query
+    sets use the IVF probe join (operators/ann.ivf_knn_join) instead.
     """
     from pyspark.sql import Window
 
     lv, rv = f"__lvec", f"__rvec"
     l = left.select(F.col(left_id), F.col(vector_col).alias(lv))
     r = right.select(F.col(right_id), F.col(vector_col).alias(rv))
-    dist = distance_expr(metric, F.col(lv), F.col(rv))
+    if dim is not None:
+        dist = distance_expr_dim(metric, F.col(lv), F.col(rv), dim)
+    else:
+        dist = distance_expr(metric, F.col(lv), F.col(rv))
     if round_to is not None:    # round BEFORE the rank for cross-engine ties
         dist = F.round(dist, round_to)
     joined = F.broadcast(l).crossJoin(r).withColumn(distance_col, dist)

@@ -70,3 +70,55 @@ def test_embed_text_mllib_tfidf(spark, sf_dir):
     hits = knn.vector_search(emb, "embedding", qv, k=3,
                              tiebreaker="doc_id").collect()
     assert len(hits) == 3 and hits[0]._distance < 1e-6
+
+
+def test_unrolled_forms_agree_with_hof(spark, sf_dir):
+    """The codegen-path (unrolled) distance forms agree with the HOF
+    reference fold to float tolerance on real fixture vectors, for every
+    metric, in both literal-query and column-column spellings."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.functions import vector as V
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    q = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+    dim = len(q)
+    ql = V.query_vector_lit(q)
+
+    rows = emb.select(
+        "vec_id",
+        V.cosine_distance("embedding", ql).alias("cos_hof"),
+        V.cosine_distance_lit("embedding", q).alias("cos_lit"),
+        V.l2_distance("embedding", ql).alias("l2_hof"),
+        V.l2_distance_lit("embedding", q).alias("l2_lit"),
+        V.dot_product("embedding", ql).alias("dot_hof"),
+        V.dot_product_lit("embedding", q).alias("dot_lit"),
+        V.cosine_similarity("embedding", F.col("embedding")).alias("css_hof"),
+        V.cosine_similarity_dim("embedding", F.col("embedding"), dim).alias("css_dim"),
+        V.l2_distance("embedding", F.col("embedding")).alias("l2c_hof"),
+        V.l2_distance_dim("embedding", F.col("embedding"), dim).alias("l2c_dim"),
+        V.dot_product("embedding", F.col("embedding")).alias("dpc_hof"),
+        V.dot_product_dim("embedding", F.col("embedding"), dim).alias("dpc_dim"),
+    ).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert math.isclose(r.cos_hof, r.cos_lit, rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r.l2_hof, r.l2_lit, rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r.dot_hof, r.dot_lit, rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r.css_hof, r.css_dim, rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r.l2c_hof, r.l2c_dim, rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r.dpc_hof, r.dpc_dim, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_distance_expr_lit_unknown_metric(spark):
+    import pytest as _pytest
+
+    from pydata_vector_search_spark.functions.vector import (
+        distance_expr_dim, distance_expr_lit)
+    with _pytest.raises(ValueError, match="unknown metric"):
+        distance_expr_lit("chebyshev", "v", [1.0])
+    with _pytest.raises(ValueError, match="unknown metric"):
+        distance_expr_dim("chebyshev", "a", "b", 4)
