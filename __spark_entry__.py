@@ -222,6 +222,26 @@ def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "label", "score"))
 
 
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe batch KNN: every query row top-k'd through the IVF index —
+    centroid shortlist (broadcast) → EQUI-join on centroid id → unrolled
+    distance → per-query window top-k. Candidates are bounded by
+    |Q|·nprobe/num_centroids·|corpus|, never the |Q|·|corpus| cross
+    product knn_join pays. Probed at nprobe=all so the result equals the
+    exact brute-force join and the DuckDB oracle applies end-to-end;
+    small-nprobe recall is asserted in tests/test_ann.py."""
+    idx = _ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+                    .select(F.col("vec_id").alias("left_id"), "embedding")
+    return (ann.ivf_knn_join(spark, idx, queries_df, k=3, nprobe=8,
+                             left_id="left_id", right_id="vec_id",
+                             query_vector_col="embedding", round_to=6)
+               .select("left_id", F.col("vec_id").alias("right_id"),
+                       F.col("_distance").alias("dist"))
+               .orderBy("left_id", "right_id"))
+
+
 # --------------------------------------------------------------------------
 # Relational surface (SURVEY §2.3-2.7: P F J A T C)
 # --------------------------------------------------------------------------
@@ -1122,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_postfilter": q_hybrid_postfilter,
         "ann_ivf_knn": q_ann_ivf_knn,
         "knn_join": q_knn_join,
+        "knn_join_ivf": q_knn_join_ivf,
         "agg_pricing_summary": q_agg_pricing_summary,
         "group_topk": q_group_topk,
         "filter_like_project": q_filter_like_project,
@@ -1338,6 +1359,21 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 5
         """,
         "knn_join": """
+            SELECT left_id, right_id, dist FROM (
+                SELECT q.vec_id AS left_id, e.vec_id AS right_id,
+                       round(1 - list_cosine_similarity(
+                           q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dist,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(
+                               q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) ASC,
+                                    e.vec_id ASC) AS rn
+                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+                CROSS JOIN embeddings e
+            ) WHERE rn <= 3
+            ORDER BY left_id, right_id
+        """,
+        "knn_join_ivf": """
             SELECT left_id, right_id, dist FROM (
                 SELECT q.vec_id AS left_id, e.vec_id AS right_id,
                        round(1 - list_cosine_similarity(

@@ -206,3 +206,64 @@ def ivf_search(spark: SparkSession, index: IVFIndex,
                          metric=index.metric, filter=filter,
                          distance_col=distance_col, tiebreaker=tiebreaker,
                          round_to=round_to).drop(_CID)
+
+
+def ivf_knn_join(spark: SparkSession, index: IVFIndex, queries: DataFrame,
+                 k: int = 10, nprobe: int = 8,
+                 left_id: str = "left_id", right_id: str = "right_id",
+                 query_vector_col: str | None = None,
+                 distance_col: str = "_distance",
+                 round_to: int | None = None) -> DataFrame:
+    """Batch KNN through the IVF index: every query row gets its top-k
+    corpus neighbors, scored only inside each query's ``nprobe`` nearest
+    centroid partitions.
+
+    This is the scale path the brute-force ``knn_join`` (O(|Q|·|corpus|)
+    BroadcastNestedLoopJoin) cannot be: the corpus join is an EQUI-join on
+    the centroid id, so per-query work is |corpus|·nprobe/num_centroids
+    candidates, and the corpus is never replicated per query. Plan shape:
+
+      queries ⨯ centroids (broadcast, num_centroids×dim — tiny)
+        → window top-nprobe centroid per query  [shuffle: |Q|·C rows]
+        → equi-join candidates on __cid          [shuffle: bounded by
+             |Q|·nprobe + corpus, never |Q|·|corpus|]
+        → unrolled-codegen distance → window top-k per query.
+
+    ``nprobe = num_centroids`` probes everything, making the result EXACT
+    (equal to brute-force knn_join) — the declared-query/oracle mode;
+    recall at small nprobe is asserted against it in tests. The reference's
+    batch shape is the k=3000 over-fetch (demo.ipynb c13:9)."""
+    from pyspark.sql import Window
+
+    from pydata_vector_search_spark.functions.vector import distance_expr_dim
+
+    num_centroids, dim = index.centroids.shape
+    nprobe = min(nprobe, num_centroids)
+    qv = query_vector_col or index.vector_col
+
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        f"{_CID} int, __cent array<double>")
+    qs = queries.select(F.col(left_id), F.col(qv).alias("__qv"))
+    cdist = distance_expr_dim(index.metric, F.col("__qv"), F.col("__cent"), dim)
+    wq = Window.partitionBy(left_id).orderBy(F.col("__cdist").asc(),
+                                             F.col(_CID).asc())
+    probes = (qs.join(F.broadcast(cents))      # |Q| × num_centroids
+                .withColumn("__cdist", cdist)
+                .withColumn("__pr", F.row_number().over(wq))
+                .filter(F.col("__pr") <= nprobe)
+                .select(left_id, _CID, "__qv"))
+
+    data = (spark.read.parquet(index.data_path)
+                 .select(F.col(_CID),
+                         F.col(right_id),
+                         F.col(index.vector_col).alias("__cv")))
+    dist = distance_expr_dim(index.metric, F.col("__qv"), F.col("__cv"), dim)
+    if round_to is not None:    # round BEFORE the rank for cross-engine ties
+        dist = F.round(dist, round_to)
+    cand = probes.join(data, _CID).withColumn(distance_col, dist)
+    wk = Window.partitionBy(left_id).orderBy(F.col(distance_col).asc(),
+                                             F.col(right_id).asc())
+    return (cand.withColumn("__rn", F.row_number().over(wk))
+                .filter(F.col("__rn") <= k)
+                .select(left_id, right_id, distance_col))

@@ -89,3 +89,48 @@ def test_train_centroids_mllib_backend(spark, sf_dir):
     # centroids are means of unit vectors: norms in (0, 1]
     norms = np.linalg.norm(C, axis=1)
     assert (norms > 0).all() and (norms <= 1.0 + 1e-9).all()
+
+
+def test_ivf_knn_join_full_probe_equals_brute_force(spark, sf_dir, index):
+    """nprobe = all centroids ⇒ ivf_knn_join == brute-force knn_join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("left_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    brute = {(r.left_id, r.right_id): r._distance for r in knn.knn_join(
+        queries, corpus, "embedding", k=4, round_to=6, dim=64).collect()}
+    ivf = {(r.left_id, r.vec_id): r._distance for r in ann.ivf_knn_join(
+        spark, index, queries, k=4, nprobe=8, right_id="vec_id",
+        query_vector_col="embedding", round_to=6).collect()}
+    assert ivf == brute and len(ivf) == 20
+
+
+def test_ivf_knn_join_recall_small_nprobe(spark, sf_dir, index):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("left_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    exact = {(r.left_id, r.right_id) for r in knn.knn_join(
+        queries, corpus, "embedding", k=5, round_to=6, dim=64).collect()}
+    got = {(r.left_id, r.vec_id) for r in ann.ivf_knn_join(
+        spark, index, queries, k=5, nprobe=3, right_id="vec_id",
+        query_vector_col="embedding", round_to=6).collect()}
+    assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_ivf_knn_join_plans_equi_join_not_cross(spark, sf_dir, index):
+    """The corpus side must arrive via an equi-join on the centroid id —
+    never a nested-loop cross product."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3) \
+                 .select(F.col("vec_id").alias("left_id"), "embedding")
+    df = ann.ivf_knn_join(spark, index, queries, k=2, nprobe=2,
+                          right_id="vec_id", query_vector_col="embedding")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus arrives through a hash EQUI-join keyed on the centroid id
+    assert "BroadcastHashJoin [__cid" in plan or "SortMergeJoin [__cid" in plan
+    # nested-loop joins appear only for the query×centroid shortlist (the
+    # centroid ExistingRDD build side), never against the corpus file scan
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        build = seg.split("BroadcastExchange", 1)[-1][:300]
+        assert "__cent" in build
