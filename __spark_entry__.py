@@ -179,6 +179,26 @@ def q_vector_knn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_vector_knn_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 TVF parity: the reference's table-valued spelling
+    ``hudi_vector_search(path, col, (SELECT ...), k, 'cosine')``
+    (demo.ipynb c11:7-13) via the engine's SQL rewrite — the TVF call is
+    replaced pre-parse by the exact DataFrame plan (pruned scan →
+    TakeOrderedAndProject), so SQL users get the identical physical plan
+    (asserted in tests/test_sql_surface.py). Extended args (tiebreaker,
+    round_to) make the top-k cut deterministic for the oracle."""
+    from pydata_vector_search_spark.functions.sql import sql_with_tvf
+    register_sf_dir(spark, sf_dir, tables=("embeddings",))
+    _ship_package(spark)
+    return sql_with_tvf(spark, """
+        SELECT vec_id, label, round(1 - _distance, 2) AS score
+        FROM vector_search('embeddings', 'embedding',
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0),
+                           10, 'cosine', 'vec_id', 2)
+        ORDER BY _distance ASC, vec_id ASC
+    """)
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch KNN (every query row gets its top-k): broadcast nested-loop
     over the corpus + per-query window top-k — the plan for scoring a
@@ -1137,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vector_knn": q_vector_knn,
         "vector_knn_sql": q_vector_knn_sql,
+        "vector_knn_tvf": q_vector_knn_tvf,
         "vector_knn_join": q_vector_knn_join,
         "hybrid_prefilter": q_hybrid_prefilter,
         "hybrid_postfilter": q_hybrid_postfilter,
@@ -1320,6 +1341,17 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS score
             FROM embeddings e
             ORDER BY score DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "vector_knn_tvf": f"""
+            WITH d AS (
+                SELECT e.vec_id, e.label,
+                       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist
+                FROM embeddings e
+            )
+            SELECT vec_id, label, round(1 - dist, 2) AS score
+            FROM d
+            ORDER BY dist ASC, vec_id ASC
             LIMIT 10
         """,
         "vector_knn_join": f"""

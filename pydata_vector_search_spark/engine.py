@@ -30,7 +30,23 @@ class Engine:
         return self.catalog.load(name)
 
     def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(query)
+        """SQL entry point, including the reference's TVF spelling:
+        ``SELECT * FROM vector_search('<table>', '<col>', (SELECT ...), k,
+        'cosine')`` (also accepted as ``hudi_vector_search``) rewrites to
+        the exact DataFrame plan before parsing; names resolve through the
+        engine catalog first, then session views, then parquet paths."""
+        from pydata_vector_search_spark.functions.sql import rewrite_vector_search_sql
+
+        def resolve(name: str) -> DataFrame:
+            if name in self.catalog:
+                return self.catalog.load(name)
+            try:
+                return self.spark.table(name)
+            except Exception:
+                return self.spark.read.parquet(name)
+
+        return self.spark.sql(
+            rewrite_vector_search_sql(self.spark, query, resolve))
 
     # -- vector search (reference EP2: hudi_vector_search TVF, c11/c13) ---
     def vector_search(self, table: str | DataFrame, vector_col: str,

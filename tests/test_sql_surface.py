@@ -75,3 +75,77 @@ def test_sql_token_count_matches_dataframe_on_edge_cases(spark):
     dfv = {r.id: r.n for r in df.select(
         "id", token_count("t").alias("n")).collect()}
     assert sql == dfv == {1: 0, 2: 0, 3: 1, 4: 2, 5: 1}
+
+
+def _plan_ops(df):
+    import re
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [re.sub(r"[#(].*", "", ln.strip("*+- :")).strip()
+            for ln in plan.splitlines()
+            if re.match(r"^[\s*+:-]*[A-Z]", ln)]
+
+
+def test_tvf_rewrite_matches_dataframe_plan_and_rows(spark, sf_dir):
+    """The reference's TVF spelling must produce the IDENTICAL physical
+    plan to the DataFrame spelling — the rewrite swaps text for the plan,
+    not for a slower SQL re-derivation."""
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.functions.sql import sql_with_tvf
+    from pydata_vector_search_spark.operators import knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+
+    tvf = sql_with_tvf(spark, """
+        SELECT * FROM vector_search('embeddings', 'embedding',
+            (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            5, 'cosine', 'vec_id', 2)
+    """)
+    df = knn.vector_search(emb, "embedding", qv, k=5, metric="cosine",
+                           tiebreaker="vec_id", round_to=2)
+    assert [r.vec_id for r in tvf.collect()] == [r.vec_id for r in df.collect()]
+    assert _plan_ops(tvf) == _plan_ops(df)
+
+
+def test_tvf_hudi_alias_and_path_resolution(spark, sf_dir):
+    """hudi_vector_search alias accepted; first arg may be a parquet path
+    (the reference passes TABLE_PATH, demo.ipynb c11:7)."""
+    import os
+
+    from pydata_vector_search_spark.functions.sql import sql_with_tvf
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    got = sql_with_tvf(spark, f"""
+        SELECT vec_id, round(1 - _distance, 2) AS score
+        FROM hudi_vector_search('{path}', 'embedding',
+            array(1.0, 0.0), 3, 'l2', 'vec_id')
+    """).collect()
+    assert len(got) == 3
+
+
+def test_tvf_arg_validation(spark):
+    import pytest as _pytest
+
+    from pydata_vector_search_spark.functions.sql import rewrite_vector_search_sql
+    with _pytest.raises(ValueError, match="arguments"):
+        rewrite_vector_search_sql(spark, "SELECT * FROM vector_search('t')")
+    with _pytest.raises(ValueError, match="string literal"):
+        rewrite_vector_search_sql(
+            spark, "SELECT * FROM vector_search(tbl, 'c', array(1.0), 3)")
+
+
+def test_engine_sql_tvf_route(spark, sf_dir, tmp_path):
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "eng"))
+    eng.ingest(read_table(spark, sf_dir, "embeddings"), "emb_tvf")
+    # resolve through the engine catalog (no temp view registered)
+    qv = [float(x) for x in eng.table("emb_tvf").filter("vec_id = 0")
+          .head().embedding]
+    arr = "array(" + ",".join(str(v) for v in qv) + ")"
+    got = eng.sql(f"""
+        SELECT vec_id FROM vector_search('emb_tvf', 'embedding', {arr},
+                                         4, 'cosine', 'vec_id', 2)
+    """).collect()
+    assert len(got) == 4 and got[0].vec_id == 0
