@@ -179,6 +179,18 @@ def q_vector_knn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_vector_knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 dot metric (the reference TVF's metric argument, demo.ipynb
+    c11:10): top-10 by inner product — distance is the NEGATED dot so the
+    same ascending top-k plan serves all metrics; score re-negates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return (knn.vector_search(emb, "embedding", qv, k=10, metric="dot",
+                              round_to=2, tiebreaker="vec_id")
+               .withColumn("score", F.round(-F.col("_distance"), 2))
+               .select("vec_id", "label", "score"))
+
+
 def q_vector_knn_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP2 TVF parity: the reference's table-valued spelling
     ``hudi_vector_search(path, col, (SELECT ...), k, 'cosine')``
@@ -260,6 +272,73 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("left_id", F.col("vec_id").alias("right_id"),
                        F.col("_distance").alias("dist"))
                .orderBy("left_id", "right_id"))
+
+
+def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic cosine near-dup (the scale sibling of cosine_neardup):
+    sign-of-dot random-hyperplane signature buckets candidates (ONE shuffle
+    on the bucket key), exact verify inside buckets. The hyperplanes are
+    seed-deterministic and embedded as literals in the DuckDB oracle, so
+    the whole LSH pipeline — signature, bucketing, verify — is value-hash
+    checked, not just the verified survivors. Recall vs the brute-force op
+    is asserted in tests/test_dedup.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir))
+    return (dedup.hyperplane_lsh_neardup(emb, "embedding", "vec_id", dim=dim,
+                                         threshold=0.3, num_planes=4,
+                                         seed=42, round_to=6)
+                 .orderBy("id_1", "id_2"))
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join WITHOUT broadcast: the big (events) side salts
+    deterministically on event_id, the small (customer) side replicates to
+    every salt, the shuffle key becomes (user_id, salt) — a hot user
+    occupies num_salts reducers instead of one. Row-identical to the
+    unsalted join (the oracle is the plain join)."""
+    from pydata_vector_search_spark.operators.skew import salted_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = salted_join(ev, cust, on="user_id", num_salts=8,
+                    spread_col="event_id")
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .orderBy("c_mktsegment"))
+
+
+_BUCKETED_DONE: set[tuple] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Once per (session, sf_dir): orders + customer rewritten as bucketed
+    tables (hash-clustered AND sorted by the join key at write time)."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BUCKETED_DONE:
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_bkt_"))
+        cat.write_bucketed("pvss_orders_b", _t(spark, sf_dir, "orders"),
+                           key="o_custkey", num_buckets=8)
+        cat.write_bucketed("pvss_customer_b", _t(spark, sf_dir, "customer"),
+                           key="c_custkey", num_buckets=8)
+        _BUCKETED_DONE.add(key)
+    return spark.table("pvss_orders_b"), spark.table("pvss_customer_b")
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+ bucketed tables: both sides pre-clustered into 8 matching buckets
+    by the join key, so the join needs ZERO exchanges (asserted on the plan
+    in tests/test_bucketing.py) — at 100 TB the difference between
+    re-shuffling the fact table every join and never shuffling it."""
+    o, c = _bucketed_tables(spark, sf_dir)
+    j = o.join(c, o.o_custkey == c.c_custkey, "inner")
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+             .orderBy("c_mktsegment"))
 
 
 # --------------------------------------------------------------------------
@@ -1158,6 +1237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn": q_vector_knn,
         "vector_knn_sql": q_vector_knn_sql,
         "vector_knn_tvf": q_vector_knn_tvf,
+        "vector_knn_dot": q_vector_knn_dot,
+        "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        "salted_join": q_salted_join,
+        "bucketed_join": q_bucketed_join,
         "vector_knn_join": q_vector_knn_join,
         "hybrid_prefilter": q_hybrid_prefilter,
         "hybrid_postfilter": q_hybrid_postfilter,
@@ -1327,6 +1410,35 @@ def _simhash_oracle() -> str:
         """
 
 
+def _lsh_oracle_sql(threshold: float = 0.3, num_planes: int = 4,
+                    dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replica of the FULL hyperplane-LSH pipeline: the seeded
+    Gaussian planes (identical numpy construction as the Spark side,
+    operators/dedup.lsh_planes) are embedded as array literals; signature =
+    sum of 2^i over planes with positive dot; candidates join on signature
+    equality; exact rounded-cosine verify. dim=64 is the fixture embedding
+    width (TESTDATA.md)."""
+    from pydata_vector_search_spark.operators.dedup import lsh_planes
+    planes = lsh_planes(dim, num_planes, seed)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{[float(v) for v in p]}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding, {bits} AS sg FROM embeddings
+        )
+        SELECT id_1, id_2, cos_sim FROM (
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id
+        )
+        WHERE cos_sim >= {threshold}
+        ORDER BY id_1, id_2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "vector_knn": f"""
@@ -1342,6 +1454,34 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             ORDER BY score DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "vector_knn_dot": f"""
+            WITH d AS (
+                SELECT e.vec_id, e.label,
+                       round(-list_dot_product(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist
+                FROM embeddings e
+            )
+            SELECT vec_id, label, round(-dist, 2) AS score
+            FROM d
+            ORDER BY dist ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "hyperplane_lsh_neardup": _lsh_oracle_sql(),
+        "salted_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "bucketed_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "vector_knn_tvf": f"""
             WITH d AS (

@@ -610,16 +610,23 @@ def cosine_neardup_pairs(df: DataFrame, vector_col: str, id_col: str,
              .select("id_1", "id_2", "cos_sim"))
 
 
+def lsh_planes(dim: int, num_planes: int, seed: int = 42):
+    """The deterministic Gaussian hyperplanes (shared with the DuckDB
+    oracle, which embeds them as literals — same seed, same numpy call)."""
+    import numpy as np
+    return np.random.default_rng(seed).standard_normal((num_planes, dim))
+
+
 def hyperplane_lsh_neardup(df: DataFrame, vector_col: str, id_col: str,
                            dim: int, threshold: float = 0.9,
-                           num_planes: int = 16, seed: int = 42) -> DataFrame:
+                           num_planes: int = 16, seed: int = 42,
+                           round_to: int | None = None) -> DataFrame:
     """Scale path for cosine near-dup: random-hyperplane signature (sign of
     dot with ``num_planes`` seeded Gaussian vectors) buckets candidates; one
     shuffle on the bucket, exact verify inside. Recall < 1 by construction
-    (LSH); the brute-force op above is the oracle."""
-    import numpy as np
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    (LSH); the brute-force op above is the recall reference. ``round_to``
+    rounds the cosine BEFORE thresholding (cross-engine determinism)."""
+    planes = lsh_planes(dim, num_planes, seed)
 
     from pydata_vector_search_spark.functions.vector import (
         cosine_similarity_dim, dot_product_lit)
@@ -637,7 +644,9 @@ def hyperplane_lsh_neardup(df: DataFrame, vector_col: str, id_col: str,
                                  & (F.col("a.__id") < F.col("b.__id")))
              .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"),
                      F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb")))
-    return (cand.withColumn("cos_sim", cosine_similarity_dim(
-                    F.col("__va"), F.col("__vb"), dim))
+    sim = cosine_similarity_dim(F.col("__va"), F.col("__vb"), dim)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (cand.withColumn("cos_sim", sim)
                 .filter(F.col("cos_sim") >= threshold)
                 .select("id_1", "id_2", "cos_sim"))
