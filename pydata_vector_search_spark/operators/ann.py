@@ -146,18 +146,52 @@ class IVFIndex:
         return cls(path, centroids, t["metric"][0], t["vector_col"][0])
 
 
+_CODE, _CODE_SCALE = "__q8", "__q8scale"
+
+
+def quantize_int8(df: DataFrame, vector_col: str,
+                  code_col: str = _CODE,
+                  scale_col: str = _CODE_SCALE) -> DataFrame:
+    """Per-row symmetric int8 quantization: ``v ≈ scale · codes`` with
+    ``scale = max|v| / 127``, codes packed into a ``binary`` cell (1 byte
+    per dimension vs 4 for float — the probe's byte-cost tier). Arrow-
+    batched pandas UDF, executor-side, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(f"{code_col} binary, {scale_col} float")
+    def _q(vs: pd.Series) -> pd.DataFrame:
+        if vs.empty:
+            return pd.DataFrame({code_col: [], scale_col: []})
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        scale = np.abs(M).max(axis=1) / 127.0
+        scale = np.where(scale == 0, 1.0, scale)
+        codes = np.clip(np.round(M / scale[:, None]), -127, 127).astype(np.int8)
+        return pd.DataFrame({code_col: [c.tobytes() for c in codes],
+                             scale_col: scale.astype(np.float32)})
+
+    st = _q(F.col(vector_col))
+    return df.withColumn(code_col, st[code_col]) \
+             .withColumn(scale_col, st[scale_col])
+
+
 def ivf_build(df: DataFrame, vector_col: str, path: str,
               num_centroids: int = 64, metric: str = "cosine",
               seed: int = 42, max_iter: int = 10,
-              backend: str = "sample") -> IVFIndex:
+              backend: str = "sample", quantize: bool = True) -> IVFIndex:
     """Build the index: train → assign → rewrite partitioned by centroid.
 
     One full shuffle-free pass for assignment, one partitioned write. At
     scale the write clusters rows by ``__cid`` so partition pruning later
-    skips whole directories (and their parquet footers) per query."""
+    skips whole directories (and their parquet footers) per query.
+    ``quantize`` (default) adds the int8 code columns next to the full
+    vectors; parquet is columnar, so carrying them is free for full-vector
+    probes (column pruning never reads them) and enables the byte-lean
+    ``ivf_search_int8`` probe."""
     centroids = train_centroids(df, vector_col, num_centroids, metric,
                                 seed=seed, max_iter=max_iter, backend=backend)
     assigned = assign_centroids(df, vector_col, centroids, metric)
+    if quantize:
+        assigned = quantize_int8(assigned, vector_col)
     # Cluster rows by centroid BEFORE the partitioned write: without this,
     # every write task holds rows of every centroid and emits one file per
     # (task × centroid) — the classic small-files explosion (32 tasks ×
