@@ -254,6 +254,22 @@ def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "label", "score"))
 
 
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-lean ANN probe (the role of Lance's quantized index behind the
+    reference TVF, demo.ipynb c13:2-3): rank on the packed int8 code
+    column (~4× fewer scan bytes than the float vectors), exact re-rank
+    only the k·refine survivors fetched via a parquet-pushed IN filter.
+    Probed at nprobe=all with a refine margin so the result equals exact
+    KNN and the DuckDB oracle covers quantize + rank + re-rank end-to-end;
+    byte accounting + small-refine recall live in tests/test_ann.py."""
+    idx = _ivf_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    return (ann.ivf_search_int8(spark, idx, qv, "vec_id", k=10, nprobe=8,
+                                refine=8, round_to=2, tiebreaker="vec_id")
+               .withColumn("score", F.round(1 - F.col("_distance"), 2))
+               .select("vec_id", "label", "score"))
+
+
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe batch KNN: every query row top-k'd through the IVF index —
     centroid shortlist (broadcast) → EQUI-join on centroid id → unrolled
@@ -1259,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bucketed_join": q_bucketed_join,
         "knn_join_ivf": q_knn_join_ivf,
+        "ann_ivf_int8": q_ann_ivf_int8,
         "cosine_topk_pairs": q_cosine_topk_pairs,
         "cosine_neardup": q_cosine_neardup,
         "vector_knn": q_vector_knn,
@@ -1565,6 +1582,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY left_id, right_id
         """,
         "ann_ivf_knn": f"""
+            WITH d AS (
+                SELECT e.vec_id, e.label,
+                       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist
+                FROM embeddings e
+            )
+            SELECT vec_id, label, round(1 - dist, 2) AS score
+            FROM d
+            ORDER BY dist ASC, vec_id ASC
+            LIMIT 10
+        """,
+        # int8 probe at nprobe=all with refine margin + exact re-rank ==
+        # exact KNN, so the exact-KNN SQL is its end-to-end oracle
+        "ann_ivf_int8": f"""
             WITH d AS (
                 SELECT e.vec_id, e.label,
                        round(1 - list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist

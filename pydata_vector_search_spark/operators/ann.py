@@ -242,6 +242,90 @@ def ivf_search(spark: SparkSession, index: IVFIndex,
                          round_to=round_to).drop(_CID)
 
 
+def ivf_search_int8(spark: SparkSession, index: IVFIndex,
+                    query_vec: Sequence[float], id_col: str,
+                    k: int = 10, nprobe: int = 8, refine: int = 8,
+                    filter: Column | None = None,
+                    distance_col: str = "_distance",
+                    tiebreaker: str | None = None,
+                    round_to: int | None = None) -> DataFrame:
+    """Byte-lean probe: rank candidates on the int8 code column, exact
+    re-rank only the survivors on full vectors.
+
+    The full-vector ``ivf_search`` reads ``dim × 4`` bytes per probed row;
+    the ranking pass here reads the packed ``binary`` code column instead
+    (``dim × 1`` bytes + 4 for the scale) — parquet is columnar, so the
+    float vectors in the probed partitions are never decoded for ranking.
+    The exact re-rank then fetches full vectors for only ``k·refine`` rows
+    via an ``IN`` filter on ``id_col`` that parquet evaluates against
+    row-group statistics/dictionaries (PushedFilters in .explain). This is
+    the classic SQ8-with-refine tier (the role Lance's quantized index
+    plays behind the reference's TVF, demo.ipynb c13:2-3): probe bytes
+    drop ~4× while recall is restored by the exact re-rank — asserted
+    against exact KNN in tests/test_ann.py, byte accounting in
+    tools/scale_probe.py.
+
+    Scale shape: the ranking pass is a pruned columnar scan → Arrow-batched
+    matmul per batch → ``TakeOrderedAndProject(k·refine)`` — no shuffle,
+    per-task heaps, same embarrassing parallelism as the float probe. The
+    candidate id list is k·refine values (driver-side by construction,
+    like the centroid shortlist), never a data-sized collect."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    metric = index.metric
+    if metric == "cosine":
+        sims = _normalize(index.centroids) @ _normalize(q)
+        order = np.argsort(-sims, kind="stable")
+    else:
+        order = np.argsort(((index.centroids - q) ** 2).sum(-1), kind="stable")
+    probe = [int(c) for c in order[:nprobe]]
+
+    scan = spark.read.parquet(index.data_path).filter(F.col(_CID).isin(probe))
+    if _CODE not in scan.columns:
+        raise ValueError(
+            "index was built with quantize=False — no int8 code column; "
+            "rebuild with ivf_build(..., quantize=True) or use ivf_search")
+    if filter is not None:
+        scan = scan.filter(filter)   # pre-filter hybrid: pushed into the scan
+
+    qn = float(np.linalg.norm(q)) or 1.0
+    qq = float(q @ q)
+
+    @pandas_udf("double")
+    def _adist(codes: pd.Series, scales: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype="float64")
+        M = np.stack([np.frombuffer(b, dtype=np.int8) for b in codes]) \
+              .astype(np.float64)
+        s = scales.to_numpy().astype(np.float64)
+        dots = M @ q
+        if metric == "cosine":
+            # v ≈ s·c ⇒ the per-row scale cancels out of cosine entirely
+            norms = np.linalg.norm(M, axis=1)
+            d = 1.0 - dots / (np.where(norms == 0, 1.0, norms) * qn)
+        elif metric == "dot":
+            d = -(s * dots)
+        else:   # l2: squared form — monotonic, no sqrt needed for ranking
+            d = s * s * (M * M).sum(axis=1) - 2.0 * s * dots + qq
+        return pd.Series(d)
+
+    cand = (scan.select(F.col(id_col), _CODE, _CODE_SCALE)
+                .withColumn("__adist", _adist(F.col(_CODE), F.col(_CODE_SCALE)))
+                .orderBy(F.col("__adist").asc(), F.col(id_col).asc())
+                .limit(k * refine))
+    ids = [r[0] for r in cand.select(id_col).collect()]
+
+    fetch = spark.read.parquet(index.data_path) \
+                 .filter(F.col(_CID).isin(probe)) \
+                 .filter(F.col(id_col).isin(ids))
+    out = vector_search(fetch, index.vector_col, [float(v) for v in q], k=k,
+                        metric=metric, filter=filter,
+                        distance_col=distance_col, tiebreaker=tiebreaker,
+                        round_to=round_to)
+    return out.drop(_CID, _CODE, _CODE_SCALE)
+
+
 def ivf_knn_join(spark: SparkSession, index: IVFIndex, queries: DataFrame,
                  k: int = 10, nprobe: int = 8,
                  left_id: str = "left_id", right_id: str = "right_id",

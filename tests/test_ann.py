@@ -134,3 +134,83 @@ def test_ivf_knn_join_plans_equi_join_not_cross(spark, sf_dir, index):
     for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
         build = seg.split("BroadcastExchange", 1)[-1][:300]
         assert "__cent" in build
+
+
+def test_ivf_int8_full_probe_equals_exact(spark, sf_dir, index):
+    """nprobe=all + refine margin ⇒ the int8 candidate cut keeps the true
+    top-k, and the exact re-rank makes the result identical to exact KNN."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = _query(spark, sf_dir)
+    exact = [r.vec_id for r in knn.vector_search(
+        emb, "embedding", qv, k=10, tiebreaker="vec_id").collect()]
+    got = [r.vec_id for r in ann.ivf_search_int8(
+        spark, index, qv, "vec_id", k=10, nprobe=8, refine=8,
+        tiebreaker="vec_id").collect()]
+    assert got == exact
+
+
+def test_ivf_int8_recall_small_refine(spark, sf_dir, index):
+    """Even refine=2 (a 2× candidate margin) recovers ≥90% of the exact
+    top-10 — int8 cosine error is ~1e-2 at dim=64."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    hits = 0
+    for vec_id in range(5):
+        qv = _query(spark, sf_dir, vec_id)
+        exact = {r.vec_id for r in knn.vector_search(
+            emb, "embedding", qv, k=10, tiebreaker="vec_id").collect()}
+        got = {r.vec_id for r in ann.ivf_search_int8(
+            spark, index, qv, "vec_id", k=10, nprobe=8, refine=2,
+            tiebreaker="vec_id").collect()}
+        hits += len(got & exact)
+    assert hits / 50 >= 0.9
+
+
+def test_ivf_int8_code_column_bytes(index):
+    """The byte claim itself: the packed int8 code column occupies well
+    under half the parquet bytes of the float vector column (≈4× less
+    uncompressed; both are high-entropy so compression doesn't close it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    emb_b = code_b = 0
+    for f in glob.glob(index.data_path + "/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                p = col.path_in_schema
+                if p.startswith("embedding"):
+                    emb_b += col.total_compressed_size
+                elif p.startswith("__q8") and "scale" not in p:
+                    code_b += col.total_compressed_size
+    assert emb_b > 0 and code_b > 0
+    assert code_b < emb_b * 0.5
+
+
+def test_ivf_int8_rerank_fetch_is_pushed_down(spark, sf_dir, index):
+    """The exact re-rank must fetch candidates via a parquet-pushed IN
+    filter on the id — not a full scan filtered post-hoc."""
+    qv = _query(spark, sf_dir)
+    df = ann.ivf_search_int8(spark, index, qv, "vec_id", k=5, nprobe=2,
+                             refine=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "In(vec_id" in pushed
+
+
+def test_ivf_int8_hybrid_filter(spark, sf_dir, index):
+    qv = _query(spark, sf_dir)
+    got = ann.ivf_search_int8(spark, index, qv, "vec_id", k=5, nprobe=8,
+                              refine=8, filter=F.col("label") == 3,
+                              tiebreaker="vec_id").collect()
+    assert len(got) == 5
+    assert all(r.label == 3 for r in got)
+
+
+def test_ivf_int8_requires_quantized_index(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = ann.ivf_build(emb, "embedding", str(tmp_path / "noq"),
+                        num_centroids=4, seed=42, quantize=False)
+    with pytest.raises(ValueError, match="quantize"):
+        ann.ivf_search_int8(spark, idx, _query(spark, sf_dir), "vec_id")
