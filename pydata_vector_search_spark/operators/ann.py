@@ -341,42 +341,52 @@ def ivf_knn_join(spark: SparkSession, index: IVFIndex, queries: DataFrame,
     the centroid id, so per-query work is |corpus|·nprobe/num_centroids
     candidates, and the corpus is never replicated per query. Plan shape:
 
-      queries ⨯ centroids (broadcast, num_centroids×dim — tiny)
-        → window top-nprobe centroid per query  [shuffle: |Q|·C rows]
-        → equi-join candidates on __cid          [shuffle: bounded by
+      queries → top-nprobe centroid ids per row  [executor-side matmul
+          against the closure-captured centroid matrix, like
+          assign_centroids — NO join, NO window, NO shuffle]
+        → explode → equi-join candidates on __cid  [shuffle: bounded by
              |Q|·nprobe + corpus, never |Q|·|corpus|]
-        → unrolled-codegen distance → window top-k per query.
+        → Arrow-batched distance → window top-k per query.
 
     ``nprobe = num_centroids`` probes everything, making the result EXACT
     (equal to brute-force knn_join) — the declared-query/oracle mode;
     recall at small nprobe is asserted against it in tests. The reference's
     batch shape is the k=3000 over-fetch (demo.ipynb c13:9)."""
     from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
-    from pydata_vector_search_spark.functions.vector import distance_expr_dim
+    from pydata_vector_search_spark.functions.vector import distance_arrow
 
     num_centroids, dim = index.centroids.shape
     nprobe = min(nprobe, num_centroids)
     qv = query_vector_col or index.vector_col
+    metric = index.metric
 
-    cents = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)],
-        f"{_CID} int, __cent array<double>")
+    C = _normalize(index.centroids) if metric == "cosine" else index.centroids
+
+    @pandas_udf("array<int>")
+    def _shortlist(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype="object")
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        if metric == "cosine":
+            V = _normalize(V)
+            d = -(V @ C.T)
+        else:
+            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        # stable argsort == (distance asc, centroid id asc) tie order
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32") for row in order])
+
     qs = queries.select(F.col(left_id), F.col(qv).alias("__qv"))
-    cdist = distance_expr_dim(index.metric, F.col("__qv"), F.col("__cent"), dim)
-    wq = Window.partitionBy(left_id).orderBy(F.col("__cdist").asc(),
-                                             F.col(_CID).asc())
-    probes = (qs.join(F.broadcast(cents))      # |Q| × num_centroids
-                .withColumn("__cdist", cdist)
-                .withColumn("__pr", F.row_number().over(wq))
-                .filter(F.col("__pr") <= nprobe)
+    probes = (qs.withColumn(_CID, F.explode(_shortlist(F.col("__qv"))))
                 .select(left_id, _CID, "__qv"))
 
     data = (spark.read.parquet(index.data_path)
                  .select(F.col(_CID),
                          F.col(right_id),
                          F.col(index.vector_col).alias("__cv")))
-    dist = distance_expr_dim(index.metric, F.col("__qv"), F.col("__cv"), dim)
+    dist = distance_arrow(index.metric, F.col("__qv"), F.col("__cv"))
     if round_to is not None:    # round BEFORE the rank for cross-engine ties
         dist = F.round(dist, round_to)
     cand = probes.join(data, _CID).withColumn(distance_col, dist)

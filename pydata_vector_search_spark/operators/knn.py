@@ -104,20 +104,21 @@ def knn_join(left: DataFrame, right: DataFrame, vector_col: str,
     Scale path: broadcast the smaller side (query batch), keep the corpus
     partitioned — Spark plans BroadcastNestedLoopJoin; each executor scores
     its corpus slice against the in-memory query block, and the window
-    row_number ≤ k is a partial top-k per query. Pass ``dim`` to unroll the
-    distance into codegen scalar expressions (the |Q|·|corpus| pair scoring
-    is exactly where the interpreted-HOF tax multiplies). For huge query
-    sets use the IVF probe join (operators/ann.ivf_knn_join) instead.
+    row_number ≤ k is a partial top-k per query. Pair scoring is the
+    Arrow-batched numpy distance (functions/vector.distance_arrow): on the
+    |Q|·|corpus| pair stream it beats both the interpreted HOF (~30×) and
+    the unrolled scalar form (whose hundred-term methods cost 1.5-2s of
+    Janino per stage at dim=64). ``dim`` kept for signature compatibility.
+    For huge query sets use the IVF probe join (ann.ivf_knn_join) instead.
     """
     from pyspark.sql import Window
+
+    from pydata_vector_search_spark.functions.vector import distance_arrow
 
     lv, rv = f"__lvec", f"__rvec"
     l = left.select(F.col(left_id), F.col(vector_col).alias(lv))
     r = right.select(F.col(right_id), F.col(vector_col).alias(rv))
-    if dim is not None:
-        dist = distance_expr_dim(metric, F.col(lv), F.col(rv), dim)
-    else:
-        dist = distance_expr(metric, F.col(lv), F.col(rv))
+    dist = distance_arrow(metric, F.col(lv), F.col(rv))
     if round_to is not None:    # round BEFORE the rank for cross-engine ties
         dist = F.round(dist, round_to)
     joined = F.broadcast(l).crossJoin(r).withColumn(distance_col, dist)
