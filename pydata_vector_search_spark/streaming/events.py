@@ -35,16 +35,19 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType, TimestampType)
 
 # Streaming file sources require an explicit schema (no inference at plan
-# time). ``ts`` arrives as parquet TIMESTAMP(NANOS) read as long (see
-# catalog.read_table) and is truncated to micros.
-_EVENTS_RAW = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),           # nanos-as-long
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+# time). ``ts`` is TIMESTAMP(MICROS) in current fixtures but earlier
+# generations used TIMESTAMP(NANOS), which Spark's reader only accepts as
+# long (see catalog.read_table); the reader sniffs one footer and picks the
+# right schema + conversion.
+def _events_schema(ts_type) -> StructType:
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", ts_type),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, path: str,
@@ -57,6 +60,7 @@ def read_events_stream(spark: SparkSession, path: str,
     The file source monitors a DIRECTORY for new files (that's the
     replayable-ingest contract); a single-file path (the sf fixtures) is
     adapted via a symlink dir."""
+    import glob
     import os
     import tempfile
 
@@ -65,12 +69,37 @@ def read_events_stream(spark: SparkSession, path: str,
         os.symlink(os.path.abspath(path),
                    os.path.join(d, os.path.basename(path)))
         path = d
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW)
+
+    # Sniff one footer (driver-side, O(1)) for the physical ts unit.
+    # Micros are read under an explicit TimestampType schema: watermarks
+    # REQUIRE "TIMESTAMP" (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), and
+    # declaring TZ makes Spark treat the raw NTZ micros as UTC instants —
+    # exactly DuckDB's epoch() reading, so emitted epochs are independent of
+    # the driver session's timezone. Nanos must be read as long (Spark
+    # rejects TIMESTAMP(NANOS)) and truncated to micros like the batch path.
+    ts_is_nanos = False
+    sample = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
+    if sample:
+        try:
+            import pyarrow.parquet as pq
+            import pyarrow.types as pat
+            t = pq.read_schema(sample[0]).field("ts").type
+            ts_is_nanos = pat.is_timestamp(t) and t.unit == "ns"
+        except Exception:
+            pass
+
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = spark.readStream.schema(_events_schema(LongType()))
+    else:
+        reader = spark.readStream.schema(_events_schema(TimestampType()))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def tumbling_window_agg(events: DataFrame, window: str = "1 day",

