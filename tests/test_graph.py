@@ -1,0 +1,49 @@
+"""Connected-components / dedup-clustering operator tests."""
+
+import pytest
+
+from pydata_vector_search_spark.operators.graph import (cluster_summary,
+                                                        connected_components)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_chain_merges_transitively(spark):
+    # A~B, B~C must land in one component even though A~C was never emitted.
+    comps = connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
+    got = {r["node"]: r["component"] for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_direction_and_duplicates_ignored(spark):
+    a = connected_components(_edges(spark, [(2, 1), (3, 2), (11, 10)]))
+    b = connected_components(
+        _edges(spark, [(1, 2), (1, 2), (2, 3), (3, 2), (10, 11)]))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_long_chain_converges(spark):
+    # a 12-node path needs multiple propagation rounds (diameter ~ 11)
+    comps = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=25)
+    assert {r["component"] for r in comps.collect()} == {0}
+
+
+def test_self_loops_are_inert(spark):
+    comps = connected_components(_edges(spark, [(5, 5), (5, 6)]))
+    got = {r["node"]: r["component"] for r in comps.collect()}
+    assert got == {5: 5, 6: 5}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=1)
+
+
+def test_cluster_summary_rollup(spark):
+    out = cluster_summary(
+        _edges(spark, [(1, 2), (2, 3), (10, 11)])).collect()
+    assert [tuple(r) for r in out] == [(1, 3, 3), (10, 2, 11)]
