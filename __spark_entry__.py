@@ -865,12 +865,44 @@ def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (the dedup mandate in streaming form): the
+    events STREAM deduplicated on (user_id, event_type) with
+    ``dropDuplicates`` state, sunk append-mode, then rolled up. WHICH
+    physical row survives per key depends on micro-batching, but the key
+    SET is exactly the batch-distinct keys, so counting survivors per
+    event_type is deterministic — and SQL-oracle-able as COUNT(DISTINCT).
+    The bounded-state variant (``dropDuplicatesWithinWatermark``) is
+    exercised in tests; its output is eviction-dependent by design, so the
+    declared query uses the global form."""
+    import uuid as _uuid
+
+    from pydata_vector_search_spark import streaming as S
+
+    ev = S.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    dd = S.dedup_stream(ev, ["user_id", "event_type"], watermark="1 day")
+    name = f"q_stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (dd.select("user_id", "event_type")
+           .writeStream.format("memory").queryName(name)
+           .outputMode("append")
+           .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}")
+           .trigger(availableNow=True).start())
+    _await_stream(q)
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .orderBy("event_type"))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap > 30 min starts a new session): lag to
     flag session breaks, running sum to number sessions, then a two-level
     rollup to per-user session stats. All JVM window/agg expressions in
-    one plan — two shuffles total (both hash-partitioned by user_id, and
-    AQE coalesces them since the window and groupBy share the key)."""
+    one plan with ONE data shuffle: events exchange-hash on user_id once,
+    both windows share that sort, and Catalyst sees the (user_id, sess)
+    and user_id groupings are satisfied by the same partitioning — no
+    exchange between the aggregates (verified in .explain: the only other
+    exchange sorts the tiny per-user output)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tsec = F.unix_timestamp("ts").cast("long")
@@ -1346,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver compares exactly the first 50 entries), new-in-r03,
         # --- and changed-in-r03 queries rotate to the front
         "dedup_clusters": q_dedup_clusters,
+        "stream_dedup": q_stream_dedup,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "stateful_totals": q_stateful_totals,
@@ -1582,6 +1615,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, count(*)::BIGINT AS cluster_size,
                    max(n) AS max_member
             FROM comp GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        "stream_dedup": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "sessionize": """
             WITH x AS (

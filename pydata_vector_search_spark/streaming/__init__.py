@@ -1,4 +1,5 @@
 from pydata_vector_search_spark.streaming.events import (  # noqa: F401
+    dedup_stream,
     read_changes_stream,
     read_events_stream,
     session_window_agg,

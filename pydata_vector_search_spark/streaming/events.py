@@ -149,6 +149,28 @@ _RUNNING_OUT = StructType([
 ])
 
 
+def dedup_stream(events: DataFrame, keys: list[str],
+                 watermark: str | None = "1 day",
+                 within_watermark: bool = False) -> DataFrame:
+    """Streaming exact dedup: emit the first row seen per key combination.
+
+    ``within_watermark=False`` (default) is GLOBAL dedup — state holds one
+    entry per distinct key forever, so the emitted key SET is exactly the
+    batch-distinct keys (deterministic however the input is micro-batched);
+    the cost is state proportional to distinct keys, the right trade when
+    keys are bounded (user × event_type) or the stream is a backfill.
+
+    ``within_watermark=True`` switches to ``dropDuplicatesWithinWatermark``:
+    state for keys older than the watermark is EVICTED, bounding state for
+    unbounded key domains (event ids at 100 TB/day) — the trade is that a
+    key recurring after eviction is re-emitted, so results depend on event
+    spread, not an exact global distinct."""
+    w = events.withWatermark("ts", watermark) if watermark else events
+    if within_watermark:
+        return w.dropDuplicatesWithinWatermark(keys)
+    return w.dropDuplicates(keys)
+
+
 def running_totals_stateful(events: DataFrame,
                             timeout_duration: str = "30 minutes") -> DataFrame:
     """Custom stateful operator: running (count, sum(value)) per event_type

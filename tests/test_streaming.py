@@ -113,6 +113,34 @@ def test_running_totals_stateful(spark):
     assert got == exp
 
 
+def test_dedup_stream_global_matches_batch_distinct(spark):
+    dd = S.dedup_stream(S.read_events_stream(spark, EVENTS),
+                        ["user_id", "event_type"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dd.select("user_id", "event_type"), name)
+    got = {(r.user_id, r.event_type) for r in spark.table(name).collect()}
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    exp = {(r.user_id, r.event_type) for r in
+           ev.select("user_id", "event_type").distinct().collect()}
+    assert got == exp
+
+
+def test_dedup_stream_within_watermark_bounded_state(spark):
+    # the eviction variant still yields AT LEAST the distinct keys (a key
+    # can be re-emitted after eviction, never lost) and runs with state
+    # bounded by the watermark horizon
+    dd = S.dedup_stream(S.read_events_stream(spark, EVENTS),
+                        ["user_id", "event_type"], watermark="1 day",
+                        within_watermark=True)
+    name = f"dedupw_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dd.select("user_id", "event_type"), name)
+    got = [(r.user_id, r.event_type) for r in spark.table(name).collect()]
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    exp = {(r.user_id, r.event_type) for r in
+           ev.select("user_id", "event_type").distinct().collect()}
+    assert set(got) >= exp
+
+
 def test_stream_upsert_sink_last_write_wins(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "cat"))
     st = S.read_events_stream(spark, EVENTS)
