@@ -45,6 +45,35 @@ NOTES = {
         "correlated re-scan; the brand dimension is broadcast. This is "
         "the only shape that survives 100 TB — correlated execution would "
         "rescan the fact once per outer row."),
+    "knn_join_ivf": (
+        "Batch KNN as an EQUI-join: queries are assigned to probed "
+        "centroids, the corpus is pre-partitioned by centroid id, and the "
+        "join key is __cid — a hash join whose build side is the query "
+        "batch, NEVER a cross product. At 100 TB the per-pair distance "
+        "work is bounded by nprobe/num_centroids of the corpus."),
+    "bucketed_join": (
+        "Join over bucketed tables. At this sf the dim side is small "
+        "enough that Catalyst picks a broadcast join — ALSO exchange-free "
+        "on the fact input, and strictly cheaper, so the right plan here. "
+        "The bucketing contract itself (zero-exchange SortMergeJoin when "
+        "broadcast is off / both sides are large — the 100 TB fact-fact "
+        "case) is pinned in tests/test_bucketing.py: with "
+        "autoBroadcastJoinThreshold=-1 the plan has SortMergeJoin and NO "
+        "Exchange hashpartitioning, the write-time shuffle amortizing "
+        "over every subsequent join."),
+    "sessionize": (
+        "Batch sessionization: ONE data exchange (hash on user_id); both "
+        "lag/running-sum windows share the same sort, and Catalyst "
+        "recognizes the (user_id, sess) and user_id aggregations are "
+        "satisfied by that partitioning — no exchange between the four "
+        "HashAggregates. The only other exchange orders the tiny per-user "
+        "output."),
+    "vector_knn": (
+        "Exact KNN scan: pruned columnar scan -> codegen-unrolled cosine "
+        "(scalar multiply/add tree inside WholeStageCodegen — no "
+        "interpreted higher-order functions on the hot path) -> "
+        "TakeOrderedAndProject(k). No exchange; each task keeps a k-row "
+        "heap and the driver merges k rows per task."),
 }
 
 
