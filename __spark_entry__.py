@@ -119,6 +119,24 @@ def q_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "label", "score"))
 
 
+def q_vector_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 generalization SURVEY §2.9 names outright ("top matches per
+    company"): top-3 most-similar vectors PER LABEL — one scan with the
+    codegen cosine, then rank-limit per group. Spark 3.5+ plans the
+    row_number ≤ k filter as WindowGroupLimit: each task keeps a k-row
+    heap per group BEFORE the single group-key shuffle, so shuffled bytes
+    are groups × k, not the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(),
+                                            F.col("vec_id").asc())
+    return (emb.withColumn("score", _score("embedding", qv))
+               .withColumn("rn", F.row_number().over(w).cast("long"))
+               .filter(F.col("rn") <= 3)
+               .select("label", "rn", "vec_id", "score")
+               .orderBy("label", "rn"))
+
+
 def q_vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1+J1: top-10 + metadata re-attach join (reference c11:12 v⋈jobs).
 
@@ -1379,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- and changed-in-r03 queries rotate to the front
         "dedup_clusters": q_dedup_clusters,
         "stream_dedup": q_stream_dedup,
+        "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "stateful_totals": q_stateful_totals,
@@ -1619,6 +1638,22 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "vector_topk_per_group": f"""
+            WITH scored AS (
+                SELECT label, vec_id,
+                       round(list_cosine_similarity(embedding::DOUBLE[],
+                                                    {_ORACLE_Q}), 2) AS score
+                FROM embeddings
+            ), r AS (
+                SELECT label, vec_id, score,
+                       row_number() OVER (PARTITION BY label
+                                          ORDER BY score DESC, vec_id ASC)
+                           AS rn
+                FROM scored
+            )
+            SELECT label, rn::BIGINT AS rn, vec_id, score
+            FROM r WHERE rn <= 3 ORDER BY label, rn
         """,
         "sessionize": """
             WITH x AS (

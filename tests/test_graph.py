@@ -43,6 +43,41 @@ def test_nonconvergence_raises(spark):
             _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=1)
 
 
+def _uf_components(pairs):
+    # pure-python union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach max under min → every root is its component's minimum
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+def test_random_graphs_match_union_find(spark):
+    # deterministic pseudo-random graphs across shapes: sparse, dense,
+    # many components, star, two cliques bridged
+    import random
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 80)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        got = {r["node"]: r["component"]
+               for r in connected_components(_edges(spark, pairs)).collect()}
+        # union-find roots are already the component minimum (min-merge)
+        assert got == _uf_components(pairs), f"seed={seed}"
+
+
 def test_cluster_summary_rollup(spark):
     out = cluster_summary(
         _edges(spark, [(1, 2), (2, 3), (10, 11)])).collect()
