@@ -125,6 +125,18 @@ class Engine:
                "jaccard": dedup.jaccard_similarity_join}
         return fns[method](df, text_col, id_col, **kw)
 
+    def dedup_clusters(self, table: str | DataFrame, text_col: str,
+                       id_col: str, method: str = "jaccard",
+                       **kw) -> DataFrame:
+        """Near-dup pairs collapsed to connected components: one row per
+        (node, component); keep the ``component`` (= min id) representative
+        per cluster and drop the rest."""
+        from pydata_vector_search_spark.operators.graph import \
+            connected_components
+        pairs = self.neardup_pairs(table, text_col, id_col,
+                                   method=method, **kw)
+        return connected_components(pairs, src="id_1", dst="id_2")
+
     def chunk(self, table: str | DataFrame, text_col: str, id_col: str,
               divisor: int = 32) -> DataFrame:
         """Content-defined chunking → (id, chunk_idx, chunk_text, n_tokens);

@@ -44,6 +44,19 @@ def test_neardup_via_engine(engine):
     assert {"id_1", "id_2", "jaccard"} <= set(pairs.columns)
 
 
+def test_dedup_clusters_via_engine(engine):
+    comps = engine.dedup_clusters("docs", "text", "doc_id", method="jaccard",
+                                  n=3, threshold=0.5)
+    rows = comps.collect()
+    assert set(comps.columns) == {"node", "component"}
+    # every member's component is the minimum id of its cluster
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.node)
+    for c, members in by_comp.items():
+        assert c == min(members)
+
+
 def test_upsert_via_engine(engine, spark):
     before = engine.table("emb").count()
     one = engine.table("emb").limit(1).withColumn("label", F.lit(999))
