@@ -12,12 +12,12 @@ Scale design
 
 ``connected_components`` is min-label propagation: every node repeatedly
 adopts the smallest label among itself and its neighbours until fixpoint.
-Each iteration is one shuffle-join (edges ⋈ labels on the neighbour key) and
-one groupBy-min — both hash-partitioned on node id, so an iteration costs
-O(|E|) shuffled bytes and the iteration count is the graph DIAMETER, not the
-node count. Near-dup graphs are unions of small dense cliques (diameter ≤ a
-few hops), so 3–5 iterations converge in practice; ``max_iter`` bounds the
-worst case and raises rather than returning a half-merged clustering.
+Each iteration is one shuffle-join (edges ⋈ labels on the neighbour key), a
+groupBy-min, and a labels self-join for the pointer jump — all
+hash-partitioned on node id, so an iteration costs O(|E| + |V|) shuffled
+bytes. Near-dup graphs are unions of small dense cliques, so 2–3
+iterations converge in practice; ``max_iter`` bounds the worst case and
+raises rather than returning a half-merged clustering.
 
 Per-iteration hygiene that matters at 100 TB:
 
@@ -29,12 +29,15 @@ Per-iteration hygiene that matters at 100 TB:
 * convergence is detected with a count of CHANGED labels (an aggregate over
   the already-materialized checkpoint, no recompute).
 
-For graphs with whale components (long chains / high diameter) the
-literature's fix is alternating large-star/small-star rounds
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14),
-which converges in O(log² n) rounds independent of diameter; the simple
-propagation below is the right trade for near-dup clustering where
-components are clique-like and shallow.
+Each round interleaves a POINTER-JUMP (path compression: every label is
+replaced by its label's label) with the neighbor-min step. Plain
+propagation needs diameter rounds — a chain of length d takes d
+iterations, the classic whale-component failure on 100 TB graphs.
+Pointer jumping shortcuts label chains exponentially (the same idea as
+the large-star/small-star rounds of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), giving O(log n) rounds
+independent of diameter — pinned by the 200-node-path test converging
+within 12 iterations.
 """
 
 from __future__ import annotations
@@ -67,10 +70,21 @@ def connected_components(edges: DataFrame, src: str = "src",
                                         F.col("component").alias("nbr_c")),
                           on="v")
                     .groupBy("u").agg(F.min("nbr_c").alias("nbr_c")))
-        new_labels = (labels.join(nbr_min, on="u", how="left")
+        stepped = (labels.join(nbr_min, on="u", how="left")
+                   .select("u",
+                           F.least("component",
+                                   F.coalesce("nbr_c", "component"))
+                            .alias("component")))
+        # pointer jump: component <- label(component). Labels only ever
+        # decrease, so least() keeps monotonicity; a component value is
+        # always some node's id, so the self-join resolves every row.
+        new_labels = (stepped.join(
+                          stepped.select(F.col("u").alias("component"),
+                                         F.col("component").alias("root")),
+                          on="component", how="left")
                       .select("u",
                               F.least("component",
-                                      F.coalesce("nbr_c", "component"))
+                                      F.coalesce("root", "component"))
                                .alias("component"))
                       .localCheckpoint(eager=True))
         changed = (new_labels.join(labels.withColumnRenamed("component", "old"),
@@ -83,7 +97,7 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
-        "(pathological diameter — switch to large-star/small-star)")
+        "(needs ~log2(n) rounds with pointer jumping — raise max_iter)")
 
 
 def cluster_summary(edges: DataFrame, src: str = "src",

@@ -43,6 +43,15 @@ def test_nonconvergence_raises(spark):
             _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=1)
 
 
+def test_long_path_converges_in_log_rounds(spark):
+    # Pointer jumping shortcuts label chains exponentially: a 200-node
+    # path (diameter 199) must converge well within 12 rounds — plain
+    # diameter-bound propagation would need ~199.
+    comps = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(200)]), max_iter=12)
+    assert {r["component"] for r in comps.collect()} == {0}
+
+
 def _uf_components(pairs):
     # pure-python union-find reference
     parent = {}
