@@ -883,6 +883,34 @@ def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance end-to-end through the correctness gate: bootstrap
+    a keyed table, apply two upsert commits (COW rewrites, the reference's
+    Hudi write semantics c8:17-23), then COMPACT — the small-files rewrite
+    (fewer files, history preserved) — and aggregate the final snapshot.
+    Hash-equality with the oracle proves compaction is content-preserving;
+    the file-count reduction itself is pinned in test_engine_facade."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000) \
+                                   .coalesce(4)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_maint_"))
+    cat.write("t", o, key="o_orderkey")                        # commit 1
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_orderstatus", F.lit("X")))     # commit 2
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") % 5 == 0)
+                 .withColumn("o_orderstatus", F.lit("Y")))     # commit 3
+    cat.compact("t", target_partitions=2)                      # maintenance
+    return (cat.load("t")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (the dedup mandate in streaming form): the
     events STREAM deduplicated on (user_id, event_type) with
@@ -1400,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "stateful_totals": q_stateful_totals,
+        "maintenance_cycle": q_maintenance_cycle,
         "ntile_buckets": q_ntile_buckets,
         "explode_tokens": q_explode_tokens,
         "scalar_subquery": q_scalar_subquery,
@@ -1701,6 +1730,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "maintenance_cycle": """
+            SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'Y'
+                        WHEN o_orderkey % 3 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey < 4000
+            GROUP BY 1 ORDER BY o_orderstatus
         """,
         "vector_knn": f"""
             SELECT e.vec_id, e.label,
