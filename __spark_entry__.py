@@ -1323,6 +1323,32 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("o_custkey", "o_orderkey"))
 
 
+def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered write → data-skipping scan (the Z-order/clustering
+    lever at 100 TB): lineitem is range-partitioned and sorted by
+    l_shipdate at WRITE time, so every parquet row group covers a narrow
+    date band and a date-range predicate prunes via row-group min/max
+    stats — the scan reads the band, not the table. The write is the
+    one-time cost that every subsequent time-filtered query amortizes
+    (same economics as write-time bucketing for joins). Correctness gate:
+    the range aggregate over the clustered copy must hash-match SQL over
+    the original rows."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="pvss_clustered_") + "/li"
+    (li.repartitionByRange(8, "l_shipdate")
+       .sortWithinPartitions("l_shipdate")
+       .write.mode("overwrite").parquet(path))
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") < "1996-04-01"))
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+            .orderBy("l_returnflag"))
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-training-pipeline cleaning query end-to-end: keep documents
     that pass language ID, quality score, and token-length gates — the
@@ -1429,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "stateful_totals": q_stateful_totals,
         "maintenance_cycle": q_maintenance_cycle,
+        "clustered_scan": q_clustered_scan,
         "ntile_buckets": q_ntile_buckets,
         "explode_tokens": q_explode_tokens,
         "scalar_subquery": q_scalar_subquery,
@@ -1730,6 +1757,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "clustered_scan": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1996-04-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "maintenance_cycle": """
             SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'Y'
