@@ -43,3 +43,23 @@ def test_bucketed_results_match_plain(spark, sf_dir, cat):
 
 def test_bucketed_reload_metadata(cat):
     assert cat.info("orders_b").num_buckets == 8
+
+
+def test_clustered_write_prunes_on_sort_key(spark, sf_dir, tmp_path):
+    """Sort-clustered write → the range predicate reaches the parquet scan
+    (PushedFilters on the sort key), enabling row-group min/max skipping."""
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_clustered")
+    (li.repartitionByRange(4, "l_shipdate")
+       .sortWithinPartitions("l_shipdate")
+       .write.mode("overwrite").parquet(path))
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") < "1996-04-01"))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert back.count() > 0
