@@ -1105,6 +1105,89 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("doc_id"))
 
 
+_CHUNK_QUERY_TEXT = "learning data model systems"
+
+
+def q_chunk_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG indexing pipeline under the hash gate: content-
+    defined chunking → executor-side mapInPandas embedding (Md5Encoder)
+    → codegen cosine top-10 chunks for a fixed query text. Composes three
+    independently-oracled stages (chunk_summary, embed_hash, vector_knn)
+    into one plan; the oracle replays every arithmetic step in SQL and the
+    query embedding is computed driver-side with the same encoder — the
+    reference's encode-then-search flow (demo.ipynb c7→c11) applied to
+    chunks instead of whole documents."""
+    from pydata_vector_search_spark.functions.vector import \
+        cosine_similarity_lit
+    from pydata_vector_search_spark.operators.chunking import chunk_texts
+    from pydata_vector_search_spark.operators.embedding import Md5Encoder
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = chunk_texts(docs, "text", "doc_id", divisor=32)
+    enc = Md5Encoder(dim=8)
+    emb = embed_text(chunks, "chunk_text", "embedding", encoder=enc)
+    qv = [float(v) for v in enc.encode_batch([_CHUNK_QUERY_TEXT])[0]]
+    return (emb.withColumn(
+                "score",
+                F.round(cosine_similarity_lit(F.col("embedding"), qv), 4))
+            .orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+            .limit(10)
+            .select("doc_id", "chunk_idx", "n_tokens", "score"))
+
+
+def _chunk_embed_knn_oracle() -> str:
+    import hashlib
+    import math
+
+    dim = 8
+    comps = [0.0] * dim
+    for tok in _CHUNK_QUERY_TEXT.lower().split():
+        for j in range(dim):
+            h = hashlib.md5(f"{tok}:{j}".encode()).hexdigest()[:8]
+            comps[j] += int(h, 16) / 2**32 - 0.5
+    nrm = math.sqrt(sum(c * c for c in comps))
+    q = [c / nrm for c in comps]
+    qnorm = repr(math.sqrt(sum(v * v for v in q)))
+
+    c_sums = ",\n                   ".join(
+        f"sum(('0x' || substr(md5(tok || ':{j}'), 1, 8))::BIGINT"
+        f" / 4294967296.0 - 0.5) AS c{j}" for j in range(dim))
+    cn = " + ".join(f"c{j}*c{j}" for j in range(dim))
+    e_cols = ", ".join(f"c{j} / sqrt({cn}) AS e{j}" for j in range(dim))
+    dot = " + ".join(f"e{j} * ({q[j]!r})" for j in range(dim))
+    en = " + ".join(f"e{j}*e{j}" for j in range(dim))
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+                WHERE doc_id < 200
+            ), t AS (
+                SELECT doc_id,
+                       generate_subscripts(tk, 1) - 1 AS pos,
+                       unnest(tk) AS tok
+                FROM toks
+            ), flagged AS (
+                SELECT doc_id, pos, tok,
+                       coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 = 0
+                                         THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                0)::BIGINT AS chunk_idx
+                FROM t
+            ), comps AS (
+                SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+                   {c_sums}
+                FROM flagged GROUP BY doc_id, chunk_idx
+            ), normed AS (
+                SELECT doc_id, chunk_idx, n_tokens, {e_cols} FROM comps
+            )
+            SELECT doc_id, chunk_idx, n_tokens,
+                   round(({dot}) / (sqrt({en}) * {qnorm}), 4) AS score
+            FROM normed
+            ORDER BY score DESC, doc_id, chunk_idx
+            LIMIT 10
+        """
+
+
 def q_chunk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (rolling-hash boundaries): per-chunk token
     count + fingerprint, reproduced exactly by the SQL oracle."""
@@ -1456,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_totals": q_stateful_totals,
         "maintenance_cycle": q_maintenance_cycle,
         "clustered_scan": q_clustered_scan,
+        "chunk_embed_knn": q_chunk_embed_knn,
         "ntile_buckets": q_ntile_buckets,
         "explode_tokens": q_explode_tokens,
         "scalar_subquery": q_scalar_subquery,
@@ -1758,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "chunk_embed_knn": _chunk_embed_knn_oracle(),
         "clustered_scan": """
             SELECT l_returnflag, count(*)::BIGINT AS n,
                    round(sum(l_extendedprice), 2) AS revenue
