@@ -72,6 +72,13 @@ def main() -> None:
     timed("jaccard join pairs", lambda: dedup.jaccard_similarity_join(
         bd, "text", "doc_id", max_shingle_df=1000).count())
 
+    from pydata_vector_search_spark.operators.graph import \
+        connected_components
+    timed("dedup clusters (CC + pointer jump)", lambda: connected_components(
+        dedup.jaccard_similarity_join(bd, "text", "doc_id",
+                                      max_shingle_df=1000),
+        src="id_1", dst="id_2").count())
+
     shutil.rmtree(out, ignore_errors=True)
 
 
