@@ -1215,6 +1215,23 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("format"))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: the 1→N mapInPandas fan-out (each
+    payload → n_frames rows of byte slices) aggregated per frame index.
+    The oracle reproduces the slicing arithmetic (step = max(1, len//n),
+    tail clamping, empty-slice fallback) from the payload lengths alone —
+    pinning that the fan-out emits exactly the rows and bytes a real
+    frame decoder would hand downstream."""
+    from pydata_vector_search_spark.operators import multimodal as M
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text")
+    frames = M.sample_frames(media, n_frames=4)
+    return (frames.groupBy(F.col("frame_idx").cast("long").alias("frame_idx"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_frames"),
+                 F.sum(F.length("frame")).cast("long").alias("total_bytes"))
+            .orderBy("frame_idx"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution (marker-stopword rule)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1540,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_cycle": q_maintenance_cycle,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
+        "multimodal_frames": q_multimodal_frames,
         "ntile_buckets": q_ntile_buckets,
         "explode_tokens": q_explode_tokens,
         "scalar_subquery": q_scalar_subquery,
@@ -1843,6 +1861,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "chunk_embed_knn": _chunk_embed_knn_oracle(),
+        "multimodal_frames": """
+            WITH f AS (
+                SELECT doc_id,
+                       octet_length(encode(text)) AS L,
+                       greatest(octet_length(encode(text)) // 4, 1) AS step
+                FROM documents
+            ), x AS (
+                SELECT doc_id, i AS frame_idx, L, step
+                FROM f, generate_series(0, 3) t(i)
+            )
+            SELECT frame_idx::BIGINT AS frame_idx,
+                   count(*)::BIGINT AS n_frames,
+                   sum(CASE WHEN least((frame_idx + 1) * step, L)
+                                 - frame_idx * step > 0
+                            THEN least((frame_idx + 1) * step, L)
+                                 - frame_idx * step
+                            ELSE least(1, L) END)::BIGINT AS total_bytes
+            FROM x GROUP BY frame_idx ORDER BY frame_idx
+        """,
         "clustered_scan": """
             SELECT l_returnflag, count(*)::BIGINT AS n,
                    round(sum(l_extendedprice), 2) AS revenue
