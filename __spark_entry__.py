@@ -911,6 +911,33 @@ def q_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def q_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER Hudi write operation ('delete'), completing the mutation
+    surface beside upsert: bootstrap → keyed upsert → predicate delete
+    (COW rewrite + tombstones in the commit log) → snapshot aggregate.
+    Hash-equality proves the delete removed exactly the predicate rows
+    and nothing else; tombstone retraction is pinned in
+    test_incremental."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000) \
+                                   .coalesce(4)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_del_"))
+    cat.write("t", o, key="o_orderkey")                        # commit 1
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_orderstatus", F.lit("X")))     # commit 2
+    delete_where(cat, "t", "o_orderkey % 7 = 0")               # commit 3
+    return (cat.load("t")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (the dedup mandate in streaming form): the
     events STREAM deduplicated on (user_id, event_type) with
@@ -1555,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "stateful_totals": q_stateful_totals,
         "maintenance_cycle": q_maintenance_cycle,
+        "keyed_delete": q_keyed_delete,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
@@ -1887,6 +1915,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= DATE '1996-01-01'
               AND l_shipdate < DATE '1996-04-01'
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "keyed_delete": """
+            SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderkey < 4000 AND o_orderkey % 7 != 0
+            GROUP BY 1 ORDER BY o_orderstatus
         """,
         "maintenance_cycle": """
             SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'Y'

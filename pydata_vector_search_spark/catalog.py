@@ -137,18 +137,23 @@ class Catalog:
     def _changes_root(self, name: str) -> str:
         return os.path.join(self.root, f"{name}__changes")
 
-    def log_commit(self, name: str, batch: DataFrame) -> int:
+    def log_commit(self, name: str, batch: DataFrame,
+                   op: str = "upsert") -> int:
         """Append a change batch to the table's commit log.
 
         The log is hive-partitioned by commit id (``commit=N/``), so an
         incremental read of commits > N is a PARTITION-PRUNED scan — cost
         proportional to the changed data, never to the table. Called by
-        ``upsert_table`` with the upsert batch; the snapshot itself holds
-        no history (it stays a plain COW parquet table)."""
+        ``upsert_table`` with the upsert batch and by ``delete_where``
+        with the removed rows as TOMBSTONES (``_deleted = true`` — the
+        CDC convention that lets incremental consumers retract); the
+        snapshot itself holds no history (it stays a plain COW parquet
+        table)."""
         info = self._tables[name]
         commit = info.last_commit + 1
-        batch.write.mode("overwrite").parquet(
-            os.path.join(self._changes_root(name), f"commit={commit}"))
+        (batch.withColumn("_deleted", F.lit(op == "delete"))
+              .write.mode("overwrite").parquet(
+                  os.path.join(self._changes_root(name), f"commit={commit}")))
         info.last_commit = commit
         self._persist()
         return commit
@@ -174,7 +179,9 @@ class Catalog:
                 "consume incrementally with since_commit >= 1")
         croot = self._changes_root(name)
         if since_commit >= info.last_commit or not os.path.isdir(croot):
-            empty = self.load(name).withColumn("commit", F.lit(0).cast("int"))
+            empty = (self.load(name)
+                     .withColumn("_deleted", F.lit(False))
+                     .withColumn("commit", F.lit(0).cast("int")))
             return empty.filter(F.lit(False))
         df = self.spark.read.parquet(croot).filter(F.col("commit") > since_commit)
         if latest_only and info.key:

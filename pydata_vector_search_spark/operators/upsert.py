@@ -89,3 +89,47 @@ def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> 
     tmp = merged.localCheckpoint(eager=True) if merged.isStreaming is False else merged
     catalog.write(name, tmp, key=key, mode="overwrite",
                   partition_by=info.partition_by or None, reset_history=False)
+
+
+def delete_where(catalog, name: str, predicate) -> int:
+    """Keyed delete — the OTHER Hudi write operation ('delete'): rows
+    matching ``predicate`` are removed by COW rewrite, and the removed
+    rows are logged to the commit log as tombstones (``_deleted=true``)
+    so incremental consumers can retract them downstream.
+
+    Partitioned tables rewrite only the partitions containing matches
+    (dynamic partition overwrite) — work proportional to affected data,
+    the same economics as the partition-scoped upsert. Returns the number
+    of rows deleted; a no-match delete writes nothing and logs nothing."""
+    import operator
+    from functools import reduce
+
+    info = catalog.info(name)
+    old = catalog.load(name)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    doomed = old.filter(cond).localCheckpoint(eager=True)
+    n = doomed.count()
+    if n == 0:
+        return 0
+    catalog.log_commit(name, doomed, op="delete")
+
+    if info.partition_by:
+        touched = [tuple(r) for r in
+                   doomed.select(*info.partition_by).distinct().collect()]
+        pred = reduce(operator.or_, [
+            reduce(operator.and_,
+                   [F.col(c).eqNullSafe(F.lit(v))
+                    for c, v in zip(info.partition_by, p)])
+            for p in touched])
+        kept = old.filter(pred).filter(~cond)
+        (kept.localCheckpoint(eager=True)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(*info.partition_by)
+             .parquet(info.path))
+        return n
+
+    kept = old.filter(~cond).localCheckpoint(eager=True)
+    catalog.write(name, kept, key=info.key, mode="overwrite",
+                  reset_history=False)
+    return n

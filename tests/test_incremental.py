@@ -64,7 +64,7 @@ def test_incremental_caught_up_is_empty(spark, cat):
     # fresh table with no upserts yet: empty too, with a stable schema
     cat.write("u", _df(spark, [(9, "z")]), key="k")
     out = cat.read_incremental("u", 1)
-    assert out.count() == 0 and set(out.columns) == {"k", "v", "commit"}
+    assert out.count() == 0 and set(out.columns) == {"k", "v", "_deleted", "commit"}
 
 
 def test_incremental_bootstrap_guard(spark, cat):
@@ -183,3 +183,26 @@ def test_partitioned_upsert_logs_commits(spark, cat):
     # empty batch stays a full no-op: no rewrite, no commit
     upsert_table(cat, "t", new.filter(F.lit(False)))
     assert cat.current_commit("t") == 2
+
+
+def test_delete_where_removes_rows_and_logs_tombstones(spark, cat):
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    cat.write("d", _df(spark, [(1, "a"), (2, "b"), (3, "c")]), key="k")
+    upsert_table(cat, "d", _df(spark, [(2, "b2")]))
+    n = delete_where(cat, "d", "k = 2")
+    assert n == 1
+    assert sorted((r.k, r.v) for r in cat.load("d").collect()) == \
+        [(1, "a"), (3, "c")]
+    # incremental consumers see the tombstone as the key's latest state
+    inc = cat.read_incremental("d", 1)
+    by_key = {r.k: (r.v, r._deleted) for r in inc.collect()}
+    assert by_key[2] == ("b2", True)
+
+
+def test_delete_where_no_match_is_noop(spark, cat):
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    cat.write("d2", _df(spark, [(1, "a")]), key="k")
+    before = cat.current_commit("d2")
+    assert delete_where(cat, "d2", "k = 99") == 0
+    assert cat.current_commit("d2") == before
+    assert cat.load("d2").count() == 1
