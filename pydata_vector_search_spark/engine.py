@@ -61,6 +61,11 @@ class Engine:
     def upsert(self, table: str, new: DataFrame, key: str | None = None) -> None:
         upsert_op.upsert_table(self.catalog, table, new, key=key)
 
+    def delete_where(self, table: str, predicate) -> int:
+        """Predicate delete (COW rewrite + CDC tombstones); returns rows
+        removed."""
+        return upsert_op.delete_where(self.catalog, table, predicate)
+
     # -- incremental pull (the reference stack's Hudi incremental query) --
     def read_incremental(self, table: str, since_commit: int,
                          latest_only: bool = True) -> DataFrame:

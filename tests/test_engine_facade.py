@@ -66,6 +66,15 @@ def test_upsert_via_engine(engine, spark):
     assert after.filter(F.col("label") == 999).count() == 1
 
 
+def test_delete_via_engine(engine, spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    engine.ingest(df, "del_t", key="k")
+    assert engine.delete_where("del_t", "k = 2") == 1
+    assert sorted(r.k for r in engine.table("del_t").collect()) == [1, 3]
+
+
 def test_catalog_compact_reduces_files(spark, tmp_path):
     import glob
 
