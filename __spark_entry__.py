@@ -911,6 +911,23 @@ def q_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 semi-structured, Spark-4 native: the JSON props column parsed
+    ONCE into a VARIANT (binary semi-structured encoding) and then
+    path-extracted with a type — the at-scale answer to string JSON,
+    where every get_json_object call re-parses the string. Same result
+    contract as the string-JSON spelling (events_json_window family), so
+    the oracle is plain SQL json extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return (v.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(k).cast("long").alias("sum_k"),
+                 F.max(k).cast("long").alias("max_k"))
+            .orderBy("event_type"))
+
+
 def q_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OTHER Hudi write operation ('delete'), completing the mutation
     surface beside upsert: bootstrap → keyed upsert → predicate delete
@@ -1583,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_totals": q_stateful_totals,
         "maintenance_cycle": q_maintenance_cycle,
         "keyed_delete": q_keyed_delete,
+        "variant_json": q_variant_json,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
@@ -1915,6 +1933,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= DATE '1996-01-01'
               AND l_shipdate < DATE '1996-04-01'
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "variant_json": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
+                   max((props->>'$.k')::BIGINT)::BIGINT AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "keyed_delete": """
             SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X'
