@@ -1095,6 +1095,19 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREFIX-FILTERED exact Jaccard join (Bayardo et al. WWW'07):
+    candidates only from each doc's rarest-first shingle prefix — the
+    plan that wins on Zipfian corpora where hot shingles blow up the
+    count-based join. Same oracle as jaccard_join: the two physical
+    strategies must be output-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.jaccard_similarity_join_prefix(docs, "text", "doc_id",
+                                                 n=3, threshold=0.5)
+                 .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+                 .orderBy("id_1", "id_2"))
+
+
 def q_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup scan: top-20 most-similar embedding pairs."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1601,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_cycle": q_maintenance_cycle,
         "keyed_delete": q_keyed_delete,
         "variant_json": q_variant_json,
+        "jaccard_prefix": q_jaccard_prefix,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
@@ -2451,6 +2465,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),
         "jaccard_join": f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+            )
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ORDER BY id_1, id_2
+        """,
+"jaccard_prefix": f"""
             WITH toks AS (
                 SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents
             ), sh AS (
