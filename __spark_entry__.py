@@ -1614,7 +1614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_cycle": q_maintenance_cycle,
         "keyed_delete": q_keyed_delete,
         "variant_json": q_variant_json,
-        "jaccard_prefix": q_jaccard_prefix,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
@@ -1653,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "jaccard_join": q_jaccard_join,
+        "jaccard_prefix": q_jaccard_prefix,
         "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "embed_hash": q_embed_hash,
