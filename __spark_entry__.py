@@ -964,13 +964,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type is deterministic — and SQL-oracle-able as COUNT(DISTINCT).
     The bounded-state variant (``dropDuplicatesWithinWatermark``) is
     exercised in tests; its output is eviction-dependent by design, so the
-    declared query uses the global form."""
+    declared query uses the global form — with NO watermark: a watermark
+    on global ``dropDuplicates`` would let multi-micro-batch runs (e.g.
+    maxFilesPerTrigger) drop late rows BEFORE dedup, breaking the
+    COUNT(DISTINCT) equivalence the oracle asserts."""
     import uuid as _uuid
 
     from pydata_vector_search_spark import streaming as S
 
     ev = S.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    dd = S.dedup_stream(ev, ["user_id", "event_type"], watermark="1 day")
+    dd = S.dedup_stream(ev, ["user_id", "event_type"], watermark=None)
     name = f"q_stream_dedup_{_uuid.uuid4().hex[:8]}"
     q = (dd.select("user_id", "event_type")
            .writeStream.format("memory").queryName(name)

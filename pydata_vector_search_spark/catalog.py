@@ -183,7 +183,16 @@ class Catalog:
                      .withColumn("_deleted", F.lit(False))
                      .withColumn("commit", F.lit(0).cast("int")))
             return empty.filter(F.lit(False))
-        df = self.spark.read.parquet(croot).filter(F.col("commit") > since_commit)
+        # mergeSchema: a persisted catalog can mix pre-``_deleted`` commit
+        # files with current ones; without it the schema is picked from one
+        # footer and the tombstone column can vanish for incremental readers.
+        df = (self.spark.read.option("mergeSchema", "true").parquet(croot)
+              .filter(F.col("commit") > since_commit))
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        else:
+            df = df.withColumn("_deleted",
+                               F.coalesce(F.col("_deleted"), F.lit(False)))
         if latest_only and info.key:
             w = Window.partitionBy(info.key).orderBy(F.col("commit").desc())
             df = (df.withColumn("__rn", F.row_number().over(w))

@@ -99,10 +99,21 @@ def delete_where(catalog, name: str, predicate) -> int:
 
     Partitioned tables rewrite only the partitions containing matches
     (dynamic partition overwrite) — work proportional to affected data,
-    the same economics as the partition-scoped upsert. Returns the number
-    of rows deleted; a no-match delete writes nothing and logs nothing."""
+    the same economics as the partition-scoped upsert. A touched partition
+    left with ZERO surviving rows contributes nothing to the dynamic
+    overwrite, so its directory is dropped explicitly (located via the
+    doomed rows' ``input_file_name`` — ground truth, no path-escaping
+    guesswork). Returns the number of rows deleted; a no-match delete
+    writes nothing and logs nothing.
+
+    SQL DELETE semantics: only rows where the predicate is TRUE are
+    deleted; rows where it evaluates to NULL are retained (``kept``
+    filters on ``NOT coalesce(pred, false)``, not ``NOT pred``)."""
     import operator
+    import os
+    import shutil
     from functools import reduce
+    from urllib.parse import unquote, urlparse
 
     info = catalog.info(name)
     old = catalog.load(name)
@@ -112,6 +123,8 @@ def delete_where(catalog, name: str, predicate) -> int:
     if n == 0:
         return 0
     catalog.log_commit(name, doomed, op="delete")
+    # NULL-predicate rows are neither doomed nor dropped: keep = NOT TRUE.
+    keep_cond = ~F.coalesce(cond, F.lit(False))
 
     if info.partition_by:
         touched = [tuple(r) for r in
@@ -121,15 +134,35 @@ def delete_where(catalog, name: str, predicate) -> int:
                    [F.col(c).eqNullSafe(F.lit(v))
                     for c, v in zip(info.partition_by, p)])
             for p in touched])
-        kept = old.filter(pred).filter(~cond)
-        (kept.localCheckpoint(eager=True)
-             .write.mode("overwrite")
+        kept = (old.filter(pred).filter(keep_cond)
+                   .localCheckpoint(eager=True))
+        survivors = {tuple(r) for r in
+                     kept.select(*info.partition_by).distinct().collect()}
+        emptied = [p for p in touched if p not in survivors]
+        empty_dirs: set[str] = set()
+        if emptied:
+            # Resolve the emptied partitions' directories BEFORE the
+            # rewrite, from the actual files (dynamic overwrite would
+            # otherwise never touch a partition with no surviving rows
+            # and the deleted rows would survive on disk).
+            empty_pred = reduce(operator.or_, [
+                reduce(operator.and_,
+                       [F.col(c).eqNullSafe(F.lit(v))
+                        for c, v in zip(info.partition_by, p)])
+                for p in emptied])
+            files = [r[0] for r in old.filter(empty_pred)
+                     .select(F.input_file_name()).distinct().collect()]
+            empty_dirs = {os.path.dirname(unquote(urlparse(f).path))
+                          for f in files}
+        (kept.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy(*info.partition_by)
              .parquet(info.path))
+        for d in empty_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         return n
 
-    kept = old.filter(~cond).localCheckpoint(eager=True)
+    kept = old.filter(keep_cond).localCheckpoint(eager=True)
     catalog.write(name, kept, key=info.key, mode="overwrite",
                   reset_history=False)
     return n

@@ -210,8 +210,14 @@ def read_changes_stream(spark: SparkSession, catalog, table: str) -> DataFrame:
     At scale this is the standard lakehouse CDC pattern: the log is
     append-only, listing cost is proportional to new commits, and the
     snapshot table never carries history columns.
+
+    The stream schema mirrors ``read_incremental``'s contract: commit rows
+    carry ``_deleted`` (tombstones from ``delete_where``) so CDC consumers
+    can retract — without it a downstream upsert sink would resurrect
+    deleted keys. Pre-``_deleted`` commit files surface NULL for the
+    column; it is coalesced to false (those commits were all upserts).
     """
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import BooleanType, IntegerType
 
     info = catalog.info(table)
     root = catalog._changes_root(table)
@@ -220,10 +226,14 @@ def read_changes_stream(spark: SparkSession, catalog, table: str) -> DataFrame:
         raise ValueError(
             f"table {info.name!r} has no change log yet (no upsert commits); "
             "bootstrap consumers read the snapshot via catalog.load()")
-    schema = catalog.load(table).schema.add("commit", IntegerType())
-    return (spark.readStream.schema(schema)
-            .option("basePath", root)
-            .parquet(root))
+    schema = (catalog.load(table).schema
+              .add("_deleted", BooleanType())
+              .add("commit", IntegerType()))
+    df = (spark.readStream.schema(schema)
+          .option("basePath", root)
+          .parquet(root))
+    return df.withColumn("_deleted",
+                         F.coalesce(F.col("_deleted"), F.lit(False)))
 
 
 def stream_upsert_sink(stream_df: DataFrame, catalog, table: str, key: str,

@@ -206,3 +206,85 @@ def test_delete_where_no_match_is_noop(spark, cat):
     assert delete_where(cat, "d2", "k = 99") == 0
     assert cat.current_commit("d2") == before
     assert cat.load("d2").count() == 1
+
+
+def test_delete_where_drops_fully_deleted_partition(spark, cat):
+    """A partition whose rows ALL match the predicate must be removed from
+    disk — dynamic partition overwrite alone never rewrites a partition
+    that contributes zero surviving rows."""
+    import os
+
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2")],
+        "k int, v string, part string")
+    cat.write("pd", df, key="k", partition_by=["part"])
+    n = delete_where(cat, "pd", "part = 'p1'")
+    assert n == 2
+    got = sorted((r.k, r.part) for r in cat.load("pd").collect())
+    assert got == [(3, "p2"), (4, "p2")]
+    # the emptied partition dir is gone, not just unlisted
+    assert not os.path.isdir(os.path.join(cat.info("pd").path, "part=p1"))
+    # tombstones logged for every deleted row
+    inc = cat.read_incremental("pd", 1, latest_only=False)
+    assert sorted(r.k for r in inc.filter("_deleted").collect()) == [1, 2]
+
+
+def test_delete_where_null_predicate_rows_survive(spark, cat):
+    """SQL DELETE removes rows where the predicate is TRUE; NULL-predicate
+    rows are retained (and not silently dropped from the rewrite)."""
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 30)], "k int, x int")
+    cat.write("nd", df, key="k")
+    n = delete_where(cat, "nd", "x > 15")
+    assert n == 1
+    assert sorted(r.k for r in cat.load("nd").collect()) == [1, 2]
+
+
+def test_delete_where_null_predicate_partitioned(spark, cat):
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    df = spark.createDataFrame(
+        [(1, 20, "p1"), (2, None, "p1"), (3, 5, "p2")],
+        "k int, x int, part string")
+    cat.write("npd", df, key="k", partition_by=["part"])
+    n = delete_where(cat, "npd", "x > 15")
+    assert n == 1
+    assert sorted(r.k for r in cat.load("npd").collect()) == [2, 3]
+
+
+def test_stream_changes_carries_tombstones(spark, cat, tmp_path):
+    """Streaming CDC consumers must see delete commits as tombstones
+    (_deleted=true), mirroring read_incremental's contract — otherwise a
+    downstream upsert sink resurrects deleted keys."""
+    from pydata_vector_search_spark import streaming as S
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    cat.write("cd", _df(spark, [(1, "a"), (2, "b")]), key="k")
+    upsert_table(cat, "cd", _df(spark, [(2, "b2")]))     # commit 2
+    delete_where(cat, "cd", "k = 1")                     # commit 3
+    st = S.read_changes_stream(spark, cat, "cd")
+    assert "_deleted" in st.columns
+    q = (st.writeStream.format("memory").queryName("cdc_tomb")
+         .option("checkpointLocation", str(tmp_path / "ck_tomb"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.k, r.commit): r._deleted
+            for r in spark.table("cdc_tomb").collect()}
+    assert rows[(2, 2)] is False
+    assert rows[(1, 3)] is True
+
+
+def test_incremental_merges_legacy_commits_without_deleted(spark, cat):
+    """Change logs written before the _deleted column existed must still
+    read: mergeSchema unions footers and the missing flag coalesces to
+    false (those commits were all upserts)."""
+    import os
+    cat.write("lg", _df(spark, [(1, "a")]), key="k")
+    croot = cat._changes_root("lg")
+    # simulate a legacy (pre-_deleted) commit file
+    _df(spark, [(1, "a2")]).write.parquet(os.path.join(croot, "commit=2"))
+    cat.info("lg").last_commit = 2
+    cat._persist()
+    upsert_table(cat, "lg", _df(spark, [(2, "b")]))      # commit 3, new-style
+    inc = cat.read_incremental("lg", 1, latest_only=False)
+    got = {(r.k, r.commit): r._deleted for r in inc.collect()}
+    assert got == {(1, 2): False, (2, 3): False}
