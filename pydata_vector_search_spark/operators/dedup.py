@@ -600,14 +600,20 @@ def cosine_threshold_pairs(df: DataFrame, vector_col: str, id_col: str,
 
 
 def cosine_neardup_pairs(df: DataFrame, vector_col: str, id_col: str,
-                         threshold: float = 0.95) -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact, brute force)."""
-    a = df.select(F.col(id_col).alias("id_1"), F.col(vector_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_2"), F.col(vector_col).alias("__vb"))
-    return (a.join(b, F.col("id_1") < F.col("id_2"))
-             .withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
-             .filter(F.col("cos_sim") >= threshold)
-             .select("id_1", "id_2", "cos_sim"))
+                         threshold: float = 0.95, round_to: int = 9,
+                         num_blocks: int = 8) -> DataFrame:
+    """All pairs with (rounded) cosine ≥ threshold — exact coverage.
+
+    Delegates to the hash-blocked BLAS plan (``cosine_threshold_pairs``):
+    the earlier theta-join spelling (``a.join(b, id_1 < id_2)``) shipped
+    every O(n²) pair through the join machinery with an interpreted HOF
+    cosine per pair — correct but quadratic through the slowest path; the
+    blocked form covers the same pair space in B(B+1)/2 matmul groups.
+    ``round_to`` defaults high (9 dp) so the threshold cut matches the
+    old unrounded behavior to float precision."""
+    return cosine_threshold_pairs(df, vector_col, id_col,
+                                  threshold=threshold, round_to=round_to,
+                                  num_blocks=num_blocks)
 
 
 def lsh_planes(dim: int, num_planes: int, seed: int = 42):

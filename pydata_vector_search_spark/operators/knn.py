@@ -97,7 +97,8 @@ def knn_join(left: DataFrame, right: DataFrame, vector_col: str,
              left_id: str = "left_id", right_id: str = "right_id",
              distance_col: str = "_distance",
              round_to: int | None = None,
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             max_pairs: int | None = 100_000_000) -> DataFrame:
     """For every left row, its k nearest right rows (brute-force block
     nested-loop + per-left-key top-k via window).
 
@@ -109,11 +110,26 @@ def knn_join(left: DataFrame, right: DataFrame, vector_col: str,
     |Q|·|corpus| pair stream it beats both the interpreted HOF (~30×) and
     the unrolled scalar form (whose hundred-term methods cost 1.5-2s of
     Janino per stage at dim=64). ``dim`` kept for signature compatibility.
-    For huge query sets use the IVF probe join (ann.ivf_knn_join) instead.
+
+    This is the EXACT/oracle form: cost is O(|left|·|right|) pairs. The
+    ``max_pairs`` safety valve (two cheap counts — parquet metadata for the
+    corpus side) refuses plans above the cap and points at the sub-linear
+    IVF probe join (ann.ivf_knn_join); pass ``max_pairs=None`` to force a
+    known-large exact run.
     """
     from pyspark.sql import Window
 
     from pydata_vector_search_spark.functions.vector import distance_arrow
+
+    if max_pairs is not None:
+        n_l, n_r = left.count(), right.count()
+        if n_l * n_r > max_pairs:
+            raise ValueError(
+                f"knn_join is brute-force: {n_l} x {n_r} = {n_l * n_r:,} "
+                f"pairs exceeds max_pairs={max_pairs:,}. Use "
+                "ann.ivf_knn_join (IVF probe equi-join, bounded by "
+                "|Q|*nprobe) for large query sets, or pass max_pairs=None "
+                "to force the exact cross product.")
 
     lv, rv = f"__lvec", f"__rvec"
     l = left.select(F.col(left_id), F.col(vector_col).alias(lv))

@@ -75,3 +75,13 @@ def test_knn_join_shapes(emb, qvec, spark):
         by_left.setdefault(r.left_id, []).append(r)
     for lid, rows in by_left.items():
         assert any(r.right_id == lid for r in rows)  # self among neighbors
+
+
+def test_knn_join_max_pairs_guard(emb, spark):
+    queries = emb.select(F.col("vec_id").alias("left_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    with pytest.raises(ValueError, match="ivf_knn_join"):
+        knn.knn_join(queries, corpus, "embedding", k=2, max_pairs=10)
+    # explicit opt-out still runs
+    assert len(knn.knn_join(queries, corpus, "embedding", k=1,
+                            max_pairs=None).collect()) > 0
