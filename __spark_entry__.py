@@ -1586,6 +1586,38 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("commit_id", "o_orderstatus"))
 
 
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (the Hudi commit-timeline semantics the
+    reference stack configures, demo.ipynb c8:20-24): bootstrap → keyed
+    upsert → predicate delete, then read the table AS OF each commit —
+    the reproducible-training-run contract. ``read_asof`` replays the
+    commit log (last-write-wins per key minus tombstones), cost ∝ log
+    size through the asked-for commit, partition-pruned on commit dirs.
+    The oracle replays the same three states in pure SQL; hash equality
+    proves every historical state is reconstructed exactly."""
+    import tempfile
+    from functools import reduce
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000) \
+                                   .coalesce(4)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_tt_"))
+    cat.write("t", o, key="o_orderkey")                        # commit 1
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_orderstatus", F.lit("X")))     # commit 2
+    delete_where(cat, "t", "o_orderkey % 7 = 0")               # commit 3
+    states = [cat.read_asof("t", c).withColumn("commit_id", F.lit(c))
+              for c in (1, 2, 3)]
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return (u.groupBy("commit_id", "o_orderstatus")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total"))
+             .orderBy("commit_id", "o_orderstatus"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1632,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_window": q_range_frame_window,
         "corpus_filter": q_corpus_filter,
         "incremental_read": q_incremental_read,
+        "time_travel_read": q_time_travel_read,
         "approx_distinct": q_approx_distinct,
         "vector_knn_l2": q_vector_knn_l2,
         "stream_static_join": q_stream_static_join,
@@ -1956,6 +1989,25 @@ def oracle_sql() -> dict[str, str]:
                    sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
                    max((props->>'$.k')::BIGINT)::BIGINT AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "time_travel_read": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey < 3000
+            ), all_states AS (
+                SELECT 1 AS commit_id, o_orderstatus, o_totalprice FROM base
+                UNION ALL
+                SELECT 2, CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                               ELSE o_orderstatus END, o_totalprice FROM base
+                UNION ALL
+                SELECT 3, CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                               ELSE o_orderstatus END, o_totalprice
+                FROM base WHERE o_orderkey % 7 != 0
+            )
+            SELECT commit_id, o_orderstatus, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM all_states GROUP BY commit_id, o_orderstatus
+            ORDER BY commit_id, o_orderstatus
         """,
         "keyed_delete": """
             SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X'

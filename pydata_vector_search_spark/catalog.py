@@ -111,6 +111,16 @@ class Catalog:
                          last_commit=last)
         self._tables[name] = info
         self._persist()
+        if reset_history and key is not None:
+            # Record the bootstrap as commit 1 so the change log is a
+            # COMPLETE history and ``read_asof`` can reconstruct any
+            # commit by replay. Logged by re-reading the just-written
+            # snapshot (a columnar copy — cheaper than re-running an
+            # arbitrary upstream plan); this is the storage price of
+            # retained history, the same trade Hudi/Delta make by
+            # keeping superseded files. Keyless tables skip it (no
+            # merge identity → no time travel).
+            self.log_commit(name, self.spark.read.parquet(path), commit=1)
         return info
 
     def write_bucketed(self, name: str, df: DataFrame, key: str,
@@ -138,7 +148,7 @@ class Catalog:
         return os.path.join(self.root, f"{name}__changes")
 
     def log_commit(self, name: str, batch: DataFrame,
-                   op: str = "upsert") -> int:
+                   op: str = "upsert", commit: int | None = None) -> int:
         """Append a change batch to the table's commit log.
 
         The log is hive-partitioned by commit id (``commit=N/``), so an
@@ -148,14 +158,20 @@ class Catalog:
         with the removed rows as TOMBSTONES (``_deleted = true`` — the
         CDC convention that lets incremental consumers retract); the
         snapshot itself holds no history (it stays a plain COW parquet
-        table)."""
+        table).
+
+        An explicit ``commit`` writes that log partition without bumping
+        ``last_commit`` — used by ``write`` to record the bootstrap as
+        commit 1 (the basis for ``read_asof`` time travel)."""
         info = self._tables[name]
-        commit = info.last_commit + 1
+        bump = commit is None
+        commit = info.last_commit + 1 if commit is None else commit
         (batch.withColumn("_deleted", F.lit(op == "delete"))
               .write.mode("overwrite").parquet(
                   os.path.join(self._changes_root(name), f"commit={commit}")))
-        info.last_commit = commit
-        self._persist()
+        if bump:
+            info.last_commit = commit
+            self._persist()
         return commit
 
     def current_commit(self, name: str) -> int:
@@ -198,6 +214,47 @@ class Catalog:
             df = (df.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1).drop("__rn"))
         return df
+
+    def read_asof(self, name: str, commit: int) -> DataFrame:
+        """Snapshot time travel: the table's state AS OF ``commit``.
+
+        The Hudi-timeline semantics the reference stack configures
+        (demo.ipynb c8:20-24): reads against an earlier commit see the
+        table as it was then — the reproducible-training-run contract.
+        Reconstruction is a replay of the commit log up to ``commit``:
+        last-write-wins per key (window on commit desc), minus tombstoned
+        keys. Cost ∝ the log through commit N (partition-pruned on the
+        hive ``commit=`` dirs), never the live table; asking for the
+        current commit short-circuits to the plain snapshot scan.
+
+        Requires a record key and a complete history (tables bootstrapped
+        before bootstrap-logging, or written with ``reset_history=False``
+        compaction only, can't replay commit 1)."""
+        info = self._tables[name]
+        if commit < 1:
+            raise ValueError("commits start at 1 (the bootstrap load)")
+        if commit >= info.last_commit:
+            return self.load(name)
+        if info.key is None:
+            raise ValueError(
+                f"table {name!r} has no record key; time travel requires "
+                "keyed last-write-wins history")
+        boot = os.path.join(self._changes_root(name), "commit=1")
+        if not os.path.isdir(boot):
+            raise ValueError(
+                f"table {name!r} has no bootstrap commit in its change "
+                "log (created before bootstrap logging, or history was "
+                "compacted away); read_asof cannot replay")
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(self._changes_root(name))
+              .filter(F.col("commit") <= commit))
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        w = Window.partitionBy(info.key).orderBy(F.col("commit").desc())
+        return (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                  .drop("__rn", "_deleted", "commit"))
 
     # -- access ------------------------------------------------------------
     def load(self, name: str) -> DataFrame:

@@ -77,6 +77,12 @@ class Engine:
     def current_commit(self, table: str) -> int:
         return self.catalog.current_commit(table)
 
+    def read_asof(self, table: str, commit: int) -> DataFrame:
+        """Snapshot time travel: the table's state as of ``commit`` —
+        commit-log replay (last-write-wins minus tombstones). See
+        Catalog.read_asof."""
+        return self.catalog.read_asof(table, commit)
+
     def stream_changes(self, table: str) -> DataFrame:
         """CDC tail-follow: a streaming DataFrame over the table's commit
         log (exactly-once per change batch via the consumer's checkpoint)."""

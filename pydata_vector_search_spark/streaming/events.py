@@ -232,8 +232,12 @@ def read_changes_stream(spark: SparkSession, catalog, table: str) -> DataFrame:
     df = (spark.readStream.schema(schema)
           .option("basePath", root)
           .parquet(root))
-    return df.withColumn("_deleted",
-                         F.coalesce(F.col("_deleted"), F.lit(False)))
+    # commit 1 is the bootstrap load (logged for read_asof time travel),
+    # not a change — CDC consumers read the initial state via the
+    # snapshot; the partition-column filter prunes those files unread.
+    return (df.filter(F.col("commit") > 1)
+              .withColumn("_deleted",
+                          F.coalesce(F.col("_deleted"), F.lit(False))))
 
 
 def stream_upsert_sink(stream_df: DataFrame, catalog, table: str, key: str,

@@ -165,8 +165,9 @@ def test_replay_reconstructs_snapshot(spark, cat):
 
 
 def test_stream_changes_requires_commits(spark, cat):
+    # keyless tables log no bootstrap and take no upserts → no change log
     from pydata_vector_search_spark.streaming import read_changes_stream
-    cat.write("t", _df(spark, [(1, "a")]), key="k")
+    cat.write("t", _df(spark, [(1, "a")]))
     with pytest.raises(ValueError):
         read_changes_stream(spark, cat, "t")
 
@@ -288,3 +289,55 @@ def test_incremental_merges_legacy_commits_without_deleted(spark, cat):
     inc = cat.read_incremental("lg", 1, latest_only=False)
     got = {(r.k, r.commit): r._deleted for r in inc.collect()}
     assert got == {(1, 2): False, (2, 3): False}
+
+
+def test_read_asof_replays_each_commit(spark, cat):
+    """Time travel: bootstrap → upsert → delete; read_asof(N) equals the
+    state the snapshot had right after commit N."""
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    cat.write("tt", _df(spark, [(1, "a"), (2, "b"), (3, "c")]), key="k")
+    upsert_table(cat, "tt", _df(spark, [(2, "B"), (4, "d")]))   # commit 2
+    delete_where(cat, "tt", "k = 1")                            # commit 3
+    upsert_table(cat, "tt", _df(spark, [(1, "a2")]))            # commit 4
+
+    def state(n):
+        return sorted((r.k, r.v) for r in cat.read_asof("tt", n).collect())
+
+    assert state(1) == [(1, "a"), (2, "b"), (3, "c")]
+    assert state(2) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert state(3) == [(2, "B"), (3, "c"), (4, "d")]
+    assert state(4) == [(1, "a2"), (2, "B"), (3, "c"), (4, "d")]
+    # as-of current commit == live snapshot
+    assert state(4) == sorted((r.k, r.v) for r in cat.load("tt").collect())
+
+
+def test_read_asof_guards(spark, cat):
+    cat.write("g1", _df(spark, [(1, "a")]))          # keyless
+    cat.log_commit("g1", _df(spark, [(2, "b")]))     # commit 2 (append-ish)
+    with pytest.raises(ValueError, match="record key"):
+        cat.read_asof("g1", 1)
+    with pytest.raises(ValueError, match="commits start at 1"):
+        cat.read_asof("g1", 0)
+
+
+def test_read_asof_requires_bootstrap_log(spark, cat):
+    import os
+    import shutil
+    cat.write("g2", _df(spark, [(1, "a")]), key="k")
+    upsert_table(cat, "g2", _df(spark, [(2, "b")]))
+    shutil.rmtree(os.path.join(cat._changes_root("g2"), "commit=1"))
+    with pytest.raises(ValueError, match="bootstrap"):
+        cat.read_asof("g2", 1)
+
+
+def test_stream_changes_excludes_bootstrap_commit(spark, cat, tmp_path):
+    from pydata_vector_search_spark import streaming as S
+    cat.write("sb", _df(spark, [(1, "a"), (2, "b")]), key="k")
+    upsert_table(cat, "sb", _df(spark, [(2, "B")]))
+    st = S.read_changes_stream(spark, cat, "sb")
+    q = (st.writeStream.format("memory").queryName("sb_cdc")
+         .option("checkpointLocation", str(tmp_path / "ck_sb"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [(r.k, r.commit) for r in spark.table("sb_cdc").collect()]
+    assert rows == [(2, 2)]
