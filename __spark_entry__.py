@@ -288,6 +288,39 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "label", "score"))
 
 
+def q_ann_after_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-managed, TABLE-SCOPED vector index with a staleness
+    contract (the reference's index is table-scoped: "Same vector index",
+    demo.ipynb c14:1): ingest → ann_index_create pins the index to the
+    table's commit → an upsert advances the table, so the next search
+    REFUSES (StaleIndexError) instead of silently serving pre-mutation
+    vectors → on_stale='rebuild' re-registers at the current commit and
+    serves post-upsert data. Probed at nprobe=all so the result equals
+    exact KNN over the UPSERTED state and the oracle replays the upsert
+    as a CASE — hash equality proves the rebuild saw the mutation."""
+    import tempfile
+
+    from pydata_vector_search_spark.engine import Engine
+    from pydata_vector_search_spark.operators.ann import StaleIndexError
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="pvss_annidx_"))
+    emb = _t(spark, sf_dir, "embeddings")
+    eng.ingest(emb, "emb", key="vec_id")
+    eng.ann_index_create("emb", "embedding", num_centroids=8, seed=42)
+    qv = _query_vec(spark, sf_dir)
+    eng.upsert("emb", emb.filter(F.col("vec_id") % 10 == 0)
+               .withColumn("label", F.lit(99)))
+    try:
+        eng.ann_search("emb", qv, k=10, nprobe=8)
+        raise RuntimeError("stale index served without rebuild")
+    except StaleIndexError:
+        pass
+    hits = eng.ann_search("emb", qv, k=10, nprobe=8, on_stale="rebuild",
+                          round_to=2, tiebreaker="vec_id")
+    return (hits.withColumn("score", F.round(1 - F.col("_distance"), 2))
+                .select("vec_id", "label", "score"))
+
+
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe batch KNN: every query row top-k'd through the IVF index —
     centroid shortlist (broadcast) → EQUI-join on centroid id → unrolled
@@ -1676,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "knn_join_ivf": q_knn_join_ivf,
         "ann_ivf_int8": q_ann_ivf_int8,
+        "ann_after_upsert": q_ann_after_upsert,
         "cosine_topk_pairs": q_cosine_topk_pairs,
         "cosine_neardup": q_cosine_neardup,
         "vector_knn": q_vector_knn,
@@ -2145,6 +2179,19 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN embeddings e
             ) WHERE rn <= 3
             ORDER BY left_id, right_id
+        """,
+        "ann_after_upsert": f"""
+            WITH d AS (
+                SELECT e.vec_id,
+                       CASE WHEN e.vec_id % 10 = 0 THEN 99
+                            ELSE e.label END AS label,
+                       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], {_ORACLE_Q}), 2) AS dist
+                FROM embeddings e
+            )
+            SELECT vec_id, label, round(1 - dist, 2) AS score
+            FROM d
+            ORDER BY dist ASC, vec_id ASC
+            LIMIT 10
         """,
         "ann_ivf_knn": f"""
             WITH d AS (

@@ -31,6 +31,7 @@ class TableInfo:
     format: str = "parquet"           # any Spark DataSource (csv/json/orc/text)
     options: dict = field(default_factory=dict)   # reader options (csv header, …)
     has_schema: bool = False          # an explicit schema was given at registration
+    indexes: dict = field(default_factory=dict)   # vector_col -> {path, commit}
 
 
 class Catalog:
@@ -106,9 +107,14 @@ class Catalog:
         if reset_history:
             shutil.rmtree(self._changes_root(name), ignore_errors=True)
         last = 1 if reset_history or prev is None else prev.last_commit
+        # COW rewrites (upsert/compact/delete) keep index registrations —
+        # staleness is judged from last_commit, not dropped metadata; a
+        # fresh bootstrap (reset_history) is new table content, so prior
+        # registrations are cleared.
+        idx = {} if reset_history or prev is None else dict(prev.indexes)
         info = TableInfo(name=name, path=path, key=key,
                          partition_by=list(partition_by or []),
-                         last_commit=last)
+                         last_commit=last, indexes=idx)
         self._tables[name] = info
         self._persist()
         if reset_history and key is not None:
@@ -256,6 +262,39 @@ class Catalog:
                   .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
                   .drop("__rn", "_deleted", "commit"))
 
+    # -- vector indexes (table-scoped, like the reference's Lance index) ---
+    def register_index(self, table: str, vector_col: str, path: str,
+                       params: dict | None = None) -> None:
+        """Record a vector index as TABLE-SCOPED metadata (the reference's
+        index is table-scoped too — "Same vector index", demo.ipynb c14:1),
+        pinned to the table's CURRENT commit. Any later upsert/delete
+        advances ``last_commit`` past the pinned commit, making the index
+        detectably STALE — the contract ``Engine.ann_search`` enforces
+        (an unsuspecting search against a silently stale index returns
+        pre-mutation vectors). ``params`` are the build kwargs, persisted
+        so a rebuild reproduces the SAME index geometry (num_centroids,
+        metric, …) — a rebuild that silently changed num_centroids would
+        break every caller's nprobe assumptions."""
+        info = self._tables[table]
+        info.indexes[vector_col] = {"path": path,
+                                    "commit": info.last_commit,
+                                    "params": dict(params or {})}
+        self._persist()
+
+    def index_info(self, table: str, vector_col: str | None = None) -> dict | None:
+        """The registered index entry (+ its ``vector_col`` and a ``stale``
+        flag), or None. ``vector_col=None`` resolves an only index."""
+        info = self._tables[table]
+        if vector_col is None:
+            if len(info.indexes) != 1:
+                return None
+            vector_col = next(iter(info.indexes))
+        entry = info.indexes.get(vector_col)
+        if entry is None:
+            return None
+        return {**entry, "vector_col": vector_col,
+                "stale": entry["commit"] < info.last_commit}
+
     # -- access ------------------------------------------------------------
     def load(self, name: str) -> DataFrame:
         """Snapshot scan (reference S4: spark.read.format('hudi').load, c11:5).
@@ -308,6 +347,9 @@ class Catalog:
             shutil.rmtree(info.path, ignore_errors=True)
         if info and delete_files:
             shutil.rmtree(self._changes_root(name), ignore_errors=True)
+            for entry in info.indexes.values():
+                if entry["path"].startswith(self.root):
+                    shutil.rmtree(entry["path"], ignore_errors=True)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -109,14 +109,72 @@ class Engine:
     # -- ANN index (reference O10: Lance vector index) --------------------
     def ann_build(self, table: str | DataFrame, vector_col: str, path: str,
                   **kw):
+        """Loose-path index build (no catalog registration, no staleness
+        tracking). Prefer ``ann_index_create`` for catalog tables."""
         from pydata_vector_search_spark.operators.ann import ivf_build
         df = self.table(table) if isinstance(table, str) else table
         return ivf_build(df, vector_col, path, **kw)
 
+    def ann_index_create(self, table: str, vector_col: str,
+                         path: str | None = None, **kw):
+        """Build an IVF index over a CATALOG table and register it as
+        table-scoped metadata pinned to the table's current commit (the
+        reference's index is table-scoped: "Same vector index", demo.ipynb
+        c14:1). A later upsert/delete advances the table past the pinned
+        commit; ``ann_search`` then refuses (or rebuilds) instead of
+        silently serving pre-mutation vectors."""
+        import os as _os
+
+        from pydata_vector_search_spark.operators.ann import ivf_build
+        path = path or _os.path.join(self.catalog.root,
+                                     f"{table}__idx_{vector_col}")
+        idx = ivf_build(self.catalog.load(table), vector_col, path, **kw)
+        self.catalog.register_index(table, vector_col, path, params=kw)
+        return idx
+
     def ann_search(self, index, query_vec: Sequence[float], k: int = 10,
+                   vector_col: str | None = None, on_stale: str = "raise",
                    **kw) -> DataFrame:
-        from pydata_vector_search_spark.operators.ann import IVFIndex, ivf_search
-        if isinstance(index, str):
+        """Probe an ANN index. ``index`` may be an IVFIndex handle, a
+        loose index path, or a CATALOG TABLE NAME with a registered index
+        — the table form enforces the staleness contract:
+
+        * ``on_stale='raise'`` (default): refuse with StaleIndexError when
+          the table advanced past the index's build commit.
+        * ``on_stale='rebuild'``: rebuild + re-register at the current
+          commit, then search (correct, pays the build).
+        * ``on_stale='ignore'``: search the stale index (recall-tolerant
+          readers; rows upserted since build are invisible/outdated)."""
+        from pydata_vector_search_spark.operators.ann import (IVFIndex,
+                                                              StaleIndexError,
+                                                              ivf_search)
+        if isinstance(index, str) and index in self.catalog:
+            table = index
+            entry = self.catalog.index_info(table, vector_col)
+            if entry is None:
+                raise ValueError(
+                    f"table {table!r} has no registered vector index"
+                    + (f" on {vector_col!r}" if vector_col else
+                       " (or several — pass vector_col=)")
+                    + "; build one with ann_index_create")
+            if entry["stale"]:
+                if on_stale == "raise":
+                    raise StaleIndexError(
+                        f"index on {table}.{entry['vector_col']} was built "
+                        f"at commit {entry['commit']} but the table is at "
+                        f"commit {self.catalog.current_commit(table)}; "
+                        "rebuild with ann_index_create (or pass "
+                        "on_stale='rebuild'/'ignore')")
+                if on_stale == "rebuild":
+                    # same path AND same build params — the rebuild must
+                    # reproduce the registered index geometry, not defaults
+                    self.ann_index_create(table, entry["vector_col"],
+                                          path=entry["path"],
+                                          **entry.get("params", {}))
+                elif on_stale != "ignore":
+                    raise ValueError(f"unknown on_stale={on_stale!r}")
+            index = IVFIndex.load(self.spark, entry["path"])
+        elif isinstance(index, str):
             index = IVFIndex.load(self.spark, index)
         return ivf_search(self.spark, index, query_vec, k=k, **kw)
 

@@ -39,6 +39,12 @@ from pydata_vector_search_spark.operators.knn import vector_search
 _CID = "__cid"
 
 
+class StaleIndexError(ValueError):
+    """The base table advanced past the commit the index was built at —
+    searching it would silently return pre-mutation vectors. Rebuild (or
+    opt in with on_stale='ignore' for recall-tolerant reads)."""
+
+
 def _normalize(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v, axis=-1, keepdims=True)
     return v / np.where(n == 0, 1.0, n)

@@ -214,3 +214,50 @@ def test_ivf_int8_requires_quantized_index(spark, sf_dir, tmp_path):
                         num_centroids=4, seed=42, quantize=False)
     with pytest.raises(ValueError, match="quantize"):
         ann.ivf_search_int8(spark, idx, _query(spark, sf_dir), "vec_id")
+
+
+def test_catalog_index_staleness_contract(spark, sf_dir, tmp_path):
+    """Table-scoped index lifecycle: create → search ok; upsert → search
+    raises StaleIndexError; on_stale='rebuild' re-registers at the current
+    commit and serves post-mutation data; 'ignore' serves the stale one."""
+    from pydata_vector_search_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "eng"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    eng.ingest(emb, "emb", key="vec_id")
+    eng.ann_index_create("emb", "embedding", num_centroids=4, seed=42)
+    qv = _query(spark, sf_dir)
+
+    fresh = eng.ann_search("emb", qv, k=5, nprobe=4, tiebreaker="vec_id")
+    assert fresh.count() == 5
+    assert eng.catalog.index_info("emb", "embedding")["stale"] is False
+
+    # upsert advances the table past the index's pinned commit
+    batch = emb.filter(F.col("vec_id") < 3).withColumn("label", F.lit(99))
+    eng.upsert("emb", batch)
+    assert eng.catalog.index_info("emb", "embedding")["stale"] is True
+    with pytest.raises(ann.StaleIndexError, match="rebuild"):
+        eng.ann_search("emb", qv, k=5, nprobe=4)
+
+    # stale read is an explicit opt-in and serves PRE-mutation labels
+    stale = eng.ann_search("emb", qv, k=5, nprobe=4, on_stale="ignore",
+                           tiebreaker="vec_id")
+    assert all(r.label != 99 for r in stale.filter(F.col("vec_id") < 3).collect())
+
+    # rebuild re-registers and serves the upserted labels
+    rebuilt = eng.ann_search("emb", qv, k=5, nprobe=4, on_stale="rebuild",
+                             tiebreaker="vec_id")
+    got = {r.vec_id: r.label for r in rebuilt.collect()}
+    assert eng.catalog.index_info("emb", "embedding")["stale"] is False
+    for vid, label in got.items():
+        if vid < 3:
+            assert label == 99
+
+
+def test_ann_search_requires_registered_index(spark, tmp_path, sf_dir):
+    from pydata_vector_search_spark.engine import Engine
+    eng = Engine(spark, str(tmp_path / "eng2"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    eng.ingest(emb, "emb2", key="vec_id")
+    with pytest.raises(ValueError, match="ann_index_create"):
+        eng.ann_search("emb2", _query(spark, sf_dir), k=5)
