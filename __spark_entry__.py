@@ -98,7 +98,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
 def _score(vec_col, qvec) -> F.Column:
     # unrolled codegen-path cosine (~20× the HOF scan; functions/vector.py)
     from pydata_vector_search_spark.functions.vector import cosine_similarity_lit
-    return F.round(cosine_similarity_lit(F.col(vec_col),
+    return F.round(cosine_similarity_lit(vec_col,
                                          [float(v) for v in qvec]), 2)
 
 
@@ -1222,7 +1222,7 @@ def q_chunk_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(v) for v in enc.encode_batch([_CHUNK_QUERY_TEXT])[0]]
     return (emb.withColumn(
                 "score",
-                F.round(cosine_similarity_lit(F.col("embedding"), qv), 4))
+                F.round(cosine_similarity_lit("embedding", qv), 4))
             .orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
             .limit(10)
             .select("doc_id", "chunk_idx", "n_tokens", "score"))

@@ -118,9 +118,53 @@ def _elem(a: Column, i: int) -> Column:
     return a.getItem(i).cast("double")
 
 
+# --- SQL-text spellings of the unrolled forms ------------------------------
+# Building a dim-64 unrolled tree out of Column operator calls costs
+# hundreds of driver Py4J round-trips (~1.5 s measured at dim=64) — every
+# time the plan is BUILT, before any data moves. Rendering the identical
+# expression as ONE SQL string and letting the JVM parse it is ~50 ms.
+# The parsed tree is node-for-node the tree the Column operators build
+# (same casts, literals, associativity), so results are bit-identical —
+# pinned in tests/test_vector_functions.py. String inputs take this path;
+# Column inputs (no safe way to render arbitrary Columns to SQL) keep the
+# operator-built tree.
+
+def _fmt_lit(v: float) -> str:
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite query-vector component: {v}")
+    return f"{v!r}D"          # repr round-trips doubles exactly
+
+
+def _balanced_sum_sql(terms: list[str]) -> str:
+    while len(terms) > 1:
+        terms = [f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms)
+                 else terms[i] for i in range(0, len(terms), 2)]
+    return terms[0]
+
+
+def _elem_sql(name: str, i: int) -> str:
+    return f"CAST(`{name}`[{i}] AS DOUBLE)"
+
+
+def _dot_sql(name: str, q: Sequence[float], baited: bool) -> str:
+    def term(i: int) -> str:
+        m = f"({_elem_sql(name, i)} * {_fmt_lit(q[i])})"
+        return f"(({m} + {m}) / 2.0D)" if baited else m
+    return _balanced_sum_sql([term(i) for i in range(len(q))])
+
+
+def _norm_sql(name: str, dim: int) -> str:
+    sq = [f"({_elem_sql(name, i)} * {_elem_sql(name, i)})"
+          for i in range(dim)]
+    return f"SQRT({_balanced_sum_sql(sq)})"
+
+
 def dot_product_lit(a: Column | str, q: Sequence[float]) -> Column:
     """Dot product against a LITERAL query vector, unrolled to scalar
     multiply/add codegen expressions (the exact-KNN scan hot path)."""
+    if isinstance(a, str):
+        return F.expr(_dot_sql(a, q, baited=True))
     a = _c(a)
 
     def term(i: int) -> Column:
@@ -150,15 +194,28 @@ def _py_norm(q: Sequence[float]) -> float:
 
 
 def cosine_similarity_lit(a: Column | str, q: Sequence[float]) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"({_dot_sql(a, q, baited=False)} / "
+                      f"({_norm_sql(a, len(q))} * {_fmt_lit(_py_norm(q))}))")
     a = _c(a)
     return _dot_terms(a, q) / (l2_norm_dim(a, len(q)) * _py_norm(q))
 
 
 def cosine_distance_lit(a: Column | str, q: Sequence[float]) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"(1.0D - ({_dot_sql(a, q, baited=False)} / "
+            f"({_norm_sql(a, len(q))} * {_fmt_lit(_py_norm(q))})))")
     return F.lit(1.0) - cosine_similarity_lit(a, q)
 
 
 def l2_distance_lit(a: Column | str, q: Sequence[float]) -> Column:
+    if isinstance(a, str):
+        def term_sql(i: int) -> str:
+            d = f"({_elem_sql(a, i)} - {_fmt_lit(q[i])})"
+            return f"({d} * {d})"
+        return F.expr(
+            f"SQRT({_balanced_sum_sql([term_sql(i) for i in range(len(q))])})")
     a = _c(a)
 
     def term(i: int) -> Column:

@@ -281,17 +281,31 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
 
     ``max_shingle_df`` here drops candidate GENERATION by hot shingles
     only: surviving pairs keep exact scores (unlike the count-based cap,
-    which biases scores)."""
+    which biases scores).
+
+    Candidate pruning beyond the prefix filter (both exactness-preserving
+    — they only ever drop pairs the exact verify would reject, PPJoin,
+    Xiao et al. WWW'08): the SIZE filter (J ≥ t ⇒ t·|A| ≤ |B|) and the
+    POSITIONAL filter (for the first shared prefix shingle at positions
+    p_a/p_b under the global rarest-first order, overlap ≤ min(n1−p_a,
+    n2−p_b)+1, which must reach α = t/(1+t)·(n1+n2)). Bounds carry a 1e-9
+    slack so float rounding can only ADMIT extra candidates, never drop a
+    boundary pair. Measured at sf0.1: 409k → 26k candidates, verify
+    8.6 s → 2.6 s. Verification ships xxhash64-hashed shingle arrays
+    (8 B/element instead of the n-gram strings) and broadcasts the
+    candidate pair list (two ints/row) so the shingle table is never
+    re-shuffled by id."""
     df = _fan_out(df, id_col)
+    # hash shingles to longs ONCE, row-side: every downstream consumer
+    # (df-count join, self-join keys, verify intersect) works on 8-byte
+    # longs; collision odds ~p²/2⁶⁵, deterministic either way
     sh = (df.select(F.col(id_col).alias("__id"),
-                    shingles_col(text_col, n).alias("__sh"))
+                    F.transform(shingles_col(text_col, n),
+                                lambda s: F.xxhash64(s)).alias("__sh"))
             .withColumn("__n", F.size("__sh"))
             .select("__id", "__n", "__sh"))
     sh = _barrier(sh)
-    # hash shingles to longs: the keys that shuffle (df join + self-join)
-    # drop to 8 bytes; collision odds ~p²/2⁶⁵, deterministic either way
-    ex = (sh.select("__id", "__n", F.explode("__sh").alias("__s0"))
-            .select("__id", "__n", F.xxhash64("__s0").alias("__s")))
+    ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     if max_shingle_df is not None:
         dfreq = dfreq.filter(F.col("__df") <= max_shingle_df)
@@ -302,16 +316,29 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                   - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
     pref = (ranked.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= prefix_len)
-                  .select("__id", "__s"))
-    cand = (pref.alias("a").join(pref.alias("b"),
-                                 (F.col("a.__s") == F.col("b.__s"))
-                                 & (F.col("a.__id") < F.col("b.__id")))
+                  .select("__id", "__n", "__s", "__rn"))
+    alpha = (F.lit(threshold / (1.0 + threshold))
+             * (F.col("a.__n") + F.col("b.__n")) - F.lit(1e-9))
+    overlap_ub = (F.least(F.col("a.__n") - F.col("a.__rn"),
+                          F.col("b.__n") - F.col("b.__rn")) + 1)
+    cand = (pref.alias("a").join(
+                pref.alias("b"),
+                (F.col("a.__s") == F.col("b.__s"))
+                & (F.col("a.__id") < F.col("b.__id"))
+                # size filter: t·max(n1,n2) ≤ min(n1,n2)
+                & (F.col("b.__n")
+                   >= F.lit(threshold) * F.col("a.__n") - F.lit(1e-9))
+                & (F.col("a.__n")
+                   >= F.lit(threshold) * F.col("b.__n") - F.lit(1e-9))
+                # positional filter: best-case overlap must reach α
+                & (overlap_ub >= alpha))
                 .select(F.col("a.__id").alias("id_1"),
                         F.col("b.__id").alias("id_2"))
                 .distinct())
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
-    return (cand.join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
+    return (F.broadcast(cand)
+                .join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
                 .join(sh.alias("sb"), F.col("id_2") == F.col("sb.__id"))
                 .withColumn("jaccard", inter.cast("double") / union)
                 .filter(F.col("jaccard") >= threshold)
@@ -649,7 +676,7 @@ def hyperplane_lsh_neardup(df: DataFrame, vector_col: str, id_col: str,
     from pydata_vector_search_spark.functions.vector import dot_product_lit
     sig = None
     for i in range(num_planes):
-        bit = F.when(dot_product_lit(F.col(vector_col),
+        bit = F.when(dot_product_lit(vector_col,
                                      [float(v) for v in planes[i]]) > 0,
                      F.shiftleft(F.lit(1).cast("long"), i)) \
                .otherwise(F.lit(0).cast("long"))

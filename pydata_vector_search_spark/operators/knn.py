@@ -57,7 +57,7 @@ def vector_search(df: DataFrame,
     else:
         # literal query vector → unrolled scalar expressions, whole-stage
         # codegen end-to-end (~20× the HOF scan; see functions/vector)
-        dist = distance_expr_lit(metric, F.col(vector_col),
+        dist = distance_expr_lit(metric, vector_col,
                                  [float(v) for v in query_vec])
     if round_to is not None:
         dist = F.round(dist, round_to)

@@ -122,3 +122,33 @@ def test_distance_expr_lit_unknown_metric(spark):
         distance_expr_lit("chebyshev", "v", [1.0])
     with _pytest.raises(ValueError, match="unknown metric"):
         distance_expr_dim("chebyshev", "a", "b", 4)
+
+
+def test_sql_text_path_bit_identical_to_column_tree(spark, sf_dir):
+    """The F.expr SQL-string spelling of the unrolled forms must produce
+    BIT-identical doubles to the Column-operator tree (same nodes after
+    parse) — the string path exists only to skip ~1.5s of Py4J plan-build
+    at dim=64, never to change results."""
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.functions import vector as V
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    q = [float(x) for x in emb.select("embedding").head()[0]]
+
+    pairs = [
+        (V.cosine_distance_lit("embedding", q),
+         V.cosine_distance_lit(F.col("embedding"), q)),
+        (V.cosine_similarity_lit("embedding", q),
+         V.cosine_similarity_lit(F.col("embedding"), q)),
+        (V.l2_distance_lit("embedding", q),
+         V.l2_distance_lit(F.col("embedding"), q)),
+        (V.dot_product_lit("embedding", q),
+         V.dot_product_lit(F.col("embedding"), q)),
+    ]
+    cols = []
+    for i, (s, c) in enumerate(pairs):
+        cols += [s.alias(f"s{i}"), c.alias(f"c{i}")]
+    for r in emb.select(*cols).collect():
+        for i in range(len(pairs)):
+            assert r[f"s{i}"] == r[f"c{i}"]   # exact, unrounded equality
