@@ -97,7 +97,18 @@ def embed_text(df: DataFrame, text_col: str, out_col: str = "embedding",
     """Append an ``array<float>`` embedding column, executor-side.
 
     mapInPandas (not a scalar pandas_udf) so the encoder can batch on its
-    own terms and amortize model init per task rather than per row."""
+    own terms and amortize model init per task rather than per row.
+
+    Real-model (GPU) tuning: ``batch_size`` governs the encoder call
+    (model throughput knob); the SEPARATE Arrow transfer knob is
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k) — at
+    dim=384 float32 (MiniLM) a 10k-row Arrow batch is ~15 MB of
+    embeddings, fine; for dim≥1536 drop it to 2-4k so the Python worker
+    isn't holding multi-batch × multi-MB buffers. One GPU per executor:
+    cap ``spark.task.cpus`` / use barrier-less repartition so concurrent
+    tasks don't contend for the device; model weights load once per task
+    (the ``enc`` capture below), so prefer FEWER, LARGER partitions for
+    encode stages — the opposite of the CPU-scan default."""
     encoder = encoder or HashEncoder()
     schema = StructType(df.schema.fields
                         + [StructField(out_col, ArrayType(FloatType()), True)])

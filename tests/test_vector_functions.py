@@ -152,3 +152,25 @@ def test_sql_text_path_bit_identical_to_column_tree(spark, sf_dir):
     for r in emb.select(*cols).collect():
         for i in range(len(pairs)):
             assert r[f"s{i}"] == r[f"c{i}"]   # exact, unrounded equality
+
+
+def test_sentence_transformer_encoder_real_model(spark):
+    """Skipped-by-default integration proof of the real-model plumbing
+    (the reference's all-MiniLM-L6-v2, demo.ipynb c1:11/c7:1-2): runs only
+    where sentence-transformers (and a cached/downloadable model) exist.
+    Pins the contract the fakes emulate — encode_batch shape (n, dim),
+    dim discovery, and end-to-end embed_text over mapInPandas."""
+    pytest.importorskip("sentence_transformers")
+    from pydata_vector_search_spark.operators.embedding import (
+        SentenceTransformerEncoder, embed_text)
+    try:
+        enc = SentenceTransformerEncoder()
+    except Exception as e:          # no network / no cached weights
+        pytest.skip(f"model unavailable: {e}")
+    vecs = enc.encode_batch(["hello world", "spark engine"])
+    assert vecs.shape == (2, enc.dim) and enc.dim >= 128
+    df = spark.createDataFrame([(1, "hello world"), (2, "spark engine")],
+                               "id int, text string")
+    out = {r.id: r.embedding for r in
+           embed_text(df, "text", encoder=enc).collect()}
+    assert len(out[1]) == enc.dim and out[1] != out[2]

@@ -71,9 +71,34 @@ NOTES = {
     "vector_knn": (
         "Exact KNN scan: pruned columnar scan -> codegen-unrolled cosine "
         "(scalar multiply/add tree inside WholeStageCodegen — no "
-        "interpreted higher-order functions on the hot path) -> "
+        "interpreted higher-order functions on the hot path, and since r4 "
+        "the tree is rendered as ONE SQL string parsed JVM-side, skipping "
+        "~1.5s of per-plan driver Py4J construction at dim=64) -> "
         "TakeOrderedAndProject(k). No exchange; each task keeps a k-row "
         "heap and the driver merges k rows per task."),
+    "jaccard_prefix": (
+        "Prefix-filtered exact Jaccard join (Bayardo WWW'07 + PPJoin "
+        "size/positional filters, Xiao WWW'08): shingles hashed to longs "
+        "row-side; the candidate self-join explodes only rarest-first "
+        "prefixes and prunes on size ratio + best-case-overlap bounds "
+        "(409k -> 26k candidates at sf0.1, exactness-preserving); the "
+        "surviving pair list BROADCASTS into the verify joins, so the "
+        "shingle-array table is never re-shuffled by id. At 100 TB the "
+        "candidate volume is bounded by rare-shingle document "
+        "frequencies, the verify by the near-dup rate."),
+    "time_travel_read": (
+        "Snapshot time travel (read_asof): ONE partition-pruned scan of "
+        "the commit-log directories <= N, a single hash exchange on the "
+        "record key for the last-write-wins window, tombstone filter "
+        "above it. Cost is proportional to the log through commit N — "
+        "the live table is never touched for historical reads, and the "
+        "current-commit case short-circuits to the plain snapshot scan."),
+    "ann_after_upsert": (
+        "Post-rebuild index probe — identical plan shape to ann_ivf_knn "
+        "(PartitionFilters on __cid + exact re-rank); what the query adds "
+        "is the LIFECYCLE: the probed directories belong to the index "
+        "REBUILT at the table's current commit, enforced by the catalog "
+        "staleness contract rather than by plan structure."),
 }
 
 
