@@ -223,11 +223,13 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     (skew guard; biases Jaccard down slightly — leave None for exact).
 
-    Cost is Σ_s df(s)² over shingle document frequencies. On Zipfian
-    corpora with hot shingles prefer ``jaccard_similarity_join_prefix``
-    (same results, candidates bounded by rare-shingle prefixes); measured
-    on the synthetic corpora here the count-based form wins (no hot
-    shingles to defuse, and it never ships the shingle arrays)."""
+    Cost is Σ_s df(s)² over shingle document frequencies. On Zipfian or
+    duplicate-heavy corpora prefer ``jaccard_similarity_join_prefix``
+    (same results, candidates bounded by rare-shingle prefixes + PPJoin
+    size/positional pruning); measured: count-based wins on the plain
+    synthetic corpus (2.1 s vs 3.1 s at sf0.1 — no hot shingles to
+    defuse), prefix wins 1.8× once duplicates inflate df(s)² (30.3 s vs
+    16.7 s at 10×-duplicated sf0.1, 50k docs / 250k true pairs)."""
     df = _fan_out(df, id_col)
     sh = (df.select(F.col(id_col).alias("__id"),
                     shingles_col(text_col, n).alias("__sh"))
@@ -272,12 +274,12 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
     form — equality-pinned in tests).
 
     When to choose which: the candidate join here is bounded by
-    rare-shingle document frequencies — the win on Zipfian corpora where
-    hot shingles make Σ df(s)² explode. The price is shipping full
-    shingle arrays for verification, which dominates when the candidate
-    set ≈ the result set (duplicate-heavy corpora): measured 112 s vs
-    125 s at 10×-duplicated sf0.1, and 5.5 s vs 2.8 s at sf0.1 — hence
-    the count-based default.
+    rare-shingle document frequencies — the win on Zipfian and
+    duplicate-heavy corpora where hot shingles make Σ df(s)² explode.
+    Measured (post-PPJoin): 16.7 s vs the count-based form's 30.3 s at
+    10×-duplicated sf0.1 (50k docs / 250k true pairs), 3.1 s vs 2.1 s on
+    the plain sf0.1 corpus — count-based stays the default only because
+    the plain corpus has no skew to defuse.
 
     ``max_shingle_df`` here drops candidate GENERATION by hot shingles
     only: surviving pairs keep exact scores (unlike the count-based cap,
