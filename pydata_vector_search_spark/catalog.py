@@ -28,6 +28,7 @@ class TableInfo:
     partition_by: list[str] = field(default_factory=list)
     num_buckets: int = 0              # >0: bucketed table (session catalog)
     last_commit: int = 0              # monotonically increasing commit id (1 = bootstrap)
+    commit_times: dict = field(default_factory=dict)  # commit id (str) -> epoch seconds
     format: str = "parquet"           # any Spark DataSource (csv/json/orc/text)
     options: dict = field(default_factory=dict)   # reader options (csv header, …)
     has_schema: bool = False          # an explicit schema was given at registration
@@ -112,9 +113,10 @@ class Catalog:
         # fresh bootstrap (reset_history) is new table content, so prior
         # registrations are cleared.
         idx = {} if reset_history or prev is None else dict(prev.indexes)
+        ct = {} if reset_history or prev is None else dict(prev.commit_times)
         info = TableInfo(name=name, path=path, key=key,
                          partition_by=list(partition_by or []),
-                         last_commit=last, indexes=idx)
+                         last_commit=last, indexes=idx, commit_times=ct)
         self._tables[name] = info
         self._persist()
         if reset_history and key is not None:
@@ -169,15 +171,20 @@ class Catalog:
         An explicit ``commit`` writes that log partition without bumping
         ``last_commit`` — used by ``write`` to record the bootstrap as
         commit 1 (the basis for ``read_asof`` time travel)."""
+        import time
+
         info = self._tables[name]
         bump = commit is None
         commit = info.last_commit + 1 if commit is None else commit
         (batch.withColumn("_deleted", F.lit(op == "delete"))
               .write.mode("overwrite").parquet(
                   os.path.join(self._changes_root(name), f"commit={commit}")))
+        # wall-clock instant of the commit (the Hudi-timeline timestamp),
+        # enabling read_asof_timestamp; stored as JSON-string keys
+        info.commit_times[str(commit)] = time.time()
         if bump:
             info.last_commit = commit
-            self._persist()
+        self._persist()
         return commit
 
     def current_commit(self, name: str) -> int:
@@ -261,6 +268,28 @@ class Catalog:
                   .filter(F.col("__rn") == 1)
                   .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
                   .drop("__rn", "_deleted", "commit"))
+
+    def read_asof_timestamp(self, name: str, ts) -> DataFrame:
+        """Time travel by WALL-CLOCK instant (the Hudi timeline is
+        timestamp-keyed; commit ids are this catalog's compact spelling):
+        resolves the newest commit whose recorded instant is <= ``ts``
+        (epoch seconds or datetime) and delegates to ``read_asof``.
+
+        Instants are recorded at commit time in the catalog metadata —
+        resolution is a dict lookup, no file listing."""
+        from datetime import datetime
+
+        if isinstance(ts, datetime):
+            ts = ts.timestamp()
+        info = self._tables[name]
+        eligible = [int(c) for c, t in info.commit_times.items()
+                    if t <= float(ts)]
+        if not eligible:
+            raise ValueError(
+                f"no commit of table {name!r} at or before timestamp {ts} "
+                "(first recorded instant is "
+                f"{min(info.commit_times.values()) if info.commit_times else 'absent — table predates instant recording'})")
+        return self.read_asof(name, max(eligible))
 
     # -- vector indexes (table-scoped, like the reference's Lance index) ---
     def register_index(self, table: str, vector_col: str, path: str,

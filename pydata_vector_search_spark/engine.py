@@ -83,6 +83,11 @@ class Engine:
         Catalog.read_asof."""
         return self.catalog.read_asof(table, commit)
 
+    def read_asof_timestamp(self, table: str, ts) -> DataFrame:
+        """Time travel by wall-clock instant (epoch seconds or datetime):
+        newest commit at-or-before ``ts``. See Catalog.read_asof_timestamp."""
+        return self.catalog.read_asof_timestamp(table, ts)
+
     def stream_changes(self, table: str) -> DataFrame:
         """CDC tail-follow: a streaming DataFrame over the table's commit
         log (exactly-once per change batch via the consumer's checkpoint)."""

@@ -341,3 +341,25 @@ def test_stream_changes_excludes_bootstrap_commit(spark, cat, tmp_path):
     q.awaitTermination(120)
     rows = [(r.k, r.commit) for r in spark.table("sb_cdc").collect()]
     assert rows == [(2, 2)]
+
+
+def test_read_asof_timestamp(spark, cat):
+    """Wall-clock time travel: instants recorded per commit resolve to the
+    newest commit at-or-before the asked-for timestamp."""
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    cat.write("ts", _df(spark, [(1, "a"), (2, "b")]), key="k")
+    t1 = cat.info("ts").commit_times["1"]
+    upsert_table(cat, "ts", _df(spark, [(2, "B")]))             # commit 2
+    t2 = cat.info("ts").commit_times["2"]
+    delete_where(cat, "ts", "k = 1")                            # commit 3
+    assert t1 <= t2 <= cat.info("ts").commit_times["3"]
+
+    def state_at(ts):
+        return sorted((r.k, r.v)
+                      for r in cat.read_asof_timestamp("ts", ts).collect())
+
+    assert state_at(t1) == [(1, "a"), (2, "b")]
+    assert state_at(t2) == [(1, "a"), (2, "B")]
+    assert state_at(t2 + 10**6) == [(2, "B")]          # far future = live
+    with pytest.raises(ValueError, match="no commit"):
+        cat.read_asof_timestamp("ts", t1 - 10**6)
