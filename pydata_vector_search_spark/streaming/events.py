@@ -195,6 +195,43 @@ def running_totals_stateful(events: DataFrame,
                                     GroupStateTimeout.NoTimeout))
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame, on: str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       within: str = "30 minutes",
+                       watermark: str | None = "1 day") -> DataFrame:
+    """Stream-stream INNER join: rows of ``right`` that follow a ``left``
+    row with the same ``on`` key within ``within`` (the canonical
+    click→purchase attribution shape).
+
+    The time-range predicate (r.ts in [l.ts, l.ts + within]) plus BOTH
+    watermarks is what makes the state bounded: each side buffers only
+    rows newer than (watermark − within); without them an inner
+    stream-stream join must keep every row forever. ``watermark=None``
+    opts into exactly that unbounded-state mode — the trade is
+    determinism however the input is micro-batched (no row can be
+    evicted before its match arrives), the same knob/contract as
+    ``dedup_stream``: bounded state for production tails, exact results
+    for replayable backfills.
+
+    Columns are prefixed ``l_``/``r_`` (a self-join of one source stream
+    would otherwise collide)."""
+    l = left.select(F.col(on).alias("__k"),
+                    *[F.col(c).alias(f"l_{c}") for c in left.columns
+                      if c != on])
+    r = right.select(F.col(on).alias("__rk"),
+                     *[F.col(c).alias(f"r_{c}") for c in right.columns
+                       if c != on])
+    if watermark is not None:
+        l = l.withWatermark(f"l_{left_ts}", watermark)
+        r = r.withWatermark(f"r_{right_ts}", watermark)
+    cond = ((F.col("__k") == F.col("__rk"))
+            & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+            & (F.col(f"r_{right_ts}")
+               <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond, "inner")
+             .withColumnRenamed("__k", on).drop("__rk"))
+
+
 def read_changes_stream(spark: SparkSession, catalog, table: str) -> DataFrame:
     """Streaming CDC tail-follow of a table's commit log (the streaming
     SOURCE counterpart of ``stream_upsert_sink``).

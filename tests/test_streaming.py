@@ -180,3 +180,61 @@ def test_await_stream_raises_on_timeout():
     with _pytest.raises(TimeoutError, match="partially-filled"):
         _await_stream(q, timeout_sec=1)
     assert q.stopped
+
+
+def test_stream_stream_join_exact_matches_batch(spark):
+    """watermark=None mode: the streamed click->purchase interval join
+    emits exactly the batch join's pair set."""
+    ev = S.read_events_stream(spark, EVENTS)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id")
+    purch = ev.filter(F.col("event_type") == "purchase") \
+              .select("user_id", "ts", "event_id", "value")
+    j = S.stream_stream_join(clicks, purch, on="user_id",
+                             within="30 minutes", watermark=None)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(j.select("l_event_id", "r_event_id"), name)
+    got = {(r.l_event_id, r.r_event_id) for r in spark.table(name).collect()}
+
+    b = read_table(spark, os.path.dirname(EVENTS), "events")
+    bc = b.filter("event_type = 'click'").select(
+        F.col("user_id"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"))
+    bp = b.filter("event_type = 'purchase'").select(
+        F.col("user_id"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"))
+    batch = bc.join(bp, "user_id").filter(
+        (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")))
+    want = {(r.cid, r.pid) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_watermarked_bounded_state(spark):
+    """Bounded-state mode: with both watermarks + the interval condition,
+    state eviction may drop late cross-batch matches, but every emitted
+    pair must still be a true batch-join pair (no false positives), and a
+    single-batch availableNow run emits the full set."""
+    ev = S.read_events_stream(spark, EVENTS)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id")
+    purch = ev.filter(F.col("event_type") == "purchase") \
+              .select("user_id", "ts", "event_id", "value")
+    j = S.stream_stream_join(clicks, purch, on="user_id",
+                             within="30 minutes", watermark="1 day")
+    name = f"ssjw_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(j.select("l_event_id", "r_event_id"), name)
+    got = {(r.l_event_id, r.r_event_id) for r in spark.table(name).collect()}
+
+    b = read_table(spark, os.path.dirname(EVENTS), "events")
+    bc = b.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    bp = b.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    want = {(r.cid, r.pid) for r in
+            bc.join(bp, "user_id").filter(
+                (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts")
+                   + F.expr("INTERVAL 30 minutes"))).collect()}
+    assert got <= want
+    assert got == want      # single availableNow batch: nothing evicted early
