@@ -1590,6 +1590,33 @@ def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering: lineitem rewritten Z-ORDERED on
+    (l_orderkey, l_partkey) — bits of both normalized ranks interleaved
+    into a Morton code, range-partitioned and sorted on it — so every
+    file/row group covers a small RECTANGLE of the two key ranges and
+    min/max stats prune scans filtered on EITHER column (single-key sort
+    clustering localizes only its own column). The per-file locality is
+    pinned in tests/test_bucketing.py; here the gate is content fidelity:
+    a two-predicate aggregate over the z-ordered copy must hash-match the
+    same SQL over the original rows."""
+    import tempfile
+
+    from pydata_vector_search_spark.operators.layout import write_zordered
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="pvss_zorder_") + "/li"
+    write_zordered(li.select("l_orderkey", "l_partkey", "l_returnflag",
+                             "l_extendedprice"),
+                   path, ["l_orderkey", "l_partkey"], num_files=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("l_orderkey") <= 30000) & (F.col("l_partkey") <= 5000))
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+            .orderBy("l_returnflag"))
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-training-pipeline cleaning query end-to-end: keep documents
     that pass language ID, quality score, and token-length gates — the
@@ -1762,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": q_time_travel_read,
         "ann_after_upsert": q_ann_after_upsert,
         "stream_stream_join": q_stream_stream_join,
+        "zorder_scan": q_zorder_scan,
         "stream_dedup": q_stream_dedup,
         "keyed_delete": q_keyed_delete,
         "maintenance_cycle": q_maintenance_cycle,
@@ -1771,13 +1799,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_postfilter": q_hybrid_postfilter,
         "vector_knn_l2": q_vector_knn_l2,
         "vector_knn": q_vector_knn,
-        "vector_knn_dot": q_vector_knn_dot,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         # --- beyond the window: oracle-verified in r03 (driver) and by
         # --- tools/oracle_check.py against current code locally
-        # (vector_knn_tvf shares the exact plan of in-window vector_knn —
-        #  plan equality pinned in test_sql_surface)
+        # (vector_knn_tvf and vector_knn_dot share the exact plan builder
+        #  of in-window vector_knn/vector_knn_l2 — plan equality pinned in
+        #  test_sql_surface / test_vector_functions)
         "vector_knn_tvf": q_vector_knn_tvf,
+        "vector_knn_dot": q_vector_knn_dot,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -2076,6 +2105,13 @@ def oracle_sql() -> dict[str, str]:
                    sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
                    max((props->>'$.k')::BIGINT)::BIGINT AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "zorder_scan": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            WHERE l_orderkey <= 30000 AND l_partkey <= 5000
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "stream_stream_join": """
             WITH c AS (

@@ -1,0 +1,101 @@
+"""Multi-dimensional clustering (Z-order) for write-time data skipping.
+
+Single-key sort clustering (``repartitionByRange + sortWithinPartitions``,
+the clustered_scan query) makes row-group min/max stats selective for ONE
+column. Z-ordering interleaves the bits of several columns' normalized
+ranks into one Morton code and clusters on THAT — every file/row group
+then covers a small hyper-rectangle of the key space, so predicates on
+ANY of the z-columns prune files and row groups (the Delta/Databricks
+OPTIMIZE ZORDER BY idea, public Morton-code construction).
+
+All Spark-side: per-column min/max in one aggregate job, the Morton code
+is a handful of shift/mask scalar expressions (whole-stage codegen), the
+layout is ``repartitionByRange`` on the code + in-partition sort. No UDF,
+no driver data path. At 100 TB the one-time write cost amortizes over
+every multi-predicate scan — the same economics as write-time bucketing
+for joins.
+
+The bit-interleave uses the classic magic-mask spread (public domain,
+"Interleave bits by Binary Magic Numbers", Stanford bit-twiddling hacks)
+rather than a per-bit loop: 4 shift/mask ops per column at 16 bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import DateType, TimestampType
+
+Z_COL = "__z"
+
+_SPREAD_MASKS_16 = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread a 16-bit value's bits to even positions of a 32-bit value
+    (Morton encoding), via binary-magic-number shifts — 4 codegen ops."""
+    for shift, mask in _SPREAD_MASKS_16:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _as_double(col: Column, dtype) -> Column:
+    if isinstance(dtype, DateType):
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, TimestampType):
+        return F.unix_timestamp(col).cast("double")
+    return col.cast("double")
+
+
+def with_zorder(df: DataFrame, cols: list[str], z_col: str = Z_COL,
+                bits: int = 16) -> DataFrame:
+    """Append the Morton z-value over ``cols`` (2 supported at 16 bits
+    each; numeric/date/timestamp columns).
+
+    Each column is min/max-normalized to a ``bits``-bit rank (ONE small
+    aggregate job — at scale this is a metadata-cheap pass, and the
+    normalization makes the code robust to value ranges, though heavy
+    skew can still crowd ranks; quantile-based ranks are the upgrade
+    path). NULLs rank 0 (cluster together at the low corner)."""
+    if len(cols) != 2:
+        raise ValueError("z-order currently interleaves exactly 2 columns")
+    if bits > 16:
+        raise ValueError("bits must be <= 16 (32-bit Morton code)")
+    stats = df.agg(*[f(F.col(c)).alias(f"{f.__name__}_{c}")
+                     for c in cols for f in (F.min, F.max)]).head()
+    top = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        dtype = df.schema[c].dataType
+        lo = _as_double(F.lit(stats[f"min_{c}"]), dtype)
+        hi = _as_double(F.lit(stats[f"max_{c}"]), dtype)
+        v = _as_double(F.col(c), dtype)
+        span = hi - lo
+        rank = F.when(F.col(c).isNull() | (span <= 0), F.lit(0)) \
+                .otherwise(F.floor((v - lo) / span * top)) \
+                .cast("int")
+        ranks.append(F.least(rank, F.lit(top)))
+    # combine in LONG: the odd-position spread shifted left by 1 tops out
+    # at 0xAAAAAAAA, past INT_MAX — 32-bit shiftleft would wrap negative
+    # and scramble the range ordering
+    z = _spread_bits16(ranks[0]).cast("long").bitwiseOR(
+        F.shiftleft(_spread_bits16(ranks[1]).cast("long"), 1))
+    return df.withColumn(z_col, z)
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   num_files: int = 8, bits: int = 16) -> None:
+    """Rewrite ``df`` at ``path`` clustered by the z-order of ``cols``:
+    range-partition on the Morton code (each output file owns a
+    contiguous code range = a small hyper-rectangle of the key space),
+    sort within files so ROW GROUPS inherit the locality too, drop the
+    code column (pure layout, no schema change)."""
+    z = with_zorder(df, cols, bits=bits)
+    (z.repartitionByRange(num_files, F.col(Z_COL))
+      .sortWithinPartitions(Z_COL)
+      .drop(Z_COL)
+      .write.mode("overwrite").parquet(path))

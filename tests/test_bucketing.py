@@ -63,3 +63,66 @@ def test_clustered_write_prunes_on_sort_key(spark, sf_dir, tmp_path):
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "LessThan(l_shipdate" in plan
     assert back.count() > 0
+
+
+def test_zorder_write_localizes_both_columns(spark, tmp_path):
+    """Z-order locality: after write_zordered on (l_orderkey, l_partkey),
+    each output file covers a small rectangle of BOTH key ranges — the
+    property that lets min/max stats prune files for predicates on either
+    column. A single-key sort would localize one column and leave the
+    other at full spread."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.operators.layout import write_zordered
+
+    li = read_table(spark, "/root/testdata/sf0.01", "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    path = str(tmp_path / "zli")
+    write_zordered(li, path, ["l_orderkey", "l_partkey"], num_files=8)
+
+    gmin = li.agg(F.min("l_orderkey"), F.max("l_orderkey"),
+                  F.min("l_partkey"), F.max("l_partkey")).head()
+    span_o = gmin[1] - gmin[0]
+    span_p = gmin[3] - gmin[2]
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) >= 4
+    frac_o, frac_p = [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins = {"l_orderkey": [], "l_partkey": []}
+        maxs = {"l_orderkey": [], "l_partkey": []}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name].append(col.statistics.min)
+                    maxs[name].append(col.statistics.max)
+        frac_o.append((max(maxs["l_orderkey"]) - min(mins["l_orderkey"]))
+                      / span_o)
+        frac_p.append((max(maxs["l_partkey"]) - min(mins["l_partkey"]))
+                      / span_p)
+    # average per-file coverage well below full span on BOTH dimensions
+    avg_o = sum(frac_o) / len(frac_o)
+    avg_p = sum(frac_p) / len(frac_p)
+    assert avg_o < 0.6, avg_o
+    assert avg_p < 0.6, avg_p
+    # and content round-trips exactly
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_zorder_guards_and_nulls(spark):
+    import pytest as _pytest
+
+    from pydata_vector_search_spark.operators.layout import with_zorder
+    df = spark.createDataFrame([(1, 2.0), (None, 4.0), (3, None)],
+                               "a int, b double")
+    out = with_zorder(df, ["a", "b"]).collect()
+    assert all(r["__z"] is not None and r["__z"] >= 0 for r in out)
+    with _pytest.raises(ValueError, match="exactly 2"):
+        with_zorder(df, ["a"])
