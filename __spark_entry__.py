@@ -1694,6 +1694,37 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("commit_id", "o_orderstatus"))
 
 
+def q_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO (Delta/Iceberg shape, generalizing the
+    reference's unconditional Hudi upsert): one source batch applies
+    WHEN MATCHED AND k%9=0 DELETE, WHEN MATCHED AND k%2=0 UPDATE SET *,
+    WHEN NOT MATCHED INSERT * — in a single outer-join pass with one
+    upsert commit + one tombstone commit. Hash-equality of the final
+    snapshot against a pure-SQL replay proves clause precedence (delete
+    over update), conditional application, and untouched-row fidelity."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import merge_into
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders").select(*cols)
+    base = o.filter(F.col("o_orderkey") < 4000).coalesce(4)
+    src = (o.filter((F.col("o_orderkey") >= 3000)
+                    & (F.col("o_orderkey") < 5000))
+             .withColumn("o_orderstatus", F.lit("M")).coalesce(4))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_merge_"))
+    cat.write("t", base, key="o_orderkey")
+    merge_into(cat, "t", src,
+               matched_update="o_orderkey % 2 = 0",
+               matched_delete="o_orderkey % 9 = 0")
+    return (cat.load("t")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Hudi commit-timeline semantics the
     reference stack configures, demo.ipynb c8:20-24): bootstrap → keyed
@@ -1790,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_after_upsert": q_ann_after_upsert,
         "stream_stream_join": q_stream_stream_join,
         "zorder_scan": q_zorder_scan,
+        "merge_clauses": q_merge_clauses,
         "stream_dedup": q_stream_dedup,
         "keyed_delete": q_keyed_delete,
         "maintenance_cycle": q_maintenance_cycle,
@@ -1799,7 +1831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_postfilter": q_hybrid_postfilter,
         "vector_knn_l2": q_vector_knn_l2,
         "vector_knn": q_vector_knn,
-        "hyperplane_lsh_neardup": q_hyperplane_lsh,
         # --- beyond the window: oracle-verified in r03 (driver) and by
         # --- tools/oracle_check.py against current code locally
         # (vector_knn_tvf and vector_knn_dot share the exact plan builder
@@ -1807,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  test_sql_surface / test_vector_functions)
         "vector_knn_tvf": q_vector_knn_tvf,
         "vector_knn_dot": q_vector_knn_dot,
+        "hyperplane_lsh_neardup": q_hyperplane_lsh,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -2105,6 +2137,26 @@ def oracle_sql() -> dict[str, str]:
                    sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
                    max((props->>'$.k')::BIGINT)::BIGINT AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "merge_clauses": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey < 4000
+            ), merged AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey >= 3000 AND o_orderkey % 9 != 0
+                                 AND o_orderkey % 2 = 0
+                            THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM base
+                WHERE NOT (o_orderkey >= 3000 AND o_orderkey % 9 = 0)
+                UNION ALL
+                SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 5000
+            )
+            SELECT o_orderstatus, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "zorder_scan": """
             SELECT l_returnflag, count(*)::BIGINT AS n,

@@ -66,6 +66,16 @@ class Engine:
         removed."""
         return upsert_op.delete_where(self.catalog, table, predicate)
 
+    def merge(self, table: str, source: DataFrame, key: str | None = None,
+              matched_update=None, matched_delete=None,
+              insert_unmatched: bool = True) -> dict:
+        """Conditional MERGE INTO (update/delete/insert clauses in one
+        commit pair). See operators.upsert.merge_into."""
+        return upsert_op.merge_into(self.catalog, table, source, key=key,
+                                    matched_update=matched_update,
+                                    matched_delete=matched_delete,
+                                    insert_unmatched=insert_unmatched)
+
     # -- incremental pull (the reference stack's Hudi incremental query) --
     def read_incremental(self, table: str, since_commit: int,
                          latest_only: bool = True) -> DataFrame:

@@ -91,6 +91,128 @@ def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> 
                   partition_by=info.partition_by or None, reset_history=False)
 
 
+def merge_into(catalog, name: str, source: DataFrame,
+               key: str | None = None,
+               matched_update=None,
+               matched_delete=None,
+               insert_unmatched: bool = True) -> dict:
+    """Conditional MERGE (the Delta/Iceberg ``MERGE INTO`` shape,
+    generalizing the reference's unconditional Hudi upsert):
+
+    * WHEN MATCHED [AND ``matched_delete``] THEN DELETE
+    * WHEN MATCHED [AND ``matched_update``] THEN UPDATE SET * (take the
+      source row; ``None`` = always, like plain upsert)
+    * WHEN NOT MATCHED THEN INSERT * (``insert_unmatched=False`` turns
+      the merge into update/delete-only)
+
+    Conditions are Columns or SQL strings over the SOURCE row's columns;
+    delete wins over update when both match. NULL conditions count as
+    not-satisfied (SQL semantics). Relational formulation — ONE outer
+    join on the key, no driver row loop:
+
+      target ⟗ source → per-row case: unmatched-target → keep; matched
+      + delete-cond → drop (tombstone); matched + update-cond → source
+      row; matched otherwise → keep; unmatched-source → insert.
+
+    CDC: the applied (update+insert) rows log as an upsert commit, the
+    deleted rows as a tombstone commit — incremental consumers replay
+    the merge exactly. Returns {"updated", "deleted", "inserted"}.
+
+    Scale: COW rewrite of the full table here (matching the reference's
+    non-partitioned COW config); for partitioned tables the same
+    partition-scoped economics as ``upsert_table``/``delete_where``
+    apply — prune the join to source-touched partitions and rewrite only
+    those (dynamic overwrite + emptied-dir cleanup)."""
+    info = catalog.info(name)
+    key = key or info.key
+    if key is None:
+        raise ValueError(f"table {name!r} has no record key; register with key=")
+    old = catalog.load(name)
+    if set(source.columns) != set(old.columns):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} must match "
+            f"target columns {sorted(old.columns)} (MERGE ... SET * form)")
+
+    def _cond(c, default):
+        if c is None:
+            return default
+        c = F.expr(c) if isinstance(c, str) else c
+        return F.coalesce(c, F.lit(False))   # NULL condition = not satisfied
+
+    # Evaluate the clause conditions in the SOURCE's own scope (before any
+    # join introduces duplicate column names), then prefix both sides so
+    # the joined frame has unambiguous flat attributes — which also makes
+    # it safe to localCheckpoint (checkpointing drops alias qualifiers).
+    cols = old.columns
+    src = (source.withColumn("__upd", _cond(matched_update, F.lit(True)))
+                 .withColumn("__del", _cond(matched_delete, F.lit(False))))
+    t = old.select(*[F.col(c).alias(f"__t_{c}") for c in cols])
+    s = src.select(*[F.col(c).alias(f"__s_{c}") for c in cols],
+                   "__upd", "__del")
+    j = (t.join(s, F.col(f"__t_{key}") == F.col(f"__s_{key}"), "full_outer")
+          .localCheckpoint(eager=True))
+
+    t_k, s_k = F.col(f"__t_{key}"), F.col(f"__s_{key}")
+    matched = t_k.isNotNull() & s_k.isNotNull()
+    del_hit = matched & F.col("__del")
+    upd_hit = matched & ~F.col("__del") & F.col("__upd")
+    ins_hit = t_k.isNull() & F.lit(insert_unmatched)
+
+    take_source = upd_hit | ins_hit
+    keep_target = (s_k.isNull() | (matched & ~del_hit & ~upd_hit))
+    out_cols = [F.when(take_source, F.col(f"__s_{c}"))
+                 .otherwise(F.col(f"__t_{c}")).alias(c)
+                for c in cols]
+    merged = (j.filter(take_source | keep_target).select(*out_cols)
+               .localCheckpoint(eager=True))
+
+    counts = j.agg(
+        F.sum(upd_hit.cast("long")).alias("u"),
+        F.sum(del_hit.cast("long")).alias("d"),
+        F.sum(ins_hit.cast("long")).alias("i")).head()
+    if counts.u or counts.i:
+        applied = j.filter(take_source).select(
+            *[F.col(f"__s_{c}").alias(c) for c in cols])
+        catalog.log_commit(name, applied)
+    if counts.d:
+        doomed = j.filter(del_hit).select(
+            *[F.col(f"__t_{c}").alias(c) for c in cols])
+        catalog.log_commit(name, doomed, op="delete")
+    catalog.write(name, merged, key=key, mode="overwrite",
+                  partition_by=info.partition_by or None,
+                  reset_history=False)
+    return {"updated": int(counts.u or 0), "deleted": int(counts.d or 0),
+            "inserted": int(counts.i or 0)}
+
+
+def _partition_pred(partition_by: list[str], parts: list[tuple]):
+    import operator
+    from functools import reduce
+
+    return reduce(operator.or_, [
+        reduce(operator.and_,
+               [F.col(c).eqNullSafe(F.lit(v))
+                for c, v in zip(partition_by, p)])
+        for p in parts])
+
+
+def _emptied_partition_dirs(old: DataFrame, partition_by: list[str],
+                            emptied: list[tuple]) -> set[str]:
+    """Resolve the on-disk directories of partitions about to end up with
+    ZERO surviving rows, from the actual file paths (``input_file_name``
+    — ground truth, no hive-escaping guesswork). Must be called BEFORE
+    the rewrite; dynamic partition overwrite never touches a partition
+    that contributes no rows, so these dirs must be dropped explicitly."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    if not emptied:
+        return set()
+    files = [r[0] for r in old.filter(_partition_pred(partition_by, emptied))
+             .select(F.input_file_name()).distinct().collect()]
+    return {os.path.dirname(unquote(urlparse(f).path)) for f in files}
+
+
 def delete_where(catalog, name: str, predicate) -> int:
     """Keyed delete — the OTHER Hudi write operation ('delete'): rows
     matching ``predicate`` are removed by COW rewrite, and the removed
@@ -109,11 +231,7 @@ def delete_where(catalog, name: str, predicate) -> int:
     SQL DELETE semantics: only rows where the predicate is TRUE are
     deleted; rows where it evaluates to NULL are retained (``kept``
     filters on ``NOT coalesce(pred, false)``, not ``NOT pred``)."""
-    import operator
-    import os
     import shutil
-    from functools import reduce
-    from urllib.parse import unquote, urlparse
 
     info = catalog.info(name)
     old = catalog.load(name)
@@ -129,31 +247,13 @@ def delete_where(catalog, name: str, predicate) -> int:
     if info.partition_by:
         touched = [tuple(r) for r in
                    doomed.select(*info.partition_by).distinct().collect()]
-        pred = reduce(operator.or_, [
-            reduce(operator.and_,
-                   [F.col(c).eqNullSafe(F.lit(v))
-                    for c, v in zip(info.partition_by, p)])
-            for p in touched])
+        pred = _partition_pred(info.partition_by, touched)
         kept = (old.filter(pred).filter(keep_cond)
                    .localCheckpoint(eager=True))
         survivors = {tuple(r) for r in
                      kept.select(*info.partition_by).distinct().collect()}
         emptied = [p for p in touched if p not in survivors]
-        empty_dirs: set[str] = set()
-        if emptied:
-            # Resolve the emptied partitions' directories BEFORE the
-            # rewrite, from the actual files (dynamic overwrite would
-            # otherwise never touch a partition with no surviving rows
-            # and the deleted rows would survive on disk).
-            empty_pred = reduce(operator.or_, [
-                reduce(operator.and_,
-                       [F.col(c).eqNullSafe(F.lit(v))
-                        for c, v in zip(info.partition_by, p)])
-                for p in emptied])
-            files = [r[0] for r in old.filter(empty_pred)
-                     .select(F.input_file_name()).distinct().collect()]
-            empty_dirs = {os.path.dirname(unquote(urlparse(f).path))
-                          for f in files}
+        empty_dirs = _emptied_partition_dirs(old, info.partition_by, emptied)
         (kept.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy(*info.partition_by)

@@ -122,3 +122,66 @@ def test_write_refuses_external_and_bucketed_conversion(spark, tmp_path):
     # managed tables still overwrite fine
     cat.write("managed", df)
     cat.write("managed", df)
+
+
+def test_merge_into_clauses(spark, tmp_path):
+    """MERGE: conditional update, delete-wins-over-update, insert, and
+    untouched unmatched-target rows — in one commit pair."""
+    from pydata_vector_search_spark.operators.upsert import merge_into
+
+    cat = Catalog(spark, str(tmp_path / "m1"))
+    cat.write("t", spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k int, x double"),
+        key="k")
+    source = spark.createDataFrame(
+        [(2, 99.0),      # matched, update cond true  -> updated
+         (3, -1.0),      # matched, delete cond true  -> deleted
+         (4, 0.5),       # matched, neither cond true -> kept as-is
+         (9, 90.0)],     # unmatched                  -> inserted
+        "k int, x double")
+    res = merge_into(cat, "t", source,
+                     matched_update="x > 50",
+                     matched_delete="x < 0")
+    assert res == {"updated": 1, "deleted": 1, "inserted": 1}
+    got = {r.k: r.x for r in cat.load("t").collect()}
+    assert got == {1: 10.0, 2: 99.0, 4: 40.0, 9: 90.0}
+    # CDC: update+insert commit then tombstone commit
+    inc = cat.read_incremental("t", 1, latest_only=False)
+    by = {(r.k, r._deleted) for r in inc.collect()}
+    assert by == {(2, False), (9, False), (3, True)}
+
+
+def test_merge_into_unconditional_equals_upsert(spark, tmp_path):
+    from pydata_vector_search_spark.operators.upsert import merge_into
+    cat = Catalog(spark, str(tmp_path / "m2"))
+    cat.write("t", spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "k int, v string"), key="k")
+    res = merge_into(cat, "t", spark.createDataFrame(
+        [(2, "B"), (5, "e")], "k int, v string"))
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert {r.k: r.v for r in cat.load("t").collect()} == \
+        {1: "a", 2: "B", 5: "e"}
+
+
+def test_merge_into_no_insert_mode_and_null_condition(spark, tmp_path):
+    from pydata_vector_search_spark.operators.upsert import merge_into
+    cat = Catalog(spark, str(tmp_path / "m3"))
+    cat.write("t", spark.createDataFrame(
+        [(1, 10), (2, None)], "k int, x int"), key="k")
+    source = spark.createDataFrame(
+        [(2, None),      # update cond x>5 on source is NULL -> NOT updated
+         (7, 70)],       # unmatched but insert disabled
+        "k int, x int")
+    res = merge_into(cat, "t", source, matched_update="x > 5",
+                     insert_unmatched=False)
+    assert res == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert sorted(r.k for r in cat.load("t").collect()) == [1, 2]
+
+
+def test_merge_into_schema_guard(spark, tmp_path):
+    from pydata_vector_search_spark.operators.upsert import merge_into
+    cat = Catalog(spark, str(tmp_path / "m4"))
+    cat.write("t", spark.createDataFrame([(1, "a")], "k int, v string"),
+              key="k")
+    with pytest.raises(ValueError, match="must match"):
+        merge_into(cat, "t", spark.createDataFrame([(1,)], "k int"))
