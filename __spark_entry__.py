@@ -1694,6 +1694,41 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("commit_id", "o_orderstatus"))
 
 
+def q_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log retention (timeline VACUUM): bootstrap → upsert →
+    delete → ``expire_commits(3)`` collapses commits 1-2 into a
+    materialized base at 3 → a further upsert lands as commit 4 — then
+    BOTH retained historical states are read back via ``read_asof`` off
+    the collapsed base. Hash-equality against a pure-SQL replay proves
+    the collapse is content-exact (including a key deleted at 3 and
+    re-inserted at 4); reads before the retention point raise instead of
+    silently mis-replaying (tests/test_incremental.py)."""
+    import tempfile
+    from functools import reduce
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500) \
+                                   .coalesce(4)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_ret_"))
+    cat.write("t", o, key="o_orderkey")                        # commit 1
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_orderstatus", F.lit("X")))     # commit 2
+    delete_where(cat, "t", "o_orderkey % 7 = 0")               # commit 3
+    cat.expire_commits("t", 3)                                 # collapse 1-2
+    upsert_table(cat, "t", o.filter(F.col("o_orderkey") % 5 == 0)
+                 .withColumn("o_orderstatus", F.lit("Y")))     # commit 4
+    states = [cat.read_asof("t", c).withColumn("commit_id", F.lit(c))
+              for c in (3, 4)]
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return (u.groupBy("commit_id", "o_orderstatus")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total"))
+             .orderBy("commit_id", "o_orderstatus"))
+
+
 def q_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional MERGE INTO (Delta/Iceberg shape, generalizing the
     reference's unconditional Hudi upsert): one source batch applies
@@ -1822,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "zorder_scan": q_zorder_scan,
         "merge_clauses": q_merge_clauses,
+        "log_retention": q_log_retention,
         "stream_dedup": q_stream_dedup,
         "keyed_delete": q_keyed_delete,
         "maintenance_cycle": q_maintenance_cycle,
@@ -1830,7 +1866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_prefilter": q_hybrid_prefilter,
         "hybrid_postfilter": q_hybrid_postfilter,
         "vector_knn_l2": q_vector_knn_l2,
-        "vector_knn": q_vector_knn,
         # --- beyond the window: oracle-verified in r03 (driver) and by
         # --- tools/oracle_check.py against current code locally
         # (vector_knn_tvf and vector_knn_dot share the exact plan builder
@@ -1838,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  test_sql_surface / test_vector_functions)
         "vector_knn_tvf": q_vector_knn_tvf,
         "vector_knn_dot": q_vector_knn_dot,
+        "vector_knn": q_vector_knn,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2137,6 +2173,27 @@ def oracle_sql() -> dict[str, str]:
                    sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
                    max((props->>'$.k')::BIGINT)::BIGINT AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "log_retention": """
+            WITH base AS (
+                SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+                FROM orders WHERE o_orderkey < 2500
+            ), all_states AS (
+                SELECT 3 AS commit_id,
+                       CASE WHEN k % 3 = 0 THEN 'X' ELSE st END AS o_orderstatus,
+                       tp
+                FROM base WHERE k % 7 != 0
+                UNION ALL
+                SELECT 4,
+                       CASE WHEN k % 5 = 0 THEN 'Y'
+                            WHEN k % 3 = 0 THEN 'X' ELSE st END,
+                       tp
+                FROM base WHERE k % 7 != 0 OR k % 5 = 0
+            )
+            SELECT commit_id, o_orderstatus, count(*)::BIGINT AS n,
+                   round(sum(tp), 2) AS total
+            FROM all_states GROUP BY commit_id, o_orderstatus
+            ORDER BY commit_id, o_orderstatus
         """,
         "merge_clauses": """
             WITH base AS (

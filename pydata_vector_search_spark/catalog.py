@@ -29,6 +29,7 @@ class TableInfo:
     num_buckets: int = 0              # >0: bucketed table (session catalog)
     last_commit: int = 0              # monotonically increasing commit id (1 = bootstrap)
     commit_times: dict = field(default_factory=dict)  # commit id (str) -> epoch seconds
+    history_start: int = 1            # earliest replayable commit (expire_commits raises it)
     format: str = "parquet"           # any Spark DataSource (csv/json/orc/text)
     options: dict = field(default_factory=dict)   # reader options (csv header, …)
     has_schema: bool = False          # an explicit schema was given at registration
@@ -114,9 +115,11 @@ class Catalog:
         # registrations are cleared.
         idx = {} if reset_history or prev is None else dict(prev.indexes)
         ct = {} if reset_history or prev is None else dict(prev.commit_times)
+        hs = 1 if reset_history or prev is None else prev.history_start
         info = TableInfo(name=name, path=path, key=key,
                          partition_by=list(partition_by or []),
-                         last_commit=last, indexes=idx, commit_times=ct)
+                         last_commit=last, indexes=idx, commit_times=ct,
+                         history_start=hs)
         self._tables[name] = info
         self._persist()
         if reset_history and key is not None:
@@ -206,6 +209,12 @@ class Catalog:
             raise ValueError(
                 "commit 1 is the bootstrap load: read it via load(), then "
                 "consume incrementally with since_commit >= 1")
+        if since_commit < info.history_start and info.history_start > 1:
+            raise ValueError(
+                f"commits before {info.history_start} were expired "
+                f"(expire_commits); an incremental read since "
+                f"{since_commit} cannot be served faithfully — re-bootstrap "
+                "the consumer from the snapshot")
         croot = self._changes_root(name)
         if since_commit >= info.last_commit or not os.path.isdir(croot):
             empty = (self.load(name)
@@ -252,10 +261,16 @@ class Catalog:
             raise ValueError(
                 f"table {name!r} has no record key; time travel requires "
                 "keyed last-write-wins history")
-        boot = os.path.join(self._changes_root(name), "commit=1")
+        if commit < info.history_start:
+            raise ValueError(
+                f"commit {commit} of table {name!r} predates the retained "
+                f"history (expire_commits collapsed the timeline at "
+                f"{info.history_start})")
+        boot = os.path.join(self._changes_root(name),
+                            f"commit={info.history_start}")
         if not os.path.isdir(boot):
             raise ValueError(
-                f"table {name!r} has no bootstrap commit in its change "
+                f"table {name!r} has no base commit in its change "
                 "log (created before bootstrap logging, or history was "
                 "compacted away); read_asof cannot replay")
         df = (self.spark.read.option("mergeSchema", "true")
@@ -290,6 +305,45 @@ class Catalog:
                 "(first recorded instant is "
                 f"{min(info.commit_times.values()) if info.commit_times else 'absent — table predates instant recording'})")
         return self.read_asof(name, max(eligible))
+
+    def expire_commits(self, name: str, upto: int) -> None:
+        """Commit-log retention (the lakehouse VACUUM for the timeline):
+        collapse commits < ``upto`` into one materialized base — the
+        table's full state AS OF ``upto`` written into the ``commit=upto``
+        log partition — and delete the older commit directories.
+
+        Afterwards: ``read_asof(c >= upto)`` replays from the collapsed
+        base (time travel keeps working for retained history);
+        ``read_asof``/``read_incremental`` for commits before ``upto``
+        raise explicitly (history expired) instead of silently returning
+        wrong reconstructions. Without retention the log grows with every
+        commit forever — at 100 TB the timeline itself becomes a table.
+
+        Run it when no CDC tail is mid-stream over the expired range: the
+        collapsed base lands as NEW files in ``commit=upto``, which a
+        file-source checkpoint that already consumed the original batch
+        will deliver again (the standard retention/compaction caveat for
+        log consumers)."""
+        info = self._tables[name]
+        if upto <= info.history_start:
+            return
+        if upto > info.last_commit:
+            raise ValueError(
+                f"cannot expire through commit {upto}: table "
+                f"{name!r} is at commit {info.last_commit}")
+        # materialize BEFORE touching the directories the state derives from
+        state = self.read_asof(name, upto).localCheckpoint(eager=True)
+        croot = self._changes_root(name)
+        (state.withColumn("_deleted", F.lit(False))
+              .write.mode("overwrite")
+              .parquet(os.path.join(croot, f"commit={upto}")))
+        for c in range(info.history_start, upto):
+            shutil.rmtree(os.path.join(croot, f"commit={c}"),
+                          ignore_errors=True)
+        info.history_start = upto
+        info.commit_times = {c: t for c, t in info.commit_times.items()
+                             if int(c) >= upto}
+        self._persist()
 
     # -- vector indexes (table-scoped, like the reference's Lance index) ---
     def register_index(self, table: str, vector_col: str, path: str,

@@ -261,5 +261,11 @@ class Engine:
     def compact(self, table: str, **kw) -> None:
         self.catalog.compact(table, **kw)
 
+    def expire_commits(self, table: str, upto: int) -> None:
+        """Commit-log retention: collapse history before ``upto`` into a
+        materialized base (time travel >= upto keeps working). See
+        Catalog.expire_commits."""
+        self.catalog.expire_commits(table, upto)
+
     def drop(self, table: str, delete_files: bool = True) -> None:
         self.catalog.drop(table, delete_files=delete_files)

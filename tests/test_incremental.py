@@ -363,3 +363,50 @@ def test_read_asof_timestamp(spark, cat):
     assert state_at(t2 + 10**6) == [(2, "B")]          # far future = live
     with pytest.raises(ValueError, match="no commit"):
         cat.read_asof_timestamp("ts", t1 - 10**6)
+
+
+def test_expire_commits_collapses_timeline(spark, cat):
+    """Retention: expire through commit N collapses older history into a
+    materialized base at N; time travel >= N still replays exactly,
+    reads before N raise, incremental reads since >= N are unchanged."""
+    from pydata_vector_search_spark.operators.upsert import delete_where
+    cat.write("ex", _df(spark, [(1, "a"), (2, "b"), (3, "c")]), key="k")
+    upsert_table(cat, "ex", _df(spark, [(2, "B"), (4, "d")]))   # commit 2
+    delete_where(cat, "ex", "k = 1")                            # commit 3
+    upsert_table(cat, "ex", _df(spark, [(5, "e")]))             # commit 4
+    want3 = sorted((r.k, r.v) for r in cat.read_asof("ex", 3).collect())
+    want4 = sorted((r.k, r.v) for r in cat.read_asof("ex", 4).collect())
+
+    cat.expire_commits("ex", 3)
+    assert cat.info("ex").history_start == 3
+    import os
+    croot = cat._changes_root("ex")
+    assert not os.path.isdir(os.path.join(croot, "commit=1"))
+    assert not os.path.isdir(os.path.join(croot, "commit=2"))
+
+    # retained history replays identically off the collapsed base
+    assert sorted((r.k, r.v)
+                  for r in cat.read_asof("ex", 3).collect()) == want3
+    assert sorted((r.k, r.v)
+                  for r in cat.read_asof("ex", 4).collect()) == want4
+    # expired history refuses loudly
+    with pytest.raises(ValueError, match="predates the retained"):
+        cat.read_asof("ex", 2)
+    with pytest.raises(ValueError, match="expired"):
+        cat.read_incremental("ex", 1)
+    # incremental since the collapse point sees only the real new commits
+    inc = {(r.k, r.v) for r in cat.read_incremental("ex", 3).collect()}
+    assert inc == {(5, "e")}
+    # timeline keeps advancing normally after expiry
+    upsert_table(cat, "ex", _df(spark, [(6, "f")]))             # commit 5
+    got5 = sorted((r.k, r.v) for r in cat.read_asof("ex", 5).collect())
+    assert got5 == sorted(want4 + [(6, "f")])
+
+
+def test_expire_commits_guards(spark, cat):
+    cat.write("ex2", _df(spark, [(1, "a")]), key="k")
+    upsert_table(cat, "ex2", _df(spark, [(2, "b")]))
+    cat.expire_commits("ex2", 1)          # no-op: nothing before start
+    assert cat.info("ex2").history_start == 1
+    with pytest.raises(ValueError, match="cannot expire"):
+        cat.expire_commits("ex2", 99)
