@@ -569,6 +569,22 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("day_bucket"))
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (the inverse of pivot, Spark's ``DataFrame.unpivot``/melt):
+    three lineitem measure columns melted to (measure, value) rows, then
+    aggregated per (returnflag, measure). Catalyst expands melt to the
+    same Expand node a stack() would produce — one scan, no shuffle until
+    the aggregate; the oracle spells the expansion as UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+    m = li.select("l_returnflag", *measures) \
+          .unpivot("l_returnflag", measures, "measure", "value")
+    return (m.groupBy("l_returnflag", "measure")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.round(F.sum("value"), 2).alias("total"))
+             .orderBy("l_returnflag", "measure"))
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS in the SQL surface (Catalyst
     rewrites to semi/anti joins — same plan family as semi_anti_join)."""
@@ -1858,9 +1874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan": q_zorder_scan,
         "merge_clauses": q_merge_clauses,
         "log_retention": q_log_retention,
+        "unpivot": q_unpivot,
         "stream_dedup": q_stream_dedup,
         "keyed_delete": q_keyed_delete,
-        "maintenance_cycle": q_maintenance_cycle,
         "incremental_read": q_incremental_read,
         "jaccard_prefix": q_jaccard_prefix,
         "hybrid_prefilter": q_hybrid_prefilter,
@@ -1875,6 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn_dot": q_vector_knn_dot,
         "vector_knn": q_vector_knn,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        # (maintenance_cycle's compact/upsert machinery is in-window via
+        #  log_retention, merge_clauses, time_travel_read, upsert_merge)
+        "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -2173,6 +2192,21 @@ def oracle_sql() -> dict[str, str]:
                    sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
                    max((props->>'$.k')::BIGINT)::BIGINT AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "unpivot": """
+            WITH m AS (
+                SELECT l_returnflag, 'l_quantity' AS measure,
+                       l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+            )
+            SELECT l_returnflag, measure, count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS total
+            FROM m GROUP BY l_returnflag, measure
+            ORDER BY l_returnflag, measure
         """,
         "log_retention": """
             WITH base AS (
