@@ -71,6 +71,38 @@ def main() -> None:
         be, "embedding", "vec_id", k=20, num_blocks=16).count())
     timed("jaccard join pairs", lambda: dedup.jaccard_similarity_join(
         bd, "text", "doc_id", max_shingle_df=1000).count())
+    timed("jaccard PREFIX join pairs (PPJoin)",
+          lambda: dedup.jaccard_similarity_join_prefix(
+              bd, "text", "doc_id", max_shingle_df=1000).count())
+
+    # lakehouse mutations at scale: z-order rewrite and conditional merge
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.layout import write_zordered
+    from pydata_vector_search_spark.operators.upsert import merge_into
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    bl = None
+    for i in range(n_copies):
+        l = li.withColumn("l_orderkey", F.col("l_orderkey")
+                          + F.lit(i * 10_000_000).cast("bigint"))
+        bl = l if bl is None else bl.unionByName(l)
+    bl = bl.select("l_orderkey", "l_partkey", "l_extendedprice") \
+           .localCheckpoint(eager=True)
+    print(f"lineitem {n_copies}x: {bl.count()} rows")
+    timed("z-order rewrite (Morton, range-part + sort)",
+          lambda: write_zordered(bl, f"{out}/zli",
+                                 ["l_orderkey", "l_partkey"],
+                                 num_files=32) or "written")
+
+    cat = Catalog(spark, f"{out}/cat")
+    ok = bd.select("doc_id", "text")
+    cat.write("docs", ok, key="doc_id")
+    src = (ok.filter(F.col("doc_id") % 4 == 0)
+             .withColumn("text", F.concat(F.col("text"), F.lit(" MERGED"))))
+    timed("conditional MERGE (outer join + COW rewrite)",
+          lambda: merge_into(cat, "docs", src,
+                             matched_update="doc_id % 8 = 0",
+                             matched_delete="doc_id % 20 = 0"))
 
     from pydata_vector_search_spark.operators.graph import \
         connected_components
