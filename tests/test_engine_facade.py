@@ -120,3 +120,18 @@ def test_stream_and_maintenance_via_engine(engine, spark, tmp_path):
     assert engine.table("user_latest").count() == n
     engine.drop("user_latest")
     assert "user_latest" not in engine.catalog
+
+
+def test_engine_merge_and_retention_facade(spark, tmp_path):
+    from pydata_vector_search_spark.engine import Engine
+    eng = Engine(spark, str(tmp_path / "emr"))
+    eng.ingest(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+               "t", key="k")
+    res = eng.merge("t", spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k int, v string"))
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    eng.upsert("t", spark.createDataFrame([(4, "d")], "k int, v string"))
+    eng.expire_commits("t", 2)
+    assert eng.catalog.info("t").history_start == 2
+    got = sorted((r.k, r.v) for r in eng.read_asof("t", 2).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]

@@ -99,6 +99,25 @@ NOTES = {
         "is the LIFECYCLE: the probed directories belong to the index "
         "REBUILT at the table's current commit, enforced by the catalog "
         "staleness contract rather than by plan structure."),
+    "merge_clauses": (
+        "Conditional MERGE: the final snapshot aggregate over the merged "
+        "table — the merge itself ran as ONE SortMergeJoin (full outer on "
+        "the record key, never a cartesian) with clause conditions "
+        "evaluated map-side on the source before the join; the COW "
+        "rewrite + two commit-log appends are write jobs, not part of "
+        "this read plan."),
+    "zorder_scan": (
+        "Scan over the Z-ORDERED rewrite: both range predicates reach the "
+        "parquet scan (PushedFilters on l_orderkey AND l_partkey), and "
+        "because every file/row group covers a small Morton rectangle of "
+        "BOTH keys, min/max stats prune on either column — the "
+        "multi-dimensional generalization of clustered_scan."),
+    "stream_stream_join": (
+        "Batch rollup over the stream-stream join's sink; the streaming "
+        "plan itself (two file-source streams, StreamingSymmetricHashJoin "
+        "on user_id with the interval condition) ran before this with "
+        "state sized to 4 partitions — see the declared query's "
+        "docstring for the state-store economics."),
 }
 
 
