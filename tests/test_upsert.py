@@ -185,3 +185,25 @@ def test_merge_into_schema_guard(spark, tmp_path):
               key="k")
     with pytest.raises(ValueError, match="must match"):
         merge_into(cat, "t", spark.createDataFrame([(1,)], "k int"))
+
+
+def test_upsert_schema_evolution_adds_column(spark, tmp_path):
+    """Schema evolution on upsert (the lakehouse mergeSchema contract):
+    a batch carrying a NEW column widens the snapshot (old rows NULL),
+    and incremental readers see the widened schema too (the change log
+    is read with mergeSchema)."""
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+    cat = Catalog(spark, str(tmp_path / "se"))
+    cat.write("t", spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "k int, v string"), key="k")
+    batch = spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)],
+                                  "k int, v string, score double")
+    upsert_table(cat, "t", batch)
+    got = {r.k: (r.v, r.score) for r in cat.load("t").collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+    inc = {r.k: r.score for r in cat.read_incremental("t", 1).collect()}
+    assert inc == {2: 9.5, 3: 1.0}
+    # and time travel before the widening still reconstructs (new column
+    # surfaces as NULL for the historical state — merged log schema)
+    old = {r.k: (r.v, r.score) for r in cat.read_asof("t", 1).collect()}
+    assert old == {1: ("a", None), 2: ("b", None)}
