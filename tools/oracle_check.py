@@ -56,6 +56,7 @@ def main():
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -67,10 +68,12 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "spark_error", "error": str(e)[:200]}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             rel = con.sql(sql)
@@ -79,15 +82,19 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "duckdb_error", "error": str(e)[:200]}
             continue
         dt = time.time() - t0
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={scols} duck={ocols}")
             failures.append(name)
+            results[name] = {"status": "columns_mismatch"}
             continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(orows)}")
             failures.append(name)
+            results[name] = {"status": "rowcount_mismatch",
+                             "spark": len(srows), "duck": len(orows)}
             continue
         sn, on = _norm_rows(scols, srows), _norm_rows(ocols, orows)
         if sn != on:
@@ -96,10 +103,37 @@ def main():
             for a, b in bad:
                 print(f"   spark: {a}\n   duck : {b}")
             failures.append(name)
+            results[name] = {"status": "value_mismatch"}
             continue
         print(f"PASS {name}: {len(srows)} rows [{dt:.1f}s]")
+        results[name] = {"status": "pass", "rows": len(srows),
+                         "sec": round(dt, 1)}
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+
+    # Persist a full run (no query filter) as a repo artifact: the driver's
+    # per-round gate covers only the first 50 queries() entries, so this
+    # file is the auditable evidence that the WHOLE declared surface was
+    # value-hash-verified against the current working tree.
+    if not only:
+        import json
+        import subprocess
+        try:
+            sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                                 capture_output=True, text=True,
+                                 cwd=os.path.dirname(os.path.dirname(
+                                     os.path.abspath(__file__)))
+                                 ).stdout.strip()
+        except Exception:
+            sha = "unknown"
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "ORACLE_LOCAL.json"), "w") as f:
+            json.dump({"sf_dir": sf_dir, "git_head": sha,
+                       "n_queries": len(qs),
+                       "n_pass": len(qs) - len(failures),
+                       "failures": failures,
+                       "queries": results}, f, indent=2, sort_keys=True)
+
     if failures:
         print("failures:", failures)
         sys.exit(1)
