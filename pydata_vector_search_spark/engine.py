@@ -158,10 +158,17 @@ class Engine:
           the table advanced past the index's build commit.
         * ``on_stale='rebuild'``: rebuild + re-register at the current
           commit, then search (correct, pays the build).
+        * ``on_stale='patch'``: repair incrementally from the commit log
+          (``read_incremental`` since the index's pinned commit feeds
+          ``ivf_patch``) — work ∝ changed data; centroids keep their
+          trained positions (recall drifts only with the data
+          distribution). Requires retained history back to the index
+          commit (``expire_commits`` past it forces a rebuild).
         * ``on_stale='ignore'``: search the stale index (recall-tolerant
           readers; rows upserted since build are invisible/outdated)."""
         from pydata_vector_search_spark.operators.ann import (IVFIndex,
                                                               StaleIndexError,
+                                                              ivf_patch,
                                                               ivf_search)
         if isinstance(index, str) and index in self.catalog:
             table = index
@@ -186,6 +193,15 @@ class Engine:
                     self.ann_index_create(table, entry["vector_col"],
                                           path=entry["path"],
                                           **entry.get("params", {}))
+                elif on_stale == "patch":
+                    inc = self.catalog.read_incremental(
+                        table, since_commit=entry["commit"])
+                    idx = IVFIndex.load(self.spark, entry["path"])
+                    ivf_patch(self.spark, idx, inc,
+                              id_col=self.catalog.info(table).key)
+                    self.catalog.register_index(
+                        table, entry["vector_col"], entry["path"],
+                        params=entry.get("params", {}))
                 elif on_stale != "ignore":
                     raise ValueError(f"unknown on_stale={on_stale!r}")
             index = IVFIndex.load(self.spark, entry["path"])

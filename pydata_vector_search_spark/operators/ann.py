@@ -222,6 +222,72 @@ def ivf_build(df: DataFrame, vector_col: str, path: str,
     return IVFIndex(path, centroids, metric, vector_col)
 
 
+def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
+              id_col: str, deleted_col: str = "_deleted") -> dict:
+    """Incrementally repair an IVF index from a CDC batch (latest row per
+    key + ``_deleted`` tombstones — exactly what ``read_incremental``
+    emits since the index's build commit): work ∝ changed data, not
+    corpus.
+
+    Mechanics: (1) find the centroid partitions holding STALE versions of
+    the changed keys — a pruned scan with the key set pushed into the
+    parquet filter; (2) rewrite only those partitions minus the changed
+    keys (dynamic partition overwrite); (3) assign the surviving upserted
+    rows to centroids with the EXISTING centroid matrix and append them
+    into the partition layout. Centroids do not move — recall drifts only
+    as far as the data distribution does (the standard IVF maintenance
+    trade; rebuild re-trains).
+
+    The changed-key set is collected driver-side (it is the CDC batch's
+    key column — bounded by changed data; for million-key batches prefer
+    rebuild, which scans everything once anyway)."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    vec = index.vector_col
+    keys = [r[0] for r in changes.select(id_col).distinct().collect()]
+    if not keys:
+        return {"removed_partitions": 0, "appended": 0}
+
+    data = spark.read.parquet(index.data_path)
+    quantized = _CODE in data.columns
+    stale = data.filter(F.col(id_col).isin(keys))
+    touched = [r[0] for r in stale.select(_CID).distinct().collect()]
+    if touched:
+        keep = (data.filter(F.col(_CID).isin(touched))
+                    .filter(~F.col(id_col).isin(keys))
+                    .localCheckpoint(eager=True))
+        survivors = {r[0] for r in keep.select(_CID).distinct().collect()}
+        emptied = [c for c in touched if c not in survivors]
+        empty_dirs = set()
+        if emptied:
+            files = [r[0] for r in data.filter(F.col(_CID).isin(emptied))
+                     .select(F.input_file_name()).distinct().collect()]
+            empty_dirs = {os.path.dirname(unquote(urlparse(f).path))
+                          for f in files}
+        (keep.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(_CID).parquet(index.data_path))
+        for d in empty_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    live = changes
+    if deleted_col in changes.columns:
+        live = changes.filter(
+            ~F.coalesce(F.col(deleted_col), F.lit(False)))
+    live = live.select(*[c for c in live.columns
+                         if c not in (deleted_col, "commit")])
+    n_new = live.count()
+    if n_new:
+        assigned = assign_centroids(live, vec, index.centroids, index.metric)
+        if quantized:
+            assigned = quantize_int8(assigned, vec)
+        (assigned.repartition(max(1, min(len(keys) // 1000 + 1, 8)), _CID)
+                 .write.mode("append").partitionBy(_CID)
+                 .parquet(index.data_path))
+    return {"removed_partitions": len(touched), "appended": n_new}
+
+
 def ivf_search(spark: SparkSession, index: IVFIndex,
                query_vec: Sequence[float], k: int = 10, nprobe: int = 8,
                filter: Column | None = None,

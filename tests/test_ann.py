@@ -261,3 +261,51 @@ def test_ann_search_requires_registered_index(spark, tmp_path, sf_dir):
     eng.ingest(emb, "emb2", key="vec_id")
     with pytest.raises(ValueError, match="ann_index_create"):
         eng.ann_search("emb2", _query(spark, sf_dir), k=5)
+
+
+def test_ivf_patch_repairs_index_incrementally(spark, sf_dir, tmp_path):
+    """on_stale='patch': upserts + deletes since the index commit are
+    applied to the index from the CDC feed — post-patch search equals
+    exact KNN over the mutated table, untouched centroid partitions keep
+    their files, and the registration advances to the current commit."""
+    import glob
+    import os
+
+    from pydata_vector_search_spark.engine import Engine
+    from pydata_vector_search_spark.operators import knn
+
+    eng = Engine(spark, str(tmp_path / "patch"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    eng.ingest(emb, "emb", key="vec_id")
+    eng.ann_index_create("emb", "embedding", num_centroids=8, seed=42)
+    idx_path = eng.catalog.index_info("emb", "embedding")["path"]
+    mtimes_before = {f: os.path.getmtime(f) for f in glob.glob(
+        idx_path + "/data/**/*.parquet", recursive=True)}
+
+    # mutate: relabel a few rows, delete a few others
+    eng.upsert("emb", emb.filter(F.col("vec_id") < 3)
+               .withColumn("label", F.lit(77)))
+    eng.delete_where("emb", "vec_id = 498 OR vec_id = 499")
+
+    qv = _query(spark, sf_dir)
+    hits = eng.ann_search("emb", qv, k=8, nprobe=8, on_stale="patch",
+                          tiebreaker="vec_id")
+    got = [(r.vec_id, r.label) for r in hits.collect()]
+
+    exact_src = eng.table("emb")
+    want = [(r.vec_id, r.label) for r in knn.vector_search(
+        exact_src, "embedding", qv, k=8, tiebreaker="vec_id").collect()]
+    assert got == want
+    assert eng.catalog.index_info("emb", "embedding")["stale"] is False
+
+    # deleted keys are gone from the index, updated keys carry new labels
+    data = spark.read.parquet(idx_path + "/data")
+    assert data.filter("vec_id = 498 OR vec_id = 499").count() == 0
+    assert data.filter("vec_id < 3").count() == 3
+    assert {r.label for r in data.filter("vec_id < 3").collect()} == {77}
+    # no duplicate rows for patched keys
+    assert data.count() == exact_src.count()
+    # centroid partitions untouched by the changed keys keep their files
+    same = [f for f, t in mtimes_before.items()
+            if os.path.exists(f) and os.path.getmtime(f) == t]
+    assert same, "patch rewrote every partition — not incremental"
