@@ -110,3 +110,83 @@ def test_upsert_idempotent(spark, sf_dir):
     a = sorted((r.vec_id, r.label) for r in once.collect())
     b = sorted((r.vec_id, r.label) for r in twice.collect())
     assert a == b
+
+
+def test_random_mutation_history_model_check(spark, tmp_path):
+    """Model-based check of the whole mutation surface: a random sequence
+    of upsert / delete_where / merge_into commits against a keyed table,
+    mirrored in a plain Python dict per commit. Invariants: the snapshot
+    equals the final model, EVERY read_asof(commit) equals the model's
+    state at that commit, and the incremental feed replays to the
+    snapshot."""
+    import random
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             merge_into,
+                                                             upsert_table)
+
+    rng = random.Random(20260814)
+    cat = Catalog(spark, str(tmp_path / "model"))
+
+    def df_of(d):
+        return spark.createDataFrame(sorted(d.items()), "k int, v int")
+
+    state = {k: rng.randrange(100) for k in range(40)}
+    cat.write("t", df_of(state), key="k")
+    history = {1: dict(state)}
+    commit = 1
+
+    for step in range(6):
+        op = rng.choice(["upsert", "delete", "merge"])
+        if op == "upsert":
+            batch = {rng.randrange(60): rng.randrange(100)
+                     for _ in range(rng.randrange(1, 12))}
+            upsert_table(cat, "t", df_of(batch))
+            state.update(batch)
+            commit += 1
+        elif op == "delete":
+            m = rng.randrange(2, 7)
+            n = delete_where(cat, "t", f"k % {m} = 0")
+            doomed = [k for k in state if k % m == 0]
+            assert n == len(doomed)
+            for k in doomed:
+                del state[k]
+            commit += 1 if n else 0
+        else:
+            src = {rng.randrange(60): rng.randrange(100)
+                   for _ in range(rng.randrange(1, 12))}
+            res = merge_into(cat, "t", df_of(src),
+                             matched_update="v >= 20",
+                             matched_delete="v < 10")
+            ups = dels = ins = 0
+            for k, v in src.items():
+                if k in state:
+                    if v < 10:
+                        del state[k]
+                        dels += 1
+                    elif v >= 20:
+                        state[k] = v
+                        ups += 1
+                else:
+                    state[k] = v
+                    ins += 1
+            assert res == {"updated": ups, "deleted": dels, "inserted": ins}
+            commit += (1 if (ups or ins) else 0) + (1 if dels else 0)
+        # merge logs up to TWO commits; snapshot state applies to the last
+        history[commit] = dict(state)
+
+    assert cat.current_commit("t") == commit
+    assert {(r.k, r.v) for r in cat.load("t").collect()} == set(state.items())
+    for c, snap in history.items():
+        got = {(r.k, r.v) for r in cat.read_asof("t", c).collect()}
+        assert got == set(snap.items()), f"asof({c}) diverged"
+    # CDC replay converges to the snapshot
+    replayed = dict(history[1])
+    for r in (cat.read_incremental("t", 1, latest_only=False)
+                 .orderBy("commit").collect()):
+        if r._deleted:
+            replayed.pop(r.k, None)
+        else:
+            replayed[r.k] = r.v
+    assert replayed == state
