@@ -1389,6 +1389,30 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("frame_idx"))
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline completing the image/video/audio trio: binary
+    payload → typed audio metadata (mapInPandas deterministic fake
+    decode: codec/sample_rate/duration from md5+length, SQL-replicable)
+    → window segmentation computed from the METADATA alone (pure
+    Catalyst sequence+explode — segments are pruned before any payload
+    decode, the 100 TB ordering) → rollup per (codec, sample_rate).
+    The oracle replays decode AND segmentation arithmetic in SQL."""
+    from pydata_vector_search_spark.operators import multimodal as M
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text")
+    meta = M.decode_audio_meta(media)
+    segs = M.segment_audio(meta, window_ms=10_000)
+    return (segs.select("doc_id", "seg_idx", "seg_start_ms", "seg_end_ms",
+                        F.col("audio_meta.codec").alias("codec"),
+                        F.col("audio_meta.sample_rate").alias("sample_rate"))
+            .groupBy("codec", "sample_rate")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_clips"),
+                 F.count(F.lit(1)).cast("long").alias("n_segments"),
+                 F.sum(F.col("seg_end_ms") - F.col("seg_start_ms"))
+                  .cast("long").alias("total_ms"))
+            .orderBy("codec", "sample_rate"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution (marker-stopword rule)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1878,12 +1902,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_clauses": q_merge_clauses,
         "log_retention": q_log_retention,
         "unpivot": q_unpivot,
+        "multimodal_audio": q_multimodal_audio,
         "stream_dedup": q_stream_dedup,
         "keyed_delete": q_keyed_delete,
         "incremental_read": q_incremental_read,
         "jaccard_prefix": q_jaccard_prefix,
         "hybrid_prefilter": q_hybrid_prefilter,
-        "hybrid_postfilter": q_hybrid_postfilter,
         "vector_knn_l2": q_vector_knn_l2,
         # --- beyond the window: oracle-verified in r03 (driver) and by
         # --- tools/oracle_check.py against current code locally
@@ -1893,6 +1917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn_tvf": q_vector_knn_tvf,
         "vector_knn_dot": q_vector_knn_dot,
         "vector_knn": q_vector_knn,
+        # (hybrid_postfilter composes in-window hybrid_prefilter's
+        #  vector_search with a post-filter + re-sort, both r03-green)
+        "hybrid_postfilter": q_hybrid_postfilter,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         # (maintenance_cycle's compact/upsert machinery is in-window via
         #  log_retention, merge_clauses, time_travel_read, upsert_merge)
@@ -2163,6 +2190,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "chunk_embed_knn": _chunk_embed_knn_oracle(),
+        "multimodal_audio": """
+            WITH meta AS (
+                SELECT doc_id,
+                       CASE (('0x' || substr(md5(text), 1, 1))::BIGINT % 3)
+                         WHEN 0 THEN 'pcm' WHEN 1 THEN 'opus'
+                         ELSE 'flac' END AS codec,
+                       CASE (('0x' || substr(md5(text), 2, 1))::BIGINT % 4)
+                         WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate,
+                       50 + ('0x' || substr(md5(text), 3, 6))::BIGINT % 600000
+                           AS duration_ms
+                FROM documents
+            ), fan AS (
+                SELECT doc_id, codec, sample_rate, duration_ms,
+                       unnest(range(0, greatest(
+                           ceil(duration_ms / 10000.0), 1)::BIGINT)) AS i
+                FROM meta
+            ), segs AS (
+                SELECT doc_id, codec, sample_rate,
+                       i * 10000 AS seg_start_ms,
+                       least((i + 1) * 10000, duration_ms) AS seg_end_ms
+                FROM fan
+            )
+            SELECT codec, sample_rate,
+                   count(DISTINCT doc_id)::BIGINT AS n_clips,
+                   count(*)::BIGINT AS n_segments,
+                   sum(seg_end_ms - seg_start_ms)::BIGINT AS total_ms
+            FROM segs GROUP BY codec, sample_rate
+            ORDER BY codec, sample_rate
+        """,
         "multimodal_frames": """
             WITH f AS (
                 SELECT doc_id,

@@ -125,6 +125,25 @@ def decode_audio_meta(df: DataFrame, media_col: str = "media",
     return df.mapInPandas(fn, out_schema)
 
 
+def segment_audio(df: DataFrame, meta_col: str = "audio_meta",
+                  window_ms: int = 10_000,
+                  idx_col: str = "seg_idx") -> DataFrame:
+    """Audio windowing 1→N fan-out from the TYPED METADATA alone — pure
+    Catalyst (sequence + explode), no UDF, no payload decode: each clip
+    yields ``ceil(duration/window)`` segment rows with [start, end) in
+    ms. This is the segmentation shape an ASR/embedding pipeline feeds
+    (decode happens later, per segment, only for segments that survive
+    filtering — at 100 TB pruning segments BEFORE decoding is the win).
+    A real sample-accurate splitter would replace the byte-range math
+    exactly like sample_frames' stub."""
+    dur = F.col(f"{meta_col}.duration_ms")
+    n = F.greatest(F.ceil(dur / window_ms).cast("int"), F.lit(1))
+    out = df.withColumn(idx_col, F.explode(F.sequence(F.lit(0), n - 1)))
+    start = (F.col(idx_col).cast("long") * window_ms)
+    return (out.withColumn("seg_start_ms", start)
+               .withColumn("seg_end_ms", F.least(start + window_ms, dur)))
+
+
 def media_features(df: DataFrame, media_col: str = "media",
                    feature_col: str = "features", dim: int = 64) -> DataFrame:
     """Deterministic unit-norm feature vector per payload (md5-chained) —

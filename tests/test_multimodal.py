@@ -82,3 +82,24 @@ def test_binary_file_source(spark, sf_dir):
     df = M.read_binary_files(spark, f"{sf_dir}/documents.parquet")
     r = df.select("path", "length", "content").head()
     assert r.length == len(r.content)
+
+
+def test_segment_audio_windows_from_metadata(spark):
+    from pydata_vector_search_spark.operators import multimodal as M
+    df = spark.createDataFrame([(1, "short clip"), (2, "x" * 500)],
+                               "doc_id int, text string")
+    segs = (M.segment_audio(M.decode_audio_meta(M.attach_fake_media(df, "text")),
+                            window_ms=10_000)
+            .select("doc_id", "seg_idx", "seg_start_ms", "seg_end_ms",
+                    "audio_meta.duration_ms").collect())
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.seg_idx)
+        dur = rows[0].duration_ms
+        assert len(rows) == max(-(-dur // 10_000), 1)
+        assert rows[0].seg_start_ms == 0
+        assert rows[-1].seg_end_ms == dur
+        for a, b in zip(rows, rows[1:]):
+            assert b.seg_start_ms == a.seg_end_ms == a.seg_start_ms + 10_000
