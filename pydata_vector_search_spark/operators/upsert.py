@@ -132,6 +132,21 @@ def merge_into(catalog, name: str, source: DataFrame,
         raise ValueError(
             f"merge source columns {sorted(source.columns)} must match "
             f"target columns {sorted(old.columns)} (MERGE ... SET * form)")
+    # Standard MERGE precondition (what Delta enforces as
+    # MERGE_MATCHED_MULTIPLE_SOURCE_ROWS): several source rows for one key
+    # would join-fan the target row and silently break the table's
+    # one-row-per-key invariant; NULL keys can never match and would land
+    # as keyless inserts. Pre-aggregate the batch (last-write-wins window,
+    # like stream_upsert_sink does) if duplicates are expected.
+    bad = (source.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") > 1).limit(1).count())
+    if bad:
+        raise ValueError(
+            f"merge source has multiple rows for at least one {key!r}; "
+            "collapse the batch to one row per key first (e.g. a "
+            "row_number window on the precombine ordering)")
+    if source.filter(F.col(key).isNull()).limit(1).count():
+        raise ValueError(f"merge source contains NULL {key!r} keys")
 
     def _cond(c, default):
         if c is None:

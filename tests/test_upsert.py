@@ -207,3 +207,18 @@ def test_upsert_schema_evolution_adds_column(spark, tmp_path):
     # surfaces as NULL for the historical state — merged log schema)
     old = {r.k: (r.v, r.score) for r in cat.read_asof("t", 1).collect()}
     assert old == {1: ("a", None), 2: ("b", None)}
+
+
+def test_merge_into_rejects_dup_and_null_source_keys(spark, tmp_path):
+    from pydata_vector_search_spark.operators.upsert import merge_into
+    cat = Catalog(spark, str(tmp_path / "m5"))
+    cat.write("t", spark.createDataFrame([(1, "a")], "k int, v string"),
+              key="k")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(cat, "t", spark.createDataFrame(
+            [(2, "x"), (2, "y")], "k int, v string"))
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into(cat, "t", spark.createDataFrame(
+            [(None, "x")], "k int, v string"))
+    # guards fire BEFORE any commit is logged
+    assert cat.current_commit("t") == 1
