@@ -194,8 +194,13 @@ class Engine:
                                           path=entry["path"],
                                           **entry.get("params", {}))
                 elif on_stale == "patch":
-                    inc = self.catalog.read_incremental(
-                        table, since_commit=entry["commit"])
+                    try:
+                        inc = self.catalog.read_incremental(
+                            table, since_commit=entry["commit"])
+                    except ValueError as e:
+                        raise StaleIndexError(
+                            f"cannot patch index on {table!r}: {e}; "
+                            "use on_stale='rebuild'") from e
                     idx = IVFIndex.load(self.spark, entry["path"])
                     ivf_patch(self.spark, idx, inc,
                               id_col=self.catalog.info(table).key)

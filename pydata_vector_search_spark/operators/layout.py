@@ -71,6 +71,9 @@ def with_zorder(df: DataFrame, cols: list[str], z_col: str = Z_COL,
     ranks = []
     for c in cols:
         dtype = df.schema[c].dataType
+        if stats[f"min_{c}"] is None:      # all-NULL column: rank 0
+            ranks.append(F.lit(0))
+            continue
         lo = _as_double(F.lit(stats[f"min_{c}"]), dtype)
         hi = _as_double(F.lit(stats[f"max_{c}"]), dtype)
         v = _as_double(F.col(c), dtype)

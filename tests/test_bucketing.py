@@ -126,3 +126,11 @@ def test_zorder_guards_and_nulls(spark):
     assert all(r["__z"] is not None and r["__z"] >= 0 for r in out)
     with _pytest.raises(ValueError, match="exactly 2"):
         with_zorder(df, ["a"])
+
+
+def test_zorder_all_null_column(spark):
+    from pydata_vector_search_spark.operators.layout import with_zorder
+    df = spark.createDataFrame([(None, 1.0), (None, 2.0)],
+                               "a int, b double")
+    out = with_zorder(df, ["a", "b"]).collect()
+    assert all(r["__z"] is not None for r in out)
