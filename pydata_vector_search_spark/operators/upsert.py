@@ -97,7 +97,8 @@ def merge_into(catalog, name: str, source: DataFrame,
                matched_delete=None,
                insert_unmatched: bool = True) -> dict:
     """Conditional MERGE (the Delta/Iceberg ``MERGE INTO`` shape,
-    generalizing the reference's unconditional Hudi upsert):
+    generalizing the reference's unconditional Hudi upsert —
+    demo.ipynb c8:17-23, raw L518-524 — to clause-conditional writes):
 
     * WHEN MATCHED [AND ``matched_delete``] THEN DELETE
     * WHEN MATCHED [AND ``matched_update``] THEN UPDATE SET * (take the

@@ -309,3 +309,28 @@ def test_ivf_patch_repairs_index_incrementally(spark, sf_dir, tmp_path):
     same = [f for f, t in mtimes_before.items()
             if os.path.exists(f) and os.path.getmtime(f) == t]
     assert same, "patch rewrote every partition — not incremental"
+
+
+def test_index_registration_survives_session_reattach(spark, sf_dir, tmp_path):
+    """The index registration is catalog metadata: a NEW Engine over the
+    same root sees the index, its pinned commit, and its staleness state."""
+    from pydata_vector_search_spark.engine import Engine
+
+    root = str(tmp_path / "reatt")
+    eng = Engine(spark, root)
+    emb = read_table(spark, sf_dir, "embeddings")
+    eng.ingest(emb, "emb", key="vec_id")
+    eng.ann_index_create("emb", "embedding", num_centroids=4, seed=42)
+
+    eng2 = Engine(spark, root)                      # fresh catalog instance
+    info = eng2.catalog.index_info("emb", "embedding")
+    assert info is not None and info["stale"] is False
+    assert info["params"] == {"num_centroids": 4, "seed": 42}
+    hits = eng2.ann_search("emb", _query(spark, sf_dir), k=5, nprobe=4,
+                           tiebreaker="vec_id")
+    assert hits.count() == 5
+    # staleness carries across sessions too
+    eng2.upsert("emb", emb.limit(2))
+    eng3 = Engine(spark, root)
+    with pytest.raises(ann.StaleIndexError):
+        eng3.ann_search("emb", _query(spark, sf_dir), k=5)
