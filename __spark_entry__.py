@@ -1389,6 +1389,23 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("frame_idx"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline mandate): every 97th
+    document plays the leaked evaluation set; corpus docs whose distinct
+    shingle sets are ≥80% contained in the benchmark's shingle union are
+    flagged. One corpus scan + broadcast benchmark set — no self-join.
+    The oracle replays shingling + containment with DuckDB list ops
+    (strings vs the engine's xxhash64 longs — identical sets barring
+    ~2⁻⁶⁴ collisions, same contract as the Jaccard oracles)."""
+    from pydata_vector_search_spark.operators.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontaminate(docs, bench, "text", "doc_id", threshold=0.8)
+    return (out.filter("contaminated")
+               .select("doc_id", "overlap")
+               .orderBy("doc_id"))
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline completing the image/video/audio trio: binary
     payload → typed audio metadata (mapInPandas deterministic fake
@@ -1918,8 +1935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn_dot": q_vector_knn_dot,
         "vector_knn": q_vector_knn,
         # (hybrid_postfilter composes in-window hybrid_prefilter's
-        #  vector_search with a post-filter + re-sort, both r03-green)
+        #  vector_search with a post-filter + re-sort, both r03-green;
+        #  decontaminate is new-in-r04 beyond the window — locally
+        #  verified in ORACLE_LOCAL.json, rotates into the r05 window)
         "hybrid_postfilter": q_hybrid_postfilter,
+        "decontaminate": q_decontaminate,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         # (maintenance_cycle's compact/upsert machinery is in-window via
         #  log_retention, merge_clauses, time_travel_read, upsert_merge)
@@ -2874,6 +2894,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),
+        "decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+            ), bench AS (
+                SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0
+            ), ex AS (
+                SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh
+            ), hits AS (
+                SELECT ex.doc_id, any_value(ex.n) AS n, count(*) AS k
+                FROM ex JOIN bench USING (s) GROUP BY ex.doc_id
+            )
+            SELECT doc_id, round(k::DOUBLE / n, 6) AS overlap
+            FROM hits
+            WHERE round(k::DOUBLE / n, 6) >= 0.8
+            ORDER BY doc_id
+        """,
         "jaccard_join": f"""
             WITH toks AS (
                 SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents

@@ -347,6 +347,44 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                 .select("id_1", "id_2", "jaccard"))
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, n: int = 3, threshold: float = 0.8,
+                  round_to: int = 6) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3/Pile preprocessing step): for
+    every corpus document, the fraction of its distinct n-gram shingles
+    that appear anywhere in the BENCHMARK set — exact containment, the
+    overlap metric used to strip evaluation data out of training corpora.
+    Returns (id, overlap, contaminated) for every corpus row; the flag
+    cuts on the ROUNDED overlap so membership is engine-independent.
+
+    Scale shape: the benchmark shingle set is tiny by definition (eval
+    suites, not corpora) and BROADCASTS; the corpus is ONE scan → explode
+    → broadcast-hash semi-match → per-doc count. No self-join, no
+    corpus-sized shuffle — cost is linear in corpus shingles at any
+    corpus size. Shingle keys are xxhash64 longs (8 B through the one
+    exchange; ~p²/2⁶⁵ collision odds, same trade as the Jaccard joins).
+    """
+    b_sh = (benchmark
+            .select(F.explode(shingles_col(text_col, n)).alias("__s0"))
+            .select(F.xxhash64("__s0").alias("__s")).distinct())
+    c_sh = (_fan_out(corpus, id_col)
+            .select(F.col(id_col).alias("__id"),
+                    shingles_col(text_col, n).alias("__sh"))
+            .withColumn("__n", F.size("__sh")))
+    c_sh = _barrier(c_sh)
+    ex = (c_sh.select("__id", "__n", F.explode("__sh").alias("__s0"))
+              .select("__id", "__n", F.xxhash64("__s0").alias("__s")))
+    hits = (ex.join(F.broadcast(b_sh), "__s")
+              .groupBy("__id").agg(F.count(F.lit(1)).alias("__k")))
+    overlap = F.round(F.coalesce(F.col("__k"), F.lit(0))
+                      / F.col("__n"), round_to)
+    return (c_sh.select("__id", "__n")
+            .join(hits, "__id", "left")
+            .withColumn("overlap", overlap)
+            .select(F.col("__id").alias(id_col), "overlap",
+                    (F.col("overlap") >= threshold).alias("contaminated")))
+
+
 # --------------------------------------------------------------------------
 # SimHash (64-bit, xxhash64 bit-vote)
 # --------------------------------------------------------------------------

@@ -176,3 +176,25 @@ def test_simhash_rejects_unguaranteed_hamming(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=4)
+
+
+def test_decontaminate_containment_fraction(spark):
+    """Exact containment semantics: full copies flag at 1.0, partial
+    overlap scores the contained fraction, disjoint docs score 0."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # exact copy -> 1.0
+         (2, "alpha beta gamma delta unrelated words entirely"),  # partial
+         (3, "totally different content here now")],   # disjoint -> 0.0
+        "doc_id int, text string")
+    out = {r.doc_id: (r.overlap, r.contaminated)
+           for r in dedup.decontaminate(corpus, bench, "text", "doc_id",
+                                        threshold=0.8).collect()}
+    assert out[1] == (1.0, True)
+    assert out[3] == (0.0, False)
+    ov2, flag2 = out[2]
+    assert 0.0 < ov2 < 0.8 and flag2 is False
+    # doc 2: shingles = 5 trigrams, of which 'alpha beta gamma' and
+    # 'beta gamma delta' are in the benchmark -> 2/5
+    assert abs(ov2 - 0.4) < 1e-9
