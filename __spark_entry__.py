@@ -1389,6 +1389,27 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("frame_idx"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals (Rae et al. 2021 §A1.1):
+    per-document duplicate-token and duplicate-bigram fractions — the
+    boilerplate/spam filters a corpus gate runs beside length/punct
+    checks — bucketed into a corpus distribution. Both fractions are
+    integer-ratio arithmetic (distinct/total over token arrays), so the
+    bucket cut is bit-deterministic across engines; all Catalyst array
+    ops, no UDF, one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    dt = T.dup_token_fraction("text")
+    db = T.dup_bigram_fraction("text")
+    return (docs.select(
+                F.least(F.floor(dt * 10), F.lit(9)).cast("long")
+                 .alias("tok_bucket"),
+                db.alias("db"))
+            .groupBy("tok_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("db"), 3).alias("avg_bigram_dup"))
+            .orderBy("tok_bucket"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (training-pipeline mandate): every 97th
     document plays the leaked evaluation set; corpus docs whose distinct
@@ -1940,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  verified in ORACLE_LOCAL.json, rotates into the r05 window)
         "hybrid_postfilter": q_hybrid_postfilter,
         "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         # (maintenance_cycle's compact/upsert machinery is in-window via
         #  log_retention, merge_clauses, time_travel_read, upsert_merge)
@@ -2894,6 +2916,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),
+        "repetition_stats": f"""
+            WITH t AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) <= 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(tk))::DOUBLE
+                                       / len(tk) END AS dt,
+                       CASE WHEN len(tk) - 1 <= 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(
+                                     [tk[i] || ' ' || tk[i+1]
+                                      for i in range(1, len(tk))]))::DOUBLE
+                                       / (len(tk) - 1) END AS db
+                FROM t
+            )
+            SELECT least(floor(dt * 10), 9)::BIGINT AS tok_bucket,
+                   count(*)::BIGINT AS n_docs,
+                   round(avg(db), 3) AS avg_bigram_dup
+            FROM m GROUP BY 1 ORDER BY tok_bucket
+        """,
         "decontaminate": f"""
             WITH toks AS (
                 SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents

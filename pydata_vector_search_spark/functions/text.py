@@ -105,6 +105,33 @@ def quality_score(text: Column | str) -> Column:
             + F.lit(0.3) * punct_term)
 
 
+def dup_token_fraction(text: Column | str) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1 "repetition"
+    filters, public): fraction of tokens that are repeats of an earlier
+    token — ``1 − distinct/total`` over whitespace tokens. 0 = no
+    repetition; high values mark boilerplate/spam. Pure Catalyst array
+    arithmetic; empty docs score 0."""
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks).cast("double")
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n)
+
+
+def dup_bigram_fraction(text: Column | str) -> Column:
+    """Companion repetition signal over word 2-grams (catches looped
+    phrases that distinct-token counting misses). ``1 − distinct/total``
+    over consecutive token pairs; docs with < 2 tokens score 0. Same
+    O(tokens) zipped-slices construction as the shingler — no quadratic
+    slicing, no UDF."""
+    toks = F.split(normalized_text(text), " ")
+    m = F.size(toks) - 1                       # number of bigrams
+    a = F.slice(toks, 1, m)
+    b = F.slice(toks, 2, m)
+    grams = F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(m <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / m.cast("double"))
+
+
 # charset checks + distinctive stopwords per language; ties resolve by the
 # fixed priority order en > es > fr > de (both engines apply the same CASE).
 _LANG_MARKERS = {

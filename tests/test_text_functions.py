@@ -125,3 +125,27 @@ def test_token_count_bpe_edge_cases(spark):
         "i int, t string")
     got = {r.i: r.n for r in df.select("i", token_count_bpe("t").alias("n")).collect()}
     assert got == {1: 4, 2: 4, 3: 0, 4: 0, 5: 4}
+
+
+def test_repetition_fractions(spark):
+    from pydata_vector_search_spark.functions.text import (
+        dup_bigram_fraction, dup_token_fraction)
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),         # 4 tokens, 1 distinct
+         (2, "all words here are different"),
+         (3, "go go go stop go go"),         # looped phrase
+         (4, "one"),                         # single token: no bigrams
+         (5, "")],
+        "doc_id int, text string")
+    out = {r.doc_id: (r.dt, r.db) for r in df.select(
+        "doc_id",
+        dup_token_fraction("text").alias("dt"),
+        dup_bigram_fraction("text").alias("db")).collect()}
+    assert out[1][0] == 0.75                # bigrams: 3 total, 1 distinct
+    assert abs(out[1][1] - 2 / 3) < 1e-12
+    assert out[2] == (0.0, 0.0)
+    # doc 3: 6 tokens {go, stop} -> dt = 2/3; bigrams 5 total,
+    # distinct {go go, go stop, stop go} -> db = 2/5
+    assert abs(out[3][0] - 2 / 3) < 1e-12 and abs(out[3][1] - 0.4) < 1e-12
+    assert out[4] == (0.0, 0.0)
+    assert out[5][1] == 0.0
