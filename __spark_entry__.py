@@ -1389,6 +1389,42 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("frame_idx"))
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection ("the best 12k tokens"): documents
+    ranked by (rounded non-repetition DESC, doc_id ASC) — non-repetition
+    = 1 − dup_token_fraction, the Gopher signal, which actually spreads
+    on this corpus where quality_score saturates — kept while the
+    running token total fits the budget. The engine computes it WITHOUT
+    a global-order window (bucket histogram → driver prefix sum → pruned
+    scan + boundary-bucket-only window — see select_token_budget); the
+    oracle IS the naive global-window spelling, so hash equality proves
+    the scale-safe plan selects the identical document set."""
+    from pydata_vector_search_spark.operators.text_ops import \
+        select_token_budget
+    docs = _t(spark, sf_dir, "documents")
+
+    # Percent-distinct bucket in EXACT integer arithmetic: (distinct*100)
+    # div total. Rounding k/n to 2 decimals hits half-points (0.575 at
+    # n=40) where Spark's BigDecimal HALF_UP and DuckDB's double-math
+    # round() disagree by one bucket; integer div is engine-exact.
+    def pct_distinct() -> F.Column:
+        toks = F.split(T.normalized_text("text"), " ")
+        d100 = F.size(F.array_distinct(toks)).cast("long") * 100
+        n = F.size(toks).cast("long")
+        return ((d100 - F.pmod(d100, n)) / n).cast("long")
+
+    sel = select_token_budget(docs, "text", "doc_id",
+                              budget_tokens=12000,
+                              quality_col=pct_distinct(),
+                              bucket_decimals=0)
+    return (sel.select(pct_distinct().alias("qb"),
+                       T.token_count("text").cast("long").alias("nt"))
+            .groupBy("qb")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("nt").cast("long").alias("sum_tokens"))
+            .orderBy(F.col("qb").desc()))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition quality signals (Rae et al. 2021 §A1.1):
     per-document duplicate-token and duplicate-bigram fractions — the
@@ -1962,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_postfilter": q_hybrid_postfilter,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "token_budget_select": q_token_budget_select,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         # (maintenance_cycle's compact/upsert machinery is in-window via
         #  log_retention, merge_clauses, time_travel_read, upsert_merge)
@@ -2916,6 +2953,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),
+        "token_budget_select": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, nt,
+                       (len(list_distinct(tk))::BIGINT * 100) // len(tk) AS qb
+                FROM toks
+            ), o AS (
+                SELECT qb, nt,
+                       sum(nt) OVER (ORDER BY qb DESC, doc_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+                FROM feats
+            )
+            SELECT qb, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS sum_tokens
+            FROM o WHERE cum <= 12000
+            GROUP BY qb ORDER BY qb DESC
+        """,
         "repetition_stats": f"""
             WITH t AS (
                 SELECT doc_id, {_SQL_TOKS} AS tk FROM documents

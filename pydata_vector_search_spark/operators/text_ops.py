@@ -65,3 +65,58 @@ def lang_id_table(df: DataFrame, text_col: str, id_col: str,
              .when(F.col("__ru"), F.lit("ru"))
              .otherwise(latin))
     return j.select(F.col("__id").alias(id_col), pred.alias(out_col))
+
+
+def select_token_budget(df: DataFrame, text_col: str, id_col: str,
+                        budget_tokens: int,
+                        quality_col=None,
+                        bucket_decimals: int = 3) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    until ``budget_tokens`` is exhausted — "give me the best 1B tokens",
+    the final cut of a training-data pipeline. Deterministic total order:
+    (rounded quality DESC, id ASC), a document is kept iff its inclusive
+    running token total fits the budget.
+
+    Scale shape — NO global-order window. The naive spelling
+    (``sum(tokens) OVER (ORDER BY quality DESC)``) plans a WindowExec
+    with no partition key: every row through ONE task. Instead:
+
+    1. one aggregate: token totals per ROUNDED quality bucket (tiny);
+    2. driver-side prefix sum over the sorted bucket histogram finds the
+       cutoff bucket and the residual budget inside it (histogram-
+       threshold trick — the same shape approx quantile uses);
+    3. the scan keeps buckets strictly above the cutoff outright, and
+       runs the running-sum window ONLY inside the boundary bucket
+       (~1/buckets of the corpus, and that bound is tunable via
+       ``bucket_decimals``).
+
+    Results equal the naive global-window spelling exactly (the declared
+    query's DuckDB oracle IS that spelling)."""
+    from pydata_vector_search_spark.functions.text import (quality_score,
+                                                           token_count)
+    from pyspark.sql import Window
+
+    q = quality_col if quality_col is not None else quality_score(text_col)
+    base = df.withColumn("__qb", F.round(q, bucket_decimals)) \
+             .withColumn("__nt", token_count(text_col).cast("long"))
+
+    hist = (base.groupBy("__qb").agg(F.sum("__nt").alias("__bt"))
+                .orderBy(F.col("__qb").desc()).collect())
+    cum = 0
+    cutoff, residual = None, 0
+    for r in hist:
+        if cum + r["__bt"] <= budget_tokens:
+            cum += r["__bt"]
+        else:
+            cutoff, residual = r["__qb"], budget_tokens - cum
+            break
+    if cutoff is None:                      # whole corpus fits the budget
+        return base.drop("__qb", "__nt")
+
+    above = base.filter(F.col("__qb") > cutoff)
+    w = Window.orderBy(F.col(id_col).asc())
+    boundary = (base.filter(F.col("__qb") == cutoff)
+                    .withColumn("__cum", F.sum("__nt").over(w))
+                    .filter(F.col("__cum") <= residual)
+                    .drop("__cum"))
+    return above.unionByName(boundary).drop("__qb", "__nt")

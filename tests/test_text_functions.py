@@ -149,3 +149,40 @@ def test_repetition_fractions(spark):
     assert abs(out[3][0] - 2 / 3) < 1e-12 and abs(out[3][1] - 0.4) < 1e-12
     assert out[4] == (0.0, 0.0)
     assert out[5][1] == 0.0
+
+
+def test_select_token_budget_equals_global_window(spark):
+    """The histogram-threshold plan must select EXACTLY the documents the
+    naive global-order running-sum spelling selects, including the
+    partial boundary bucket."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.operators.text_ops import \
+        select_token_budget
+
+    rng = random.Random(4)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randrange(3, 30))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    from pydata_vector_search_spark.functions.text import (
+        dup_token_fraction, token_count)
+    metric = F.round(F.lit(1.0) - dup_token_fraction("text"), 3)
+
+    for budget in (1, 50, 300, 900, 10**6):
+        got = {r.doc_id for r in select_token_budget(
+            df, "text", "doc_id", budget, quality_col=metric,
+            bucket_decimals=3).collect()}
+        w = (Window.orderBy(F.round(metric, 3).desc(),
+                            F.col("doc_id").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = {r.doc_id for r in
+                df.withColumn("__c", F.sum(token_count("text")
+                                           .cast("long")).over(w))
+                  .filter(F.col("__c") <= budget).collect()}
+        assert got == want, budget
