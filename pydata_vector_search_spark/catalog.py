@@ -255,7 +255,13 @@ class Catalog:
         info = self._tables[name]
         if commit < 1:
             raise ValueError("commits start at 1 (the bootstrap load)")
-        if commit >= info.last_commit:
+        if commit > info.last_commit:
+            raise ValueError(
+                f"commit {commit} does not exist for table {name!r} "
+                f"(last commit is {info.last_commit}); Hudi/Delta time "
+                "travel raises on future instants rather than silently "
+                "returning the current snapshot")
+        if commit == info.last_commit:
             return self.load(name)
         if info.key is None:
             raise ValueError(

@@ -90,6 +90,15 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
        (~1/buckets of the corpus, and that bound is tunable via
        ``bucket_decimals``).
 
+    NULL handling: a NULL quality (e.g. NULL text) buckets to a NULL
+    ``__qb``, which sorts LAST in the quality-DESC total order — the
+    same NULLS-LAST placement Spark's ``desc()`` and DuckDB's default
+    null order give the naive window spelling. NULL-quality documents
+    are therefore considered last (lowest quality) and are kept only if
+    budget remains after every real bucket; the cutoff landing in the
+    NULL bucket is handled explicitly rather than conflated with the
+    "everything fits" case.
+
     Results equal the naive global-window spelling exactly (the declared
     query's DuckDB oracle IS that spelling)."""
     from pydata_vector_search_spark.functions.text import (quality_score,
@@ -101,22 +110,35 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
              .withColumn("__nt", token_count(text_col).cast("long"))
 
     hist = (base.groupBy("__qb").agg(F.sum("__nt").alias("__bt"))
-                .orderBy(F.col("__qb").desc()).collect())
+                .collect())
+    # quality DESC, NULL bucket last (matches Spark desc() / DuckDB
+    # default null order) — sorted driver-side so the placement never
+    # depends on the engine's collect order.
+    hist.sort(key=lambda r: (r["__qb"] is None,
+                             -r["__qb"] if r["__qb"] is not None else 0.0))
     cum = 0
+    found = False                 # distinct from cutoff=None == NULL bucket
     cutoff, residual = None, 0
     for r in hist:
-        if cum + r["__bt"] <= budget_tokens:
-            cum += r["__bt"]
+        bt = r["__bt"] or 0       # all-NULL-token bucket sums to NULL
+        if cum + bt <= budget_tokens:
+            cum += bt
         else:
-            cutoff, residual = r["__qb"], budget_tokens - cum
+            found, cutoff, residual = True, r["__qb"], budget_tokens - cum
             break
-    if cutoff is None:                      # whole corpus fits the budget
+    if not found:                           # whole corpus fits the budget
         return base.drop("__qb", "__nt")
 
-    above = base.filter(F.col("__qb") > cutoff)
+    qb = F.col("__qb")
+    if cutoff is None:           # boundary bucket IS the NULL-quality one:
+        above = base.filter(qb.isNotNull())      # every real bucket fits
+        boundary_src = base.filter(qb.isNull())
+    else:
+        above = base.filter(qb > cutoff)     # NULL __qb correctly excluded
+        boundary_src = base.filter(qb == cutoff)
     w = Window.orderBy(F.col(id_col).asc())
-    boundary = (base.filter(F.col("__qb") == cutoff)
-                    .withColumn("__cum", F.sum("__nt").over(w))
-                    .filter(F.col("__cum") <= residual)
-                    .drop("__cum"))
+    boundary = (boundary_src
+                .withColumn("__cum", F.sum("__nt").over(w))
+                .filter(F.col("__cum") <= residual)
+                .drop("__cum"))
     return above.unionByName(boundary).drop("__qb", "__nt")

@@ -318,6 +318,10 @@ def test_read_asof_guards(spark, cat):
         cat.read_asof("g1", 1)
     with pytest.raises(ValueError, match="commits start at 1"):
         cat.read_asof("g1", 0)
+    # future instants raise (Hudi/Delta semantics), never silently
+    # return the current snapshot
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.read_asof("g1", 999)
 
 
 def test_read_asof_requires_bootstrap_log(spark, cat):

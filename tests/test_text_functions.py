@@ -186,3 +186,34 @@ def test_select_token_budget_equals_global_window(spark):
                                            .cast("long")).over(w))
                   .filter(F.col("__c") <= budget).collect()}
         assert got == want, budget
+
+
+def test_select_token_budget_null_quality(spark):
+    """NULL-quality documents sort LAST (NULLS-LAST desc order), are never
+    conflated with the 'everything fits' case, and the cutoff landing
+    inside the NULL bucket spends the residual budget there by id order."""
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.operators.text_ops import \
+        select_token_budget
+
+    # doc 1-3: quality 0.9/0.8/0.7 with 10 tokens each; doc 4-5: NULL
+    # quality, 10 tokens each.
+    rows = [(i, " ".join(f"w{i}{j}" for j in range(10)),
+             q) for i, q in [(1, 0.9), (2, 0.8), (3, 0.7),
+                             (4, None), (5, None)]]
+    df = spark.createDataFrame(rows, "doc_id int, text string, q double")
+
+    def ids(budget):
+        return {r.doc_id for r in select_token_budget(
+            df, "text", "doc_id", budget, quality_col=F.col("q"),
+            bucket_decimals=3).collect()}
+
+    # budget exhausted inside the real buckets: NULLs must NOT leak in
+    assert ids(25) == {1, 2}
+    # cutoff lands exactly at the NULL bucket: residual spent by id ASC
+    assert ids(40) == {1, 2, 3, 4}
+    # whole corpus (incl. NULL-quality docs) fits
+    assert ids(10**6) == {1, 2, 3, 4, 5}
+    # NULL bucket is boundary with zero residual: no NULL doc fits
+    assert ids(30) == {1, 2, 3}
