@@ -264,7 +264,10 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
 
 def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                                    n: int = 3, threshold: float = 0.5,
-                                   max_shingle_df: int | None = None) -> DataFrame:
+                                   max_shingle_df: int | None = None,
+                                   broadcast_candidates: bool | None = None,
+                                   max_broadcast_candidates: int = 5_000_000
+                                   ) -> DataFrame:
     """Exact Jaccard join via PREFIX FILTERING (Bayardo et al., "Scaling
     Up All Pairs Similarity Search", WWW'07): under a global rarest-first
     shingle order, any pair with J ≥ t must share a shingle within each
@@ -296,7 +299,16 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
     8.6 s → 2.6 s. Verification ships xxhash64-hashed shingle arrays
     (8 B/element instead of the n-gram strings) and broadcasts the
     candidate pair list (two ints/row) so the shingle table is never
-    re-shuffled by id."""
+    re-shuffled by id.
+
+    The candidate set's size is data-dependent (duplicate-heavy corpora —
+    the regime this function is recommended for — produce the most
+    pairs), so the broadcast is GATED: candidates are persisted and
+    counted, and only a set ≤ ``max_broadcast_candidates`` (default 5M
+    pairs ≈ 80 MB at 16 B/row) is broadcast; above that the verify runs
+    as a plain shuffle join — graceful degradation instead of driver OOM
+    or the 8 GB broadcast hard limit. ``broadcast_candidates`` overrides
+    the gate in either direction and skips the count."""
     df = _fan_out(df, id_col)
     # hash shingles to longs ONCE, row-side: every downstream consumer
     # (df-count join, self-join keys, verify intersect) works on 8-byte
@@ -337,9 +349,14 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                 .select(F.col("a.__id").alias("id_1"),
                         F.col("b.__id").alias("id_2"))
                 .distinct())
+    if broadcast_candidates is None:
+        from pyspark import StorageLevel
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_candidates = cand.count() <= max_broadcast_candidates
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
-    return (F.broadcast(cand)
+    cand = F.broadcast(cand) if broadcast_candidates else cand
+    return (cand
                 .join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
                 .join(sh.alias("sb"), F.col("id_2") == F.col("sb.__id"))
                 .withColumn("jaccard", inter.cast("double") / union)

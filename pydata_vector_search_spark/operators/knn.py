@@ -112,24 +112,43 @@ def knn_join(left: DataFrame, right: DataFrame, vector_col: str,
     Janino per stage at dim=64). ``dim`` kept for signature compatibility.
 
     This is the EXACT/oracle form: cost is O(|left|·|right|) pairs. The
-    ``max_pairs`` safety valve (two cheap counts — parquet metadata for the
-    corpus side) refuses plans above the cap and points at the sub-linear
-    IVF probe join (ann.ivf_knn_join); pass ``max_pairs=None`` to force a
-    known-large exact run.
+    ``max_pairs`` safety valve refuses plans above the cap and points at
+    the sub-linear IVF probe join (ann.ivf_knn_join); pass
+    ``max_pairs=None`` to force a known-large exact run. The default cap
+    (100M pairs) was introduced in round 4 — a BREAKING default for
+    previously-working large exact joins, which now must opt in with
+    ``max_pairs=None`` (see CHANGES_r04/r05).
+
+    Guard cost: BOUNDED counts, not full ones. Each side is counted
+    through ``limit(bound).count()`` — Spark's CollectLimit runs an
+    incremental job that stops scanning once ``bound`` rows are seen, so
+    a 100-TB corpus pays for at most ``max_pairs/|Q|+1`` rows of the id
+    column, never a full plan execution; small inputs finish in the
+    first partition. The cap decision is exact: a side that hits its
+    bound already proves the product exceeds ``max_pairs``.
     """
     from pyspark.sql import Window
 
     from pydata_vector_search_spark.functions.vector import distance_arrow
 
     if max_pairs is not None:
-        n_l, n_r = left.count(), right.count()
-        if n_l * n_r > max_pairs:
+        cap = int(max_pairs)
+        # left is the query batch (small by contract): bound at cap+1
+        n_l = left.select(left_id).limit(cap + 1).count()
+        # right needs only enough rows to prove n_l * n_r > cap
+        r_bound = cap // max(n_l, 1) + 1
+        n_r = right.select(right_id).limit(r_bound).count()
+        # if a bound was hit the count is a lower bound, and by
+        # construction n_l * bound > cap — the inequality still decides
+        if n_l * n_r > cap:
+            hit_l = n_l > cap
+            hit_r = n_r >= r_bound
             raise ValueError(
-                f"knn_join is brute-force: {n_l} x {n_r} = {n_l * n_r:,} "
-                f"pairs exceeds max_pairs={max_pairs:,}. Use "
-                "ann.ivf_knn_join (IVF probe equi-join, bounded by "
-                "|Q|*nprobe) for large query sets, or pass max_pairs=None "
-                "to force the exact cross product.")
+                f"knn_join is brute-force: {'>=' if hit_l else ''}{n_l} x "
+                f"{'>=' if hit_r else ''}{n_r} pairs exceeds "
+                f"max_pairs={cap:,}. Use ann.ivf_knn_join (IVF probe "
+                "equi-join, bounded by |Q|*nprobe) for large query sets, "
+                "or pass max_pairs=None to force the exact cross product.")
 
     lv, rv = f"__lvec", f"__rvec"
     l = left.select(F.col(left_id), F.col(vector_col).alias(lv))

@@ -172,6 +172,24 @@ def test_jaccard_prefix_matches_count_based(docs):
     assert a == b and a
 
 
+def test_jaccard_prefix_broadcast_gate(docs):
+    """The candidate broadcast is gated on candidate count: forcing the
+    gate to trip (max_broadcast_candidates=0) falls back to a shuffle
+    join with IDENTICAL results, as does an explicit override."""
+    want = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+            dedup.jaccard_similarity_join_prefix(docs, "text", "doc_id",
+                                                 threshold=0.5).collect()}
+    shuffled = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+                dedup.jaccard_similarity_join_prefix(
+                    docs, "text", "doc_id", threshold=0.5,
+                    max_broadcast_candidates=0).collect()}
+    forced = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+              dedup.jaccard_similarity_join_prefix(
+                  docs, "text", "doc_id", threshold=0.5,
+                  broadcast_candidates=False).collect()}
+    assert want == shuffled == forced and want
+
+
 def test_simhash_rejects_unguaranteed_hamming(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError, match="pigeonhole"):

@@ -85,3 +85,12 @@ def test_knn_join_max_pairs_guard(emb, spark):
     # explicit opt-out still runs
     assert len(knn.knn_join(queries, corpus, "embedding", k=1,
                             max_pairs=None).collect()) > 0
+    # an under-cap product passes the bounded-count guard and runs
+    small_q = queries.limit(2)
+    n_c = corpus.count()
+    assert len(knn.knn_join(small_q, corpus, "embedding", k=1,
+                            max_pairs=2 * n_c).collect()) == 2
+    # empty corpus never trips the guard regardless of query count
+    empty = corpus.filter(F.lit(False))
+    assert knn.knn_join(queries, empty, "embedding", k=1,
+                        max_pairs=1).count() == 0
