@@ -41,14 +41,58 @@ def main():
         except Exception:
             pass
     import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, "id long").count()
     spark.range(1000).select(F.md5(F.col("id").cast("string"))).count()
+    # window-exec + union codegen paths (the r04 lesson: upsert_merge
+    # rotated to position 1 and absorbed ~2.5s of first-WindowExec JIT,
+    # reading as a fake 3.8x regression)
+    wdf = spark.range(1000).withColumn("g", F.col("id") % 10)
+    w = Window.partitionBy("g").orderBy("id")
+    wdf.withColumn("rn", F.row_number().over(w)).unionByName(
+        wdf.withColumn("rn", F.sum("id").over(w))).count()
+    # streaming state-store + catalog write/commit-log init: otherwise the
+    # alphabetically-first streaming/catalog query eats ~3s of one-time
+    # setup (HDFSBackedStateStore, parquet output committer, snappy writer)
+    import shutil
+    import tempfile
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        from pydata_vector_search_spark.catalog import Catalog
+        from pydata_vector_search_spark.operators.upsert import upsert_table
+        cat = Catalog(spark, os.path.join(warm_dir, "cat"))
+        small = spark.range(16).select(F.col("id").alias("k"),
+                                       F.col("id").cast("string").alias("v"))
+        cat.write("warm", small, key="k")
+        upsert_table(cat, "warm", small.limit(4))
+        cat.load("warm").count()
+        src = os.path.join(warm_dir, "stream_src")
+        spark.range(8).selectExpr(
+            "id", "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,0,0,id) AS ts").write.parquet(src)
+        sq = (spark.readStream.schema("id long, ts timestamp").parquet(src)
+              .withWatermark("ts", "1 minute")
+              .groupBy(F.window("ts", "1 minute"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .writeStream.format("memory").queryName("bench_warm_stream")
+              .outputMode("append")
+              .option("checkpointLocation", os.path.join(warm_dir, "ckpt"))
+              .trigger(availableNow=True).start())
+        sq.awaitTermination(120)
+    except Exception as e:                       # warmup must never fail the bench
+        print(f"# warmup skipped: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # ALPHABETICAL timing order: declaration order rotates every round
+    # (the driver's correctness window), so per-query times would
+    # otherwise be confounded by position; sorted order is stable
+    # across rounds and independent of the rotation.
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in qs.items():
+    for name in sorted(qs):
+        fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = len(df.collect())
@@ -57,11 +101,26 @@ def main():
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Isolated warm rerun of the 5 slowest: separates steady-state query
+    # cost from residual first-touch effects so a slow first number is
+    # checkable instead of reading as a regression.
+    slowest5 = [n for n, _ in sorted(timings.items(),
+                                     key=lambda kv: -kv[1])[:5]]
+    rerun: dict[str, dict[str, float]] = {}
+    for name in slowest5:
+        t0 = time.perf_counter()
+        len(qs[name](spark, sf_dir).collect())
+        rerun[name] = {"first": timings[name],
+                       "warm": round(time.perf_counter() - t0, 3)}
+        print(f"# rerun {name}: {rerun[name]['warm']:.3f}s", file=sys.stderr)
+
     summary = {
         "metric": "declared_query_set_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "slowest_rerun_warm": rerun,
+        "order": "alphabetical",
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -81,6 +140,7 @@ def main():
                    "queries": dict(slowest),
                    "queries_omitted": len(timings) - len(slowest),
                    "queries_file": "BENCH_SUMMARY.json"}
+        summary.pop("slowest_rerun_warm", None)  # in the file, keep line short
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
 

@@ -303,12 +303,14 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
 
     The candidate set's size is data-dependent (duplicate-heavy corpora —
     the regime this function is recommended for — produce the most
-    pairs), so the broadcast is GATED: candidates are persisted and
-    counted, and only a set ≤ ``max_broadcast_candidates`` (default 5M
-    pairs ≈ 80 MB at 16 B/row) is broadcast; above that the verify runs
-    as a plain shuffle join — graceful degradation instead of driver OOM
-    or the 8 GB broadcast hard limit. ``broadcast_candidates`` overrides
-    the gate in either direction and skips the count."""
+    pairs), so an UNCONDITIONAL broadcast risks driver OOM / the 8 GB
+    broadcast hard limit exactly where the function is recommended.
+    Default (``broadcast_candidates=None``): a one-aggregate upper
+    bound on the candidate count (Σ C(prefix_df, 2) over the prefix
+    set) gates the broadcast at ``max_broadcast_candidates`` (default
+    5M pairs ≈ 80 MB at 16 B/row); above it the verify runs as a
+    shuffle join — graceful degradation. Explicit True/False skips the
+    estimate job entirely."""
     df = _fan_out(df, id_col)
     # hash shingles to longs ONCE, row-side: every downstream consumer
     # (df-count join, self-join keys, verify intersect) works on 8-byte
@@ -350,12 +352,20 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                         F.col("b.__id").alias("id_2"))
                 .distinct())
     if broadcast_candidates is None:
-        from pyspark import StorageLevel
-        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-        broadcast_candidates = cand.count() <= max_broadcast_candidates
+        # Upper-bound gate: Σ_s C(df(s), 2) over the (capped) shingle
+        # document frequencies counts every same-shingle (id_a < id_b)
+        # tuple — a superset of the prefix-filtered candidates, from one
+        # explode+aggregate (no window, no self-join; the verify plan
+        # below stays byte-identical to the forced-broadcast one).
+        # Overestimating on duplicate-heavy corpora can only demote to
+        # the shuffle join — graceful degradation, never a driver OOM.
+        est = (dfreq.agg(F.sum(F.col("__df") * (F.col("__df") - 1) / 2)
+                          .alias("p")).collect()[0]["p"]) or 0
+        broadcast_candidates = est <= max_broadcast_candidates
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
-    cand = F.broadcast(cand) if broadcast_candidates else cand
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     return (cand
                 .join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
                 .join(sh.alias("sb"), F.col("id_2") == F.col("sb.__id"))

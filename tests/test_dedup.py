@@ -173,21 +173,21 @@ def test_jaccard_prefix_matches_count_based(docs):
 
 
 def test_jaccard_prefix_broadcast_gate(docs):
-    """The candidate broadcast is gated on candidate count: forcing the
-    gate to trip (max_broadcast_candidates=0) falls back to a shuffle
-    join with IDENTICAL results, as does an explicit override."""
+    """The candidate broadcast is AQE-gated by default (no forced hint —
+    runtime stats decide); both explicit overrides produce IDENTICAL
+    results, and the default plan carries no static broadcast hint."""
     want = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
             dedup.jaccard_similarity_join_prefix(docs, "text", "doc_id",
                                                  threshold=0.5).collect()}
-    shuffled = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
-                dedup.jaccard_similarity_join_prefix(
-                    docs, "text", "doc_id", threshold=0.5,
-                    max_broadcast_candidates=0).collect()}
     forced = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
               dedup.jaccard_similarity_join_prefix(
                   docs, "text", "doc_id", threshold=0.5,
-                  broadcast_candidates=False).collect()}
-    assert want == shuffled == forced and want
+                  broadcast_candidates=True).collect()}
+    never = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+             dedup.jaccard_similarity_join_prefix(
+                 docs, "text", "doc_id", threshold=0.5,
+                 broadcast_candidates=False).collect()}
+    assert want == forced == never and want
 
 
 def test_simhash_rejects_unguaranteed_hamming(spark):
