@@ -223,7 +223,8 @@ def ivf_build(df: DataFrame, vector_col: str, path: str,
 
 
 def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
-              id_col: str, deleted_col: str = "_deleted") -> dict:
+              id_col: str, deleted_col: str = "_deleted",
+              max_patch_keys: int = 1_000_000) -> dict:
     """Incrementally repair an IVF index from a CDC batch (latest row per
     key + ``_deleted`` tombstones — exactly what ``read_incremental``
     emits since the index's build commit): work ∝ changed data, not
@@ -239,13 +240,26 @@ def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
     trade; rebuild re-trains).
 
     The changed-key set is collected driver-side (it is the CDC batch's
-    key column — bounded by changed data; for million-key batches prefer
-    rebuild, which scans everything once anyway)."""
+    key column — bounded by changed data). That collect is GUARDED: a
+    bounded count (``limit(max_patch_keys+1).count()`` — early-
+    terminating, never a full scan) refuses batches above
+    ``max_patch_keys`` (default 1M keys ≈ tens of MB of isin filter)
+    with a ValueError pointing at a full rebuild, which scans everything
+    once anyway and re-trains centroids — strictly better at that size."""
     import shutil
     from urllib.parse import unquote, urlparse
 
     vec = index.vector_col
-    keys = [r[0] for r in changes.select(id_col).distinct().collect()]
+    distinct_keys = changes.select(id_col).distinct()
+    n_keys = distinct_keys.limit(max_patch_keys + 1).count()
+    if n_keys > max_patch_keys:
+        raise ValueError(
+            f"CDC batch has >{max_patch_keys:,} distinct keys; a "
+            "driver-side isin patch at that size risks driver memory and "
+            "a slower plan than a full scan. Rebuild the index instead "
+            "(ivf_build / on_stale='rebuild'), or raise "
+            "max_patch_keys explicitly.")
+    keys = [r[0] for r in distinct_keys.collect()]
     if not keys:
         return {"removed_partitions": 0, "appended": 0}
 

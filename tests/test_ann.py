@@ -311,6 +311,23 @@ def test_ivf_patch_repairs_index_incrementally(spark, sf_dir, tmp_path):
     assert same, "patch rewrote every partition — not incremental"
 
 
+def test_ivf_patch_refuses_oversized_batch(spark, sf_dir, tmp_path):
+    """The driver-side key collect is guarded: a CDC batch with more
+    distinct keys than max_patch_keys raises (pointing at rebuild)
+    instead of collecting them all; at the threshold it still patches."""
+    from pydata_vector_search_spark.operators import ann
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = ann.ivf_build(emb, "embedding", str(tmp_path / "guard"),
+                        num_centroids=4, seed=1)
+    batch = emb.filter(F.col("vec_id") < 10) \
+               .withColumn("_deleted", F.lit(False))
+    with pytest.raises(ValueError, match="[Rr]ebuild"):
+        ann.ivf_patch(spark, idx, batch, "vec_id", max_patch_keys=5)
+    out = ann.ivf_patch(spark, idx, batch, "vec_id", max_patch_keys=10)
+    assert out["appended"] == 10
+
+
 def test_index_registration_survives_session_reattach(spark, sf_dir, tmp_path):
     """The index registration is catalog metadata: a NEW Engine over the
     same root sees the index, its pinned commit, and its staleness state."""
