@@ -1874,6 +1874,38 @@ def q_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def q_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO on a PARTITIONED table: the outer join is
+    pruned to source-touched partitions, only those partitions are
+    rewritten (dynamic partition overwrite), and record identity is
+    (key, partition) — the Hudi non-global-index economics at 100 TB.
+    Batch: events with id%5=2 matched (delete when id%7=0, update value
+    +100 when id%2=0, else keep), id%5=3 inserted. Hash equality of the
+    final snapshot against the pure-SQL replay proves clause precedence
+    and partition-scoped application."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import merge_into
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    base = ev.filter(F.col("event_id") % 5 < 3).coalesce(4)
+    src = (ev.filter((F.col("event_id") % 5).isin(2, 3))
+             .withColumn("value", F.round(F.col("value") + 100.0, 2))
+             .coalesce(4))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_mergep_"))
+    cat.write("t", base, key="event_id", partition_by=["event_type"])
+    merge_into(cat, "t", src,
+               matched_update="event_id % 2 = 0",
+               matched_delete="event_id % 7 = 0")
+    return (cat.load("t")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .orderBy("event_type"))
+
+
 def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Hudi commit-timeline semantics the
     reference stack configures, demo.ipynb c8:20-24): bootstrap → keyed
@@ -1974,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "zorder_scan": q_zorder_scan,
         "merge_clauses": q_merge_clauses,
+        "merge_partitioned": q_merge_partitioned,
         "log_retention": q_log_retention,
         "unpivot": q_unpivot,
         "multimodal_audio": q_multimodal_audio,
@@ -2367,6 +2400,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(tp), 2) AS total
             FROM all_states GROUP BY commit_id, o_orderstatus
             ORDER BY commit_id, o_orderstatus
+        """,
+        "merge_partitioned": """
+            WITH merged AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 5 = 2 AND event_id % 7 != 0
+                                 AND event_id % 2 = 0
+                            THEN round(value + 100.0, 2)
+                            ELSE value END AS value
+                FROM events
+                WHERE event_id % 5 < 3
+                  AND NOT (event_id % 5 = 2 AND event_id % 7 = 0)
+                UNION ALL
+                SELECT event_id, event_type,
+                       round(value + 100.0, 2) AS value
+                FROM events WHERE event_id % 5 = 3
+            )
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS total
+            FROM merged GROUP BY event_type ORDER BY event_type
         """,
         "merge_clauses": """
             WITH base AS (

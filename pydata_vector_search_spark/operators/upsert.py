@@ -119,11 +119,17 @@ def merge_into(catalog, name: str, source: DataFrame,
     deleted rows as a tombstone commit — incremental consumers replay
     the merge exactly. Returns {"updated", "deleted", "inserted"}.
 
-    Scale: COW rewrite of the full table here (matching the reference's
-    non-partitioned COW config); for partitioned tables the same
-    partition-scoped economics as ``upsert_table``/``delete_where``
-    apply — prune the join to source-touched partitions and rewrite only
-    those (dynamic overwrite + emptied-dir cleanup)."""
+    Scale: non-partitioned tables COW-rewrite fully (matching the
+    reference's NonpartitionedKeyGenerator config). PARTITIONED tables
+    get the same economics as ``upsert_table``/``delete_where``: the
+    outer join reads only the partitions the SOURCE touches (partition
+    pruning), only those are rewritten (dynamic partition overwrite),
+    and a touched partition left with zero surviving rows has its
+    directory dropped explicitly. Untouched partitions' files are never
+    opened. Semantics note (Hudi partition-scoped/non-global-index, the
+    default): the partition columns are part of record identity — a
+    source row whose key exists only in an UNTOUCHED partition counts as
+    NOT MATCHED there and inserts into its own partition."""
     info = catalog.info(name)
     key = key or info.key
     if key is None:
@@ -138,8 +144,10 @@ def merge_into(catalog, name: str, source: DataFrame,
     # would join-fan the target row and silently break the table's
     # one-row-per-key invariant; NULL keys can never match and would land
     # as keyless inserts. Pre-aggregate the batch (last-write-wins window,
-    # like stream_upsert_sink does) if duplicates are expected.
-    bad = (source.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    # like stream_upsert_sink does) if duplicates are expected. Record
+    # identity is (key + partition columns) on a partitioned table.
+    ident = [key] + [c for c in (info.partition_by or []) if c != key]
+    bad = (source.groupBy(*ident).agg(F.count(F.lit(1)).alias("__n"))
                  .filter(F.col("__n") > 1).limit(1).count())
     if bad:
         raise ValueError(
@@ -155,6 +163,16 @@ def merge_into(catalog, name: str, source: DataFrame,
         c = F.expr(c) if isinstance(c, str) else c
         return F.coalesce(c, F.lit(False))   # NULL condition = not satisfied
 
+    # Partitioned: scope the join to source-touched partitions only.
+    touched: list[tuple] = []
+    target = old
+    if info.partition_by:
+        touched = [tuple(r) for r in
+                   source.select(*info.partition_by).distinct().collect()]
+        if not touched:            # empty source: no-op, no commit
+            return {"updated": 0, "deleted": 0, "inserted": 0}
+        target = old.filter(_partition_pred(info.partition_by, touched))
+
     # Evaluate the clause conditions in the SOURCE's own scope (before any
     # join introduces duplicate column names), then prefix both sides so
     # the joined frame has unambiguous flat attributes — which also makes
@@ -162,11 +180,16 @@ def merge_into(catalog, name: str, source: DataFrame,
     cols = old.columns
     src = (source.withColumn("__upd", _cond(matched_update, F.lit(True)))
                  .withColumn("__del", _cond(matched_delete, F.lit(False))))
-    t = old.select(*[F.col(c).alias(f"__t_{c}") for c in cols])
+    t = target.select(*[F.col(c).alias(f"__t_{c}") for c in cols])
     s = src.select(*[F.col(c).alias(f"__s_{c}") for c in cols],
                    "__upd", "__del")
-    j = (t.join(s, F.col(f"__t_{key}") == F.col(f"__s_{key}"), "full_outer")
-          .localCheckpoint(eager=True))
+    # Join on the full record identity: key alone when non-partitioned,
+    # key + partition columns when partitioned (partition-scoped match).
+    join_cond = F.col(f"__t_{key}") == F.col(f"__s_{key}")
+    for c in ident[1:]:
+        join_cond = join_cond & F.col(f"__t_{c}").eqNullSafe(
+            F.col(f"__s_{c}"))
+    j = t.join(s, join_cond, "full_outer").localCheckpoint(eager=True)
 
     t_k, s_k = F.col(f"__t_{key}"), F.col(f"__s_{key}")
     matched = t_k.isNotNull() & s_k.isNotNull()
@@ -194,9 +217,28 @@ def merge_into(catalog, name: str, source: DataFrame,
         doomed = j.filter(del_hit).select(
             *[F.col(f"__t_{c}").alias(c) for c in cols])
         catalog.log_commit(name, doomed, op="delete")
-    catalog.write(name, merged, key=key, mode="overwrite",
-                  partition_by=info.partition_by or None,
-                  reset_history=False)
+
+    if info.partition_by:
+        import shutil
+        # merged holds every surviving row of the TOUCHED partitions (plus
+        # inserts, whose partition values are touched by construction);
+        # dynamic overwrite replaces exactly those, so untouched
+        # partitions' files are never opened or rewritten. A touched
+        # partition with no survivors contributes nothing to the dynamic
+        # overwrite — resolve and drop its directory explicitly.
+        survivors = {tuple(r) for r in
+                     merged.select(*info.partition_by).distinct().collect()}
+        emptied = [p for p in touched if p not in survivors]
+        empty_dirs = _emptied_partition_dirs(old, info.partition_by, emptied)
+        (merged.write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy(*info.partition_by)
+               .parquet(info.path))
+        for d in empty_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    else:
+        catalog.write(name, merged, key=key, mode="overwrite",
+                      reset_history=False)
     return {"updated": int(counts.u or 0), "deleted": int(counts.d or 0),
             "inserted": int(counts.i or 0)}
 

@@ -151,6 +151,75 @@ def test_merge_into_clauses(spark, tmp_path):
     assert by == {(2, False), (9, False), (3, True)}
 
 
+def test_merge_into_partition_scoped(spark, tmp_path):
+    """Partitioned MERGE: only source-touched partitions are rewritten
+    (untouched partition files keep their mtimes), a partition emptied by
+    deletes loses its directory, and inserts land in their partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.operators.upsert import merge_into
+
+    cat = Catalog(spark, str(tmp_path / "mp"))
+    ev = read_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "event_type", "value")
+    cat.write("ev", ev, key="event_id", partition_by=["event_type"])
+    table_path = cat.info("ev").path
+
+    def files_of(part):
+        d = os.path.join(table_path, f"event_type={part}")
+        if not os.path.isdir(d):
+            return None
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_error = files_of("error")
+    n_click = ev.filter("event_type = 'click'").count()
+    assert before_error and n_click > 0
+
+    # source: update 3 purchases, delete EVERY click (empties the
+    # partition), insert 2 rows of a brand-new partition value
+    upd = (ev.filter("event_type = 'purchase'").limit(3)
+             .withColumn("value", F.lit(-5.0)))
+    dels = ev.filter("event_type = 'click'").withColumn(
+        "value", F.lit(-999.0))
+    ins = spark.createDataFrame(
+        [(900001, "brandnew", 1.0), (900002, "brandnew", 2.0)],
+        "event_id long, event_type string, value double")
+    source = upd.unionByName(dels).unionByName(ins)
+
+    res = merge_into(cat, "ev", source, matched_delete="value = -999.0")
+    assert res["updated"] == 3 and res["inserted"] == 2
+    assert res["deleted"] == n_click
+
+    got = cat.load("ev")
+    assert got.filter("event_type = 'click'").count() == 0
+    assert files_of("click") is None                 # emptied dir dropped
+    assert got.filter("event_type = 'brandnew'").count() == 2
+    assert got.filter("value = -5.0").count() == 3
+    assert files_of("error") == before_error         # untouched partition
+
+
+def test_merge_into_partitioned_key_is_partition_scoped(spark, tmp_path):
+    """Hudi non-global-index semantics: the same key in a DIFFERENT
+    (untouched) partition is NOT matched — the source row inserts into
+    its own partition instead of updating across partitions."""
+    from pydata_vector_search_spark.operators.upsert import merge_into
+
+    cat = Catalog(spark, str(tmp_path / "mg"))
+    cat.write("t", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, p string, x double"),
+        key="k", partition_by=["p"])
+    # key 1 exists in partition a; source addresses partition b only
+    res = merge_into(cat, "t", spark.createDataFrame(
+        [(1, "b", 99.0)], "k int, p string, x double"))
+    assert res == {"updated": 0, "deleted": 0, "inserted": 1}
+    got = sorted((r.k, r.p, r.x) for r in cat.load("t").collect())
+    assert got == [(1, "a", 10.0), (1, "b", 99.0), (2, "b", 20.0)]
+
+
 def test_merge_into_unconditional_equals_upsert(spark, tmp_path):
     from pydata_vector_search_spark.operators.upsert import merge_into
     cat = Catalog(spark, str(tmp_path / "m2"))
