@@ -1036,6 +1036,97 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7-M6 loop closed under the oracle: STREAM → keyed upsert sink →
+    snapshot. Bootstrap = per-user latest even-id event (precombine
+    row_number on event_id desc, Hudi's precombine-field semantics);
+    the odd-id half of the events STREAM then flows through
+    ``stream_upsert_sink`` (foreachBatch → upsert_table) into the same
+    table. Final snapshot per user: the max-odd-id row where the user
+    has odd events (stream wins over bootstrap), else the max-even-id
+    row — which is exactly the one-window SQL replay the oracle runs.
+    Deterministic because the precombine key is unique per user and the
+    source is one file (availableNow = one micro-batch; multi-batch
+    splits would make cross-batch upsert order, not event_id order,
+    decide — the same caveat Hudi documents for precombine across
+    commits)."""
+    import tempfile
+    import uuid as _uuid
+
+    from pydata_vector_search_spark import streaming as S
+    from pydata_vector_search_spark.catalog import Catalog
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ev = _t(spark, sf_dir, "events").select(*cols)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    base = (ev.filter(F.col("event_id") % 2 == 0)
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn").coalesce(4))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_supsert_"))
+    cat.write("u", base, key="user_id")
+
+    stream = (S.read_events_stream(spark,
+                                   os.path.join(sf_dir, "events.parquet"))
+               .filter(F.col("event_id") % 2 == 1).select(*cols))
+    name = f"q_stream_upsert_{_uuid.uuid4().hex[:8]}"
+    q = S.stream_upsert_sink(stream, cat, "u", key="user_id",
+                             checkpoint=f"/tmp/pvss_ckpt_{name}",
+                             order_by="event_id")
+    _await_stream(q)
+    return (cat.load("u").select(*cols)
+               .orderBy("user_id"))
+
+
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC SOURCE: mutate a table (bootstrap → keyed upsert →
+    predicate delete), then tail its commit log with
+    ``read_changes_stream`` and REPLAY the stream into the final state —
+    latest row per key by commit, tombstones retracted. The replayed
+    aggregate hash-matches a pure-SQL derivation of the final state, so
+    the CDC feed provably carries every upsert AND every delete (the
+    r03 tombstone bug class, now under the oracle, not just pytest).
+    Commit order, not arrival order, decides — each key appears at most
+    once per commit, so the replay is micro-batch-split independent."""
+    import tempfile
+    import uuid as _uuid
+
+    from pydata_vector_search_spark import streaming as S
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders").select(*cols)
+    base = o.filter(F.col("o_orderkey") < 2000).coalesce(4)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_scdc_"))
+    cat.write("t", base, key="o_orderkey")                     # commit 1
+    upsert_table(cat, "t", base.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_orderstatus", F.lit("U")))     # commit 2
+    delete_where(cat, "t", "o_orderkey % 7 = 0")               # commit 3
+
+    changes = S.read_changes_stream(spark, cat, "t")
+    name = f"q_stream_cdc_{_uuid.uuid4().hex[:8]}"
+    q = (changes.select(*cols, "_deleted", "commit")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", f"/tmp/pvss_ckpt_{name}")
+         .trigger(availableNow=True).start())
+    _await_stream(q)
+
+    # batch replay over the sink: bootstrap state + streamed changes,
+    # latest commit per key wins, tombstones drop the key
+    wk = Window.partitionBy("o_orderkey").orderBy(F.col("commit").desc())
+    replay = (base.withColumn("_deleted", F.lit(False))
+                  .withColumn("commit", F.lit(1))
+                  .unionByName(spark.table(name))
+                  .withColumn("__rn", F.row_number().over(wk))
+                  .filter((F.col("__rn") == 1) & ~F.col("_deleted")))
+    return (replay.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 stream-STREAM join (click→purchase attribution): two event
     streams off the same replayable source, inner-joined on user_id with
@@ -2004,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": q_time_travel_read,
         "ann_after_upsert": q_ann_after_upsert,
         "stream_stream_join": q_stream_stream_join,
+        "stream_upsert": q_stream_upsert,
+        "stream_cdc": q_stream_cdc,
         "zorder_scan": q_zorder_scan,
         "merge_clauses": q_merge_clauses,
         "merge_partitioned": q_merge_partitioned,
@@ -2400,6 +2493,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(tp), 2) AS total
             FROM all_states GROUP BY commit_id, o_orderstatus
             ORDER BY commit_id, o_orderstatus
+        """,
+        "stream_upsert": """
+            WITH ranked AS (
+                SELECT event_id, user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY (event_id % 2) DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT event_id, user_id, event_type, value
+            FROM ranked WHERE rn = 1 ORDER BY user_id
+        """,
+        "stream_cdc": """
+            WITH final AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM orders
+                WHERE o_orderkey < 2000 AND o_orderkey % 7 != 0
+            )
+            SELECT o_orderstatus, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "merge_partitioned": """
             WITH merged AS (
