@@ -2050,12 +2050,75 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- first-50 driver window (the driver hash-checks exactly the
-        # --- first 50 entries, in declaration order): the 36 queries last
-        # --- oracle-verified under round-2 code, the 7 new round-4 queries
-        # --- (time_travel_read, ann_after_upsert, stream_stream_join,
-        # --- zorder_scan, merge_clauses, log_retention, unpivot), and the
-        # --- queries sitting on modules round 4 touched (delete/CDC
-        # --- semantics, SQL-text distance path, PPJoin prefix filter)
+        # --- first 50 entries, in declaration order). Round-5 rotation:
+        # --- (a) the 3 queries never driver-verified (decontaminate,
+        # --- repetition_stats, token_budget_select — r04 ADVICE),
+        # --- (b) the 3 new round-5 queries (merge_partitioned,
+        # --- stream_upsert, stream_cdc), (c) the 4 r04-window queries
+        # --- whose modules round 5 changed (jaccard_prefix broadcast
+        # --- gate, merge_clauses partition-scoped merge_into,
+        # --- time_travel_read read_asof guard, ann_after_upsert
+        # --- ivf_patch guard), and (d) the 40 queries last verified in
+        # --- the r03 window, re-verified here under current code.
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "token_budget_select": q_token_budget_select,
+        "merge_partitioned": q_merge_partitioned,
+        "stream_upsert": q_stream_upsert,
+        "stream_cdc": q_stream_cdc,
+        "jaccard_prefix": q_jaccard_prefix,
+        "merge_clauses": q_merge_clauses,
+        "time_travel_read": q_time_travel_read,
+        "ann_after_upsert": q_ann_after_upsert,
+        "vector_knn": q_vector_knn,
+        "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        "maintenance_cycle": q_maintenance_cycle,
+        "vector_topk_per_group": q_vector_topk_per_group,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "stateful_totals": q_stateful_totals,
+        "variant_json": q_variant_json,
+        "clustered_scan": q_clustered_scan,
+        "chunk_embed_knn": q_chunk_embed_knn,
+        "multimodal_frames": q_multimodal_frames,
+        "ntile_buckets": q_ntile_buckets,
+        "explode_tokens": q_explode_tokens,
+        "full_outer_join": q_full_outer_join,
+        "case_buckets": q_case_buckets,
+        "first_last_window": q_first_last_window,
+        "shipping_priority": q_shipping_priority,
+        "grouping_sets": q_grouping_sets,
+        "regexp_extract_agg": q_regexp_extract_agg,
+        "range_frame_window": q_range_frame_window,
+        "corpus_filter": q_corpus_filter,
+        "approx_distinct": q_approx_distinct,
+        "stream_static_join": q_stream_static_join,
+        "token_counts": q_token_counts,
+        "salted_join": q_salted_join,
+        "bucketed_join": q_bucketed_join,
+        "knn_join_ivf": q_knn_join_ivf,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "cosine_topk_pairs": q_cosine_topk_pairs,
+        "cosine_neardup": q_cosine_neardup,
+        "vector_knn_join": q_vector_knn_join,
+        "ann_ivf_knn": q_ann_ivf_knn,
+        "knn_join": q_knn_join,
+        "stream_tumbling": q_stream_tumbling,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "jaccard_join": q_jaccard_join,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "embed_hash": q_embed_hash,
+        # --- beyond the window: the r04 driver window (50/50 green,
+        # --- CORRECTNESS_r04.json) minus the 4 re-verified members
+        # --- above, plus 4 queries whose plans are equality-pinned to
+        # --- in-window ones by tests (vector_knn_tvf / vector_knn_dot
+        # --- share vector_knn's plan builder — test_sql_surface,
+        # --- test_vector_functions; hybrid_postfilter composes
+        # --- hybrid_prefilter's vector_search; scalar_subquery is a
+        # --- trivial untouched r03-green plan). All 100 pass
+        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
         "upsert_merge": q_upsert_merge,
         "vector_knn_sql": q_vector_knn_sql,
         "chunk_summary": q_chunk_summary,
@@ -2092,81 +2155,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_functions": q_array_functions,
         "string_functions": q_string_functions,
         "cube_agg": q_cube_agg,
-        "time_travel_read": q_time_travel_read,
-        "ann_after_upsert": q_ann_after_upsert,
         "stream_stream_join": q_stream_stream_join,
-        "stream_upsert": q_stream_upsert,
-        "stream_cdc": q_stream_cdc,
         "zorder_scan": q_zorder_scan,
-        "merge_clauses": q_merge_clauses,
-        "merge_partitioned": q_merge_partitioned,
         "log_retention": q_log_retention,
         "unpivot": q_unpivot,
         "multimodal_audio": q_multimodal_audio,
         "stream_dedup": q_stream_dedup,
         "keyed_delete": q_keyed_delete,
         "incremental_read": q_incremental_read,
-        "jaccard_prefix": q_jaccard_prefix,
         "hybrid_prefilter": q_hybrid_prefilter,
         "vector_knn_l2": q_vector_knn_l2,
-        # --- beyond the window: oracle-verified in r03 (driver) and by
-        # --- tools/oracle_check.py against current code locally
-        # (vector_knn_tvf and vector_knn_dot share the exact plan builder
-        #  of in-window vector_knn/vector_knn_l2 — plan equality pinned in
-        #  test_sql_surface / test_vector_functions)
         "vector_knn_tvf": q_vector_knn_tvf,
         "vector_knn_dot": q_vector_knn_dot,
-        "vector_knn": q_vector_knn,
-        # (hybrid_postfilter composes in-window hybrid_prefilter's
-        #  vector_search with a post-filter + re-sort, both r03-green;
-        #  decontaminate is new-in-r04 beyond the window — locally
-        #  verified in ORACLE_LOCAL.json, rotates into the r05 window)
         "hybrid_postfilter": q_hybrid_postfilter,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "token_budget_select": q_token_budget_select,
-        "hyperplane_lsh_neardup": q_hyperplane_lsh,
-        # (maintenance_cycle's compact/upsert machinery is in-window via
-        #  log_retention, merge_clauses, time_travel_read, upsert_merge)
-        "maintenance_cycle": q_maintenance_cycle,
-        "vector_topk_per_group": q_vector_topk_per_group,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "stateful_totals": q_stateful_totals,
-        "variant_json": q_variant_json,
-        "clustered_scan": q_clustered_scan,
-        "chunk_embed_knn": q_chunk_embed_knn,
-        "multimodal_frames": q_multimodal_frames,
-        "ntile_buckets": q_ntile_buckets,
-        "explode_tokens": q_explode_tokens,
         "scalar_subquery": q_scalar_subquery,
-        "full_outer_join": q_full_outer_join,
-        "case_buckets": q_case_buckets,
-        "first_last_window": q_first_last_window,
-        "shipping_priority": q_shipping_priority,
-        "grouping_sets": q_grouping_sets,
-        "regexp_extract_agg": q_regexp_extract_agg,
-        "range_frame_window": q_range_frame_window,
-        "corpus_filter": q_corpus_filter,
-        "approx_distinct": q_approx_distinct,
-        "stream_static_join": q_stream_static_join,
-        "token_counts": q_token_counts,
-        "salted_join": q_salted_join,
-        "bucketed_join": q_bucketed_join,
-        "knn_join_ivf": q_knn_join_ivf,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "cosine_topk_pairs": q_cosine_topk_pairs,
-        "cosine_neardup": q_cosine_neardup,
-        "vector_knn_join": q_vector_knn_join,
-        "ann_ivf_knn": q_ann_ivf_knn,
-        "knn_join": q_knn_join,
-        "stream_tumbling": q_stream_tumbling,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "jaccard_join": q_jaccard_join,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "embed_hash": q_embed_hash,
     }
 
 
