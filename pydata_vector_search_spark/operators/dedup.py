@@ -534,9 +534,26 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
 # embedding-space similarity
 # --------------------------------------------------------------------------
 
+def _auto_num_blocks(df: DataFrame, pairs_per_task: int = 16_000_000) -> int:
+    """Self-enforcing memory contract for the blocked-matmul pair ops:
+    per-task similarity matrix is (n/B)^2 doubles, so B >= n/sqrt(budget)
+    caps it at ``pairs_per_task`` (~128 MB of float64 at the default);
+    B >= sqrt(2*parallelism) keeps B(B+1)/2 groups >= cores so the stage
+    actually parallelizes on small corpora. Replication factor is B per
+    row — the cap at 512 bounds it (at that size an ANN/LSH path should
+    be preferred anyway). Costs one count() of the input."""
+    import math
+
+    n = df.count()
+    p = df.sparkSession.sparkContext.defaultParallelism
+    b_mem = math.ceil(n / max(1, int(math.sqrt(pairs_per_task))))
+    b_par = math.ceil(math.sqrt(2 * p))
+    return max(1, min(512, max(b_mem, b_par)))
+
+
 def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
                       k: int = 20, round_to: int = 2,
-                      num_blocks: int = 8) -> DataFrame:
+                      num_blocks: int | None = None) -> DataFrame:
     """Top-k most-similar pairs (id_1 < id_2) by rounded cosine, tiebroken
     on ids. Exact — every pair is scored — but via BLOCKED MATRIX MULTIPLY:
 
@@ -553,7 +570,7 @@ def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
     import numpy as np
     import pandas as pd
 
-    B = num_blocks
+    B = num_blocks if num_blocks is not None else _auto_num_blocks(df)
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_1 {id_type}, id_2 {id_type}, cos_sim double"
 
@@ -627,7 +644,7 @@ def cosine_topk_pairs(df: DataFrame, vector_col: str, id_col: str,
 
 def cosine_threshold_pairs(df: DataFrame, vector_col: str, id_col: str,
                            threshold: float, round_to: int = 6,
-                           num_blocks: int = 8) -> DataFrame:
+                           num_blocks: int | None = None) -> DataFrame:
     """All pairs (id_1 < id_2) with ROUNDED cosine ≥ threshold — exact
     coverage via the same hash-blocked matmul as ``cosine_topk_pairs``
     (thresholding on the rounded value keeps the cut engine-independent:
@@ -635,7 +652,7 @@ def cosine_threshold_pairs(df: DataFrame, vector_col: str, id_col: str,
     import numpy as np
     import pandas as pd
 
-    B = num_blocks
+    B = num_blocks if num_blocks is not None else _auto_num_blocks(df)
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_1 {id_type}, id_2 {id_type}, cos_sim double"
 
