@@ -357,6 +357,61 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate (the scrub a corpus passes before leaving the
+    trust boundary): deterministic synthetic PII (email/IPv4/phone built
+    from doc_id) is appended to every document, redacted to typed tokens
+    by the pure-Catalyst regexp chain, and counted back per language.
+    The patterns live in the Java∩RE2 regex dialect so the oracle runs
+    them VERBATIM — hash equality proves byte-identical redaction, not
+    just matching counts."""
+    from pydata_vector_search_spark.functions.text import redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "aug",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+                 F.lit(" tel +1 555-000-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    red = aug.withColumn("red", redact_pii("aug"))
+
+    def occ(tok: str) -> F.Column:
+        return ((F.sum(F.length("red")
+                       - F.length(F.replace(F.col("red"), F.lit(tok),
+                                            F.lit(""))))
+                 / F.lit(len(tok))).cast("long"))
+
+    return (red.groupBy("lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    occ("<EMAIL>").alias("emails"),
+                    occ("<IP>").alias("ips"),
+                    occ("<PHONE>").alias("phones"),
+                    F.sum(F.length("red")).cast("long").alias("chars"))
+               .orderBy("lang"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) end-to-end:
+    embedding-level near-duplicates (paraphrases lexical dedup can't
+    see) found via deterministic hyperplane-LSH buckets + exact rounded
+    cosine, collapsed transitively by connected components, min-id
+    representative kept. The oracle replays the WHOLE pipeline —
+    signature bits as literals, bucket self-join, recursive-CTE
+    components, anti-join — so survivor membership is value-hash
+    checked, not just counts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir))
+    kept = dedup.semantic_dedup(emb, "embedding", "vec_id", dim=dim,
+                                threshold=0.3, num_planes=4, seed=42,
+                                round_to=6)
+    return (kept.groupBy("label")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                     F.sum("vec_id").cast("long").alias("id_sum"))
+                .orderBy("label"))
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join WITHOUT broadcast: the big (events) side salts
     deterministically on event_id, the small (customer) side replicates to
@@ -2072,6 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_after_upsert": q_ann_after_upsert,
         "vector_knn": q_vector_knn,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "redact_pii": q_redact_pii,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2081,8 +2138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
-        "ntile_buckets": q_ntile_buckets,
-        "explode_tokens": q_explode_tokens,
         "full_outer_join": q_full_outer_join,
         "case_buckets": q_case_buckets,
         "first_last_window": q_first_last_window,
@@ -2169,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn_dot": q_vector_knn_dot,
         "hybrid_postfilter": q_hybrid_postfilter,
         "scalar_subquery": q_scalar_subquery,
+        "ntile_buckets": q_ntile_buckets,
+        "explode_tokens": q_explode_tokens,
     }
 
 
@@ -2302,8 +2359,80 @@ def _lsh_oracle_sql(threshold: float = 0.3, num_planes: int = 4,
     """
 
 
+def _semantic_dedup_oracle_sql(threshold: float = 0.3, num_planes: int = 4,
+                               dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of the full SemDeDup pipeline: seeded hyperplane
+    signature (literal planes), bucket self-join + rounded-cosine pairs,
+    recursive-CTE connected components, min-id keep, anti-join,
+    per-label rollup — mirrors operators/dedup.semantic_dedup."""
+    from pydata_vector_search_spark.operators.dedup import lsh_planes
+    planes = lsh_planes(dim, num_planes, seed)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{[float(v) for v in p]}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH RECURSIVE sig AS (
+            SELECT vec_id, embedding, {bits} AS sg FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2
+            FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                  >= {threshold}
+        ), edges AS (
+            SELECT id_1 AS u, id_2 AS v FROM pairs
+            UNION
+            SELECT id_2, id_1 FROM pairs
+        ), reach AS (
+            SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+        ), comp AS (
+            SELECT n, min(m) AS cluster_id FROM reach GROUP BY n
+        ), doomed AS (
+            SELECT n FROM comp WHERE n != cluster_id
+        )
+        SELECT label, count(*)::BIGINT AS n_kept,
+               sum(vec_id)::BIGINT AS id_sum
+        FROM embeddings
+        WHERE vec_id NOT IN (SELECT n FROM doomed)
+        GROUP BY label ORDER BY label
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "redact_pii": r"""
+            WITH aug AS (
+                SELECT lang,
+                       text || ' contact user' || doc_id
+                            || '@example.com from 10.0.'
+                            || (doc_id % 256) || '.7 tel +1 555-000-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                           AS aug
+                FROM documents
+            ), red AS (
+                SELECT lang,
+                       regexp_replace(regexp_replace(regexp_replace(aug,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g'),
+                           '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS red
+                FROM aug
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   (sum(len(red) - len(replace(red, '<EMAIL>', '')))
+                        // 7)::BIGINT AS emails,
+                   (sum(len(red) - len(replace(red, '<IP>', '')))
+                        // 4)::BIGINT AS ips,
+                   (sum(len(red) - len(replace(red, '<PHONE>', '')))
+                        // 7)::BIGINT AS phones,
+                   sum(len(red))::BIGINT AS chars
+            FROM red GROUP BY lang ORDER BY lang
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE toks AS (
                 SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents

@@ -163,3 +163,41 @@ def lang_id(text: Column | str) -> Column:
     return (F.when(t.rlike(r"[一-鿿]"), F.lit("zh"))
              .when(t.rlike(r"[Ѐ-ӿ]"), F.lit("ru"))
              .otherwise(latin))
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns deliberately restricted to the regex dialect intersection of
+# Java (Spark codegen) and RE2 (DuckDB): no backrefs, no lookaround, \b ok.
+_PII_PATTERNS = (
+    # email before phone: the local part may contain digits a phone
+    # pattern would otherwise nibble at
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 before phone: dotted quads are digit runs too
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str,
+               kinds: tuple[str, ...] = ("email", "ip", "phone")) -> Column:
+    """Scrub common PII shapes from training text — the redaction gate a
+    corpus pipeline runs before anything leaves the trust boundary.
+    Replaces emails / IPv4s / phone-like digit runs with typed tokens
+    (``<EMAIL>``/``<IP>``/``<PHONE>``) so downstream token statistics
+    stay meaningful. Pure Catalyst ``regexp_replace`` chain — codegen'd,
+    no UDF, and the patterns are dialect-portable (Java + RE2) so the
+    DuckDB oracle replays them verbatim. Application order is fixed
+    (email, ip, phone): earlier rewrites must not expose digit runs the
+    later patterns would misread.
+
+    This is pattern-shape redaction, not NER: names/addresses need a
+    model and are out of scope (the same boundary Presidio draws between
+    its regex and NLP recognizers)."""
+    out = _c(text)
+    for kind, pat, repl in _PII_PATTERNS:
+        if kind in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out

@@ -791,3 +791,45 @@ def hyperplane_lsh_neardup(df: DataFrame, vector_col: str, id_col: str,
                              "cos_sim": sims[keep]})
 
     return base.groupBy("__sig").applyInPandas(_verify, schema=out_schema)
+
+
+def semantic_dedup(df: DataFrame, vector_col: str, id_col: str, dim: int,
+                   threshold: float = 0.8, num_planes: int = 8,
+                   seed: int = 42, round_to: int | None = 6,
+                   max_iter: int = 25) -> DataFrame:
+    """SEMANTIC deduplication (SemDeDup — Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): drop documents whose EMBEDDINGS are near-identical
+    even when their text differs (paraphrases, templated rewrites,
+    boilerplate variants) — the dedup layer lexical MinHash/SimHash
+    cannot see. Returns the SURVIVING rows of ``df``.
+
+    Formulation: the paper clusters with k-means and prunes within
+    clusters; here the clusters are deterministic random-hyperplane LSH
+    buckets (seeded, md5-free but fully replayable — the same
+    construction ``hyperplane_lsh_neardup`` ships), so the entire
+    pipeline stays engine-independent and oracle-checkable. Within-bucket
+    exact rounded-cosine pairs >= ``threshold`` form the semantic-dup
+    graph; connected components collapse transitive groups (A~B, B~C
+    drops C even when A~C was never emitted); the min-id member of each
+    component survives — the same deterministic canonical-keep rule as
+    ``exact_dedup``.
+
+    Scale shape: pair generation is ONE shuffle on the signature key with
+    a per-bucket BLAS verify (see hyperplane_lsh_neardup's memory
+    contract); components converge in O(log n) pointer-jump rounds
+    (operators/graph); the doomed set is near-dup-count-sized, so the
+    final anti-join's right side is small — left unhinted for AQE's
+    runtime broadcast decision."""
+    from pydata_vector_search_spark.operators.graph import \
+        connected_components
+
+    pairs = hyperplane_lsh_neardup(df, vector_col, id_col, dim=dim,
+                                   threshold=threshold,
+                                   num_planes=num_planes, seed=seed,
+                                   round_to=round_to)
+    comps = connected_components(pairs, src="id_1", dst="id_2",
+                                 max_iter=max_iter)
+    doomed = (comps.filter(F.col("node") != F.col("component"))
+                   .select(F.col("node").alias("__doomed")))
+    return df.join(doomed, df[id_col] == F.col("__doomed"), "left_anti")

@@ -216,3 +216,23 @@ def test_decontaminate_containment_fraction(spark):
     # doc 2: shingles = 5 trigrams, of which 'alpha beta gamma' and
     # 'beta gamma delta' are in the benchmark -> 2/5
     assert abs(ov2 - 0.4) < 1e-9
+
+
+def test_semantic_dedup_transitive_keep_min(spark):
+    """A~B and B~C (but not A~C) must still collapse to one survivor (the
+    min id); far-away vectors survive untouched."""
+    import math
+
+    # unit vectors at angles 0, 10, 20 degrees: cos(10deg)=.985,
+    # cos(20deg)=.94 -> with threshold .97 only adjacent pairs link;
+    # 90 degrees is clearly distinct
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * 6
+    df = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(10)), (3, vec(20)), (9, vec(90))],
+        "vec_id int, embedding array<double>")
+    kept = dedup.semantic_dedup(df, "embedding", "vec_id", dim=8,
+                                threshold=0.97, num_planes=1, seed=7,
+                                round_to=6)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 9]

@@ -217,3 +217,25 @@ def test_select_token_budget_null_quality(spark):
     assert ids(10**6) == {1, 2, 3, 4, 5}
     # NULL bucket is boundary with zero residual: no NULL doc fits
     assert ids(30) == {1, 2, 3}
+
+
+def test_redact_pii(spark):
+    from pydata_vector_search_spark.functions.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "write a.b+x@sub.example.co or ADMIN@X.ORG today"),
+         (2, "host 192.168.001.255 and 8.8.8.8; not 1.2.3"),
+         (3, "call +44 20 7946-0958 now, or 5551234567"),
+         (4, "no pii here at all"),
+         (5, "")],
+        "i int, t string")
+    got = {r.i: r.r for r in df.select(
+        "i", redact_pii("t").alias("r")).collect()}
+    assert got[1] == "write <EMAIL> or <EMAIL> today"
+    assert got[2] == "host <IP> and <IP>; not 1.2.3"
+    assert got[3] == "call <PHONE> now, or <PHONE>"
+    assert got[4] == "no pii here at all"
+    assert got[5] == ""
+    # selective kinds: leave phones intact
+    only_email = {r.i: r.r for r in df.select(
+        "i", redact_pii("t", kinds=("email",)).alias("r")).collect()}
+    assert only_email[3] == "call +44 20 7946-0958 now, or 5551234567"
