@@ -357,6 +357,43 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+_BM25_TERMS = ("vector", "hash", "join", "stream")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-k (the keyword half the pure-vector
+    reference lacks; Lucene's idf+1 variant): one declarative plan —
+    token explode, broadcast term join, per-(doc,term) partial scaled to
+    integer-exact BIGINT (order-independent sum; see
+    operators/retrieval), TakeOrderedAndProject. The oracle replays the
+    identical expression tree (same literal constants, same association
+    order) so the score is hash-checked to the last decimal."""
+    from pydata_vector_search_spark.operators.retrieval import bm25_search
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, "text", "doc_id", _BM25_TERMS, k=15)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + vector hybrid via Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09) — the production hybrid-search pattern composed from this
+    engine's own halves: lexical top-50 (bm25_search) and exact cosine
+    top-50 (vector_search), fused as 1/(60+r_lex) + 1/(60+r_vec).
+    Both rank lists are k-truncated, so the fusion windows run over ≤50
+    rows — never the corpus."""
+    from pydata_vector_search_spark.operators.retrieval import (bm25_search,
+                                                                rrf_fuse)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    lex = bm25_search(docs, "text", "doc_id", _BM25_TERMS, k=50)
+    vec = (knn.vector_search(emb, "embedding", qv, k=50, metric="cosine",
+                             round_to=6, tiebreaker="vec_id")
+           .select(F.col("vec_id").alias("doc_id"), "_distance"))
+    return rrf_fuse(lex, vec, "doc_id", k0=60, k=10,
+                    b_order=[F.col("_distance").asc(),
+                             F.col("doc_id").asc()])
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction gate (the scrub a corpus passes before leaving the
     trust boundary): deterministic synthetic PII (email/IPv4/phone built
@@ -2129,6 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
         "semantic_dedup": q_semantic_dedup,
         "redact_pii": q_redact_pii,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2139,8 +2178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
-        "case_buckets": q_case_buckets,
-        "first_last_window": q_first_last_window,
         "shipping_priority": q_shipping_priority,
         "grouping_sets": q_grouping_sets,
         "regexp_extract_agg": q_regexp_extract_agg,
@@ -2226,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": q_scalar_subquery,
         "ntile_buckets": q_ntile_buckets,
         "explode_tokens": q_explode_tokens,
+        "case_buckets": q_case_buckets,
+        "first_last_window": q_first_last_window,
     }
 
 
@@ -2233,6 +2272,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # operators/dedup shingling exactly).
 _SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _SQL_TOKS = f"regexp_split_to_array({_SQL_NORM}, ' ')"
+
+# BM25 pipeline CTEs shared by bm25_search and hybrid_rrf. The partial
+# expression mirrors operators/retrieval.bm25_search TERM FOR TERM — same
+# literal constants (2.2 == repr(1.2+1) parses to the identical double),
+# same association order — so the floor'd integer partials agree exactly.
+_BM25_SQL_IN = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+_BM25_SQL_CTES = f"""WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+            ), ex AS (
+                SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks
+            ), hits AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf,
+                       min(dl)::DOUBLE AS dl
+                FROM ex WHERE term IN {_BM25_SQL_IN}
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term
+            ), stats AS (
+                SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sumdl
+                FROM toks
+            ), parts AS (
+                SELECT h.doc_id,
+                       floor(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                             * h.tf * 2.2
+                             / (h.tf + 1.2 * (1 - 0.75
+                                + 0.75 * h.dl * s.n / s.sumdl))
+                             * 1000000 + 0.5)::BIGINT AS p
+                FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+            )"""
 _SQL_SHINGLES = (
     "CASE WHEN len(tk) >= 3 THEN "
     "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
@@ -2404,6 +2472,42 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.3, num_planes: int = 4,
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "bm25_search": f"""
+            {_BM25_SQL_CTES}
+            SELECT doc_id, sum(p) / 1000000.0 AS bm25
+            FROM parts GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+        """,
+        "hybrid_rrf": f"""
+            {_BM25_SQL_CTES},
+            lex AS (
+                SELECT doc_id, sum(p) / 1000000.0 AS bm25
+                FROM parts GROUP BY doc_id
+                ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+            ), ra AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                           ::BIGINT AS r
+                FROM lex
+            ), vec AS (
+                SELECT vec_id AS doc_id,
+                       round(1 - list_cosine_similarity(
+                                 embedding::DOUBLE[], {{q}}), 6) AS dist
+                FROM embeddings
+                ORDER BY dist ASC, doc_id ASC LIMIT 50
+            ), rb AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY dist ASC, doc_id ASC)
+                           ::BIGINT AS r
+                FROM vec
+            )
+            SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                   round(coalesce(1.0 / (60.0 + ra.r), 0.0)
+                         + coalesce(1.0 / (60.0 + rb.r), 0.0), 6) AS rrf,
+                   ra.r AS rank_lex, rb.r AS rank_vec
+            FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """.replace("{q}", _ORACLE_Q),
         "redact_pii": r"""
             WITH aug AS (
                 SELECT lang,

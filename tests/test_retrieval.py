@@ -1,0 +1,70 @@
+"""BM25 + RRF lexical/hybrid retrieval (operators/retrieval)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.operators.retrieval import (bm25_search,
+                                                            rrf_fuse)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "vector search with vector index"),     # tf(vector)=2, dl=5
+         (2, "hash join and merge join strategies"), # tf(join)=2, dl=6
+         (3, "a stream of events"),                  # tf(stream)=1, dl=4
+         (4, "nothing relevant here at all"),        # no query terms, dl=5
+         (5, "vector")],                             # tf=1, dl=1
+        "doc_id int, text string").cache()
+
+
+def _bm25(tf, dl, n, sumdl, df, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl * n / sumdl))
+    return math.floor(s * 1_000_000 + 0.5) / 1_000_000
+
+
+def test_bm25_matches_hand_computation(corpus):
+    got = {r.doc_id: r.bm25 for r in bm25_search(
+        corpus, "text", "doc_id", ("vector", "join", "stream"), k=10
+    ).collect()}
+    n, sumdl = 5.0, 21.0
+    want = {
+        1: _bm25(2, 5, n, sumdl, df=2),              # vector in docs 1,5
+        2: _bm25(2, 6, n, sumdl, df=1),              # join only in doc 2
+        3: _bm25(1, 4, n, sumdl, df=1),
+        5: _bm25(1, 1, n, sumdl, df=2),
+    }
+    assert set(got) == set(want)                     # doc 4 never surfaces
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=2e-6), d
+
+
+def test_bm25_order_and_k(corpus):
+    rows = bm25_search(corpus, "text", "doc_id",
+                       ("vector", "join", "stream"), k=2).collect()
+    assert len(rows) == 2
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fuse_membership_and_scores(spark):
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)],
+                              "doc_id int, s double")
+    b = spark.createDataFrame([(3, 0.1), (4, 0.2)],
+                              "doc_id int, _distance double")
+    out = {r.doc_id: (r.rrf, r.rank_lex, r.rank_vec) for r in rrf_fuse(
+        a, b, "doc_id", k0=60, k=10,
+        b_order=[F.col("_distance").asc(), F.col("doc_id").asc()]
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 3: rank 3 lexically, rank 1 by vector
+    assert out[3] == (round(1 / 63 + 1 / 61, 6), 3, 1)
+    # one-sided entries contribute a single reciprocal
+    assert out[1] == (round(1 / 61, 6), 1, None)
+    assert out[4] == (round(1 / 62, 6), None, 2)
+    # doc 3 (in both lists) outranks every one-sided doc here
+    top = max(out, key=lambda d: out[d][0])
+    assert top == 3
