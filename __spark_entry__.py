@@ -357,6 +357,28 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the dbt-test/Deequ check shape, no
+    framework): six rule kinds — not-null, uniqueness, range, regex,
+    arbitrary predicate, referential integrity — compiled to one shared
+    aggregate pass plus one groupBy (unique) and one anti-join
+    (references). The dimension is deliberately truncated (c_custkey <
+    100) so the FK check reports real orphans; range/regex bounds chosen
+    to catch real rows — all six counts are nonzero-or-zero exactly as
+    the oracle's per-rule SQL says."""
+    from pydata_vector_search_spark.operators import quality as Q
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return Q.validate(o, [
+        Q.not_null("o_custkey"),
+        Q.unique("o_orderkey"),
+        Q.in_range("o_totalprice", 1000.0, 300000.0),
+        Q.matches("o_orderstatus", "^[OF]$"),
+        Q.check("has_priority", "o_orderpriority LIKE '%-%'"),
+        Q.references("o_custkey", cust, "c_custkey"),
+    ])
+
+
 _BM25_TERMS = ("vector", "hash", "join", "stream")
 
 
@@ -2168,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
+        "constraint_checks": q_constraint_checks,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2178,7 +2201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
-        "shipping_priority": q_shipping_priority,
         "grouping_sets": q_grouping_sets,
         "regexp_extract_agg": q_regexp_extract_agg,
         "range_frame_window": q_range_frame_window,
@@ -2265,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": q_explode_tokens,
         "case_buckets": q_case_buckets,
         "first_last_window": q_first_last_window,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -2472,6 +2495,50 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.3, num_planes: int = 4,
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "constraint_checks": """
+            WITH tot AS (SELECT count(*)::BIGINT AS total FROM orders)
+            SELECT rule, violations, (SELECT total FROM tot) AS total
+            FROM (
+                SELECT 'check:has_priority' AS rule,
+                       sum(CASE WHEN NOT coalesce(o_orderpriority LIKE '%-%',
+                                                  false)
+                                THEN 1 ELSE 0 END)::BIGINT AS violations
+                FROM orders
+                UNION ALL
+                SELECT 'in_range:o_totalprice',
+                       sum(CASE WHEN o_totalprice IS NOT NULL
+                                 AND (o_totalprice < 1000.0
+                                      OR o_totalprice > 300000.0)
+                                THEN 1 ELSE 0 END)::BIGINT
+                FROM orders
+                UNION ALL
+                SELECT 'matches:o_orderstatus',
+                       sum(CASE WHEN o_orderstatus IS NOT NULL
+                                 AND NOT regexp_matches(o_orderstatus,
+                                                        '^[OF]$')
+                                THEN 1 ELSE 0 END)::BIGINT
+                FROM orders
+                UNION ALL
+                SELECT 'not_null:o_custkey',
+                       sum(CASE WHEN o_custkey IS NULL
+                                THEN 1 ELSE 0 END)::BIGINT
+                FROM orders
+                UNION ALL
+                SELECT 'references:o_custkey',
+                       count(*)::BIGINT
+                FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey < 100
+                                    AND c.c_custkey = o.o_custkey)
+                UNION ALL
+                SELECT 'unique:o_orderkey',
+                       coalesce((SELECT sum(n) FROM (
+                           SELECT count(*) AS n FROM orders
+                           GROUP BY o_orderkey HAVING count(*) > 1)),
+                           0)::BIGINT
+            ) ORDER BY rule
+        """,
         "bm25_search": f"""
             {_BM25_SQL_CTES}
             SELECT doc_id, sum(p) / 1000000.0 AS bm25

@@ -68,3 +68,28 @@ def test_rrf_fuse_membership_and_scores(spark):
     # doc 3 (in both lists) outranks every one-sided doc here
     top = max(out, key=lambda d: out[d][0])
     assert top == 3
+
+
+def test_validate_rules(spark):
+    from pydata_vector_search_spark.operators import quality as Q
+    df = spark.createDataFrame(
+        [(1, "a@x.io", 10.0), (2, None, 200.0), (2, "bad", -5.0),
+         (4, "c@y.io", None)],
+        "id int, email string, amt double")
+    dim = spark.createDataFrame([(1,), (2,)], "id int")
+    rep = {r.rule: (r.violations, r.total) for r in Q.validate(df, [
+        Q.not_null("email"),
+        Q.unique("id"),
+        Q.in_range("amt", 0.0, 100.0),
+        Q.matches("email", r"^[^@]+@[^@]+$"),
+        Q.check("amt_set", "amt IS NOT NULL"),
+        Q.references("id", dim, "id"),
+    ]).collect()}
+    assert rep == {
+        "not_null:email": (1, 4),
+        "unique:id": (2, 4),          # both members of the dup group
+        "in_range:amt": (2, 4),       # 200 and -5; NULL passes
+        "matches:email": (1, 4),      # 'bad'; NULL passes
+        "check:amt_set": (1, 4),
+        "references:id": (1, 4),      # id=4 orphan
+    }
