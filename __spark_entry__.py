@@ -357,6 +357,24 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup removal ("dedup the new crawl against the
+    trained corpus"): documents split doc_id%3 into reference (==0) and
+    corpus; minhash bands on both sides join corpus×reference, exact
+    Jaccard >= 0.5 verifies, matched corpus docs drop. The oracle
+    replays signatures, banding, candidates, verify, and anti-join —
+    LSH recall included in the hash check, not assumed."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    kept = dedup.cross_dedup_minhash(corpus, ref, "text", "doc_id",
+                                     threshold=0.5)
+    return (kept.groupBy("lang")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                     F.sum("doc_id").cast("long").alias("id_sum"))
+                .orderBy("lang"))
+
+
 def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (the dbt-test/Deequ check shape, no
     framework): six rule kinds — not-null, uniqueness, range, regex,
@@ -2191,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
         "constraint_checks": q_constraint_checks,
+        "cross_dedup": q_cross_dedup,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2201,7 +2220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
-        "grouping_sets": q_grouping_sets,
         "regexp_extract_agg": q_regexp_extract_agg,
         "range_frame_window": q_range_frame_window,
         "corpus_filter": q_corpus_filter,
@@ -2288,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_buckets": q_case_buckets,
         "first_last_window": q_first_last_window,
         "shipping_priority": q_shipping_priority,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -2329,6 +2348,61 @@ _SQL_SHINGLES = (
     "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
     "for i in range(1, len(tk) - 1)]) "
     f"ELSE [{_SQL_NORM}] END")
+
+
+def _cross_dedup_oracle() -> str:
+    """DuckDB replay of cross_dedup_minhash over the doc_id%3 corpus/ref
+    split: md5-deterministic minhash bands on BOTH sides, corpus×ref
+    band-key equi-join candidates, exact-Jaccard verify, anti-join,
+    per-lang survivor rollup — mirrors operators/dedup line for line."""
+    num_hashes, bands, rows, thr = 12, 4, 3, 0.5
+    h1 = "('0x' || substr(md5(s), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(s), 9, 8))::BIGINT"
+    sig_cols = ",\n                   ".join(
+        f"list_min(list_transform(sh, s -> {h1} + {i} * {h2})) AS sig{i}"
+        for i in range(num_hashes))
+    band_cols = ",\n                   ".join(
+        "md5(" + " || '|' || ".join(f"sig{b * rows + r}::VARCHAR"
+                                    for r in range(rows))
+        + f") AS band{b}" for b in range(bands))
+    band_union = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM banded"
+        for b in range(bands))
+    jac = ("len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+           "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+            ), sigs AS (
+                SELECT doc_id, sh,
+                   {sig_cols}
+                FROM sh
+            ), banded AS (
+                SELECT doc_id,
+                   {band_cols}
+                FROM sigs
+            ), expl AS (
+                {band_union}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS cid, b.doc_id AS rid
+                FROM expl a JOIN expl b
+                  ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+            ), doomed AS (
+                SELECT DISTINCT cid FROM cand
+                JOIN sh sa ON cand.cid = sa.doc_id
+                JOIN sh sb ON cand.rid = sb.doc_id
+                WHERE {jac} >= {thr}
+            )
+            SELECT lang, count(*)::BIGINT AS n_kept,
+                   sum(doc_id)::BIGINT AS id_sum
+            FROM documents
+            WHERE doc_id % 3 != 0
+              AND doc_id NOT IN (SELECT cid FROM doomed)
+            GROUP BY lang ORDER BY lang
+        """
 
 
 def _minhash_oracle() -> str:
@@ -2495,6 +2569,7 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.3, num_planes: int = 4,
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "cross_dedup": _cross_dedup_oracle(),
         "constraint_checks": """
             WITH tot AS (SELECT count(*)::BIGINT AS total FROM orders)
             SELECT rule, violations, (SELECT total FROM tot) AS total

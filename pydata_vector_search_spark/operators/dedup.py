@@ -143,32 +143,25 @@ def _barrier(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
-                          n: int = 3, num_hashes: int = 12, bands: int = 4,
-                          threshold: float = 0.5,
-                          max_bucket_size: int | None = None) -> DataFrame:
-    """Near-duplicate pairs (id_1 < id_2) with exact-Jaccard verification of
-    LSH candidates. Returns (id_1, id_2, jaccard).
+def _minhash_bands(df: DataFrame, text_col: str, id_col: str,
+                   n: int, num_hashes: int, bands: int
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Shared minhash front half: (banded, base) where ``banded`` is
+    (__id, __band, __key) — one row per doc per band — and ``base`` is
+    (__id, __sh), the materialized shingle arrays for exact verify.
 
-    Plan shape: per-row signature (no shuffle) → explode band keys →
-    self-join on (band, key) [one shuffle, bucket-local] → distinct pairs →
-    re-attach shingle arrays (broadcast-or-shuffle join on id) → exact
-    array_intersect Jaccard filter. Candidate count, not corpus², bounds
-    every stage — the 100 TB path.
-    """
+    Hot path stays in whole-stage codegen: explode shingles, ONE md5 per
+    shingle split into two 32-bit halves, the num_hashes values derived
+    as h1 + i*h2 scalar columns (HOF lambdas run interpreted, ~30×
+    slower — measured 57s vs <2s on sf0.1), then per-doc minima with a
+    hash aggregate. Partial (map-side) min aggregation collapses each
+    partition to one row per doc before the shuffle, so shuffle volume
+    is docs × num_hashes regardless of shingle count — the property
+    that matters at 100 TB."""
     rows = num_hashes // bands
     df = _fan_out(df, id_col)
     base = _barrier(df.select(F.col(id_col).alias("__id"),
                               shingles_col(text_col, n).alias("__sh")))
-
-    # Hot path stays in whole-stage codegen: explode shingles, ONE md5 per
-    # shingle split into two 32-bit halves, the num_hashes values derived
-    # as h1 + i*h2 scalar columns (HOF lambdas run interpreted, ~30×
-    # slower — measured 57s vs <2s on sf0.1), then per-doc minima with a
-    # hash aggregate. Partial (map-side) min aggregation collapses each
-    # partition to one row per doc before the shuffle, so shuffle volume
-    # is docs × num_hashes regardless of shingle count — the property
-    # that matters at 100 TB.
     ex = base.select("__id", F.explode("__sh").alias("__s"))
     h1, h2 = _h1h2(F.col("__s"))
     hashed = ex.select("__id", *[
@@ -184,6 +177,24 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                  .select("__id", F.posexplode(F.array(
                      *[F.col(f"__band{b}") for b in range(bands)]))
                      .alias("__band", "__key")))
+    return banded, base
+
+
+def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          n: int = 3, num_hashes: int = 12, bands: int = 4,
+                          threshold: float = 0.5,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate pairs (id_1 < id_2) with exact-Jaccard verification of
+    LSH candidates. Returns (id_1, id_2, jaccard).
+
+    Plan shape: per-row signature (no shuffle) → explode band keys →
+    self-join on (band, key) [one shuffle, bucket-local] → distinct pairs →
+    re-attach shingle arrays (broadcast-or-shuffle join on id) → exact
+    array_intersect Jaccard filter. Candidate count, not corpus², bounds
+    every stage — the 100 TB path.
+    """
+    banded, base = _minhash_bands(df, text_col, id_col, n, num_hashes,
+                                  bands)
     buckets = (banded.groupBy("__band", "__key")
                      .agg(F.collect_list("__id").alias("__ids"))
                      .filter(F.size("__ids") > 1))
@@ -833,3 +844,50 @@ def semantic_dedup(df: DataFrame, vector_col: str, id_col: str, dim: int,
     doomed = (comps.filter(F.col("node") != F.col("component"))
                    .select(F.col("node").alias("__doomed")))
     return df.join(doomed, df[id_col] == F.col("__doomed"), "left_anti")
+
+
+def cross_dedup_minhash(corpus: DataFrame, reference: DataFrame,
+                        text_col: str, id_col: str,
+                        n: int = 3, num_hashes: int = 12, bands: int = 4,
+                        threshold: float = 0.5,
+                        max_bucket_df: int | None = None) -> DataFrame:
+    """CROSS-corpus near-dup removal: drop corpus documents that are
+    near-duplicates (exact Jaccard >= threshold, LSH-candidates) of ANY
+    document in ``reference`` — "dedup the new crawl against what we
+    already trained on", the incremental sibling of self-dedup (and the
+    fuzzy generalization of ``decontaminate``'s exact containment).
+    Returns the surviving corpus rows.
+
+    Plan: both sides run the shared minhash band pipeline
+    (``_minhash_bands`` — same md5-deterministic permutations, so one
+    side's signatures are directly joinable against the other's);
+    candidates come from a band-key EQUI-join corpus×reference (shuffle
+    bounded by band-key co-occurrences, never |corpus|·|ref|); exact
+    shingle-array Jaccard verifies; the doomed id set anti-joins back.
+    ``max_bucket_df`` caps the REFERENCE-side frequency of a band key —
+    the hot-bucket guard for boilerplate-heavy reference sets (same
+    recall trade as minhash_neardup_pairs' max_bucket_size)."""
+    cb, cbase = _minhash_bands(corpus, text_col, id_col, n, num_hashes,
+                               bands)
+    rb, rbase = _minhash_bands(reference, text_col, id_col, n, num_hashes,
+                               bands)
+    rb = rb.select(F.col("__id").alias("__rid"), "__band", "__key")
+    if max_bucket_df is not None:
+        freq = (rb.groupBy("__band", "__key")
+                  .agg(F.count(F.lit(1)).alias("__f"))
+                  .filter(F.col("__f") <= max_bucket_df)
+                  .drop("__f"))
+        rb = rb.join(freq, ["__band", "__key"])
+    cand = (cb.join(rb, ["__band", "__key"])
+              .select(F.col("__id").alias("__cid"), "__rid")
+              .distinct())
+    inter = F.size(F.array_intersect(F.col("ca.__sh"), F.col("rb.__sh")))
+    union = (F.size(F.col("ca.__sh")) + F.size(F.col("rb.__sh")) - inter)
+    doomed = (cand
+              .join(cbase.alias("ca"), F.col("__cid") == F.col("ca.__id"))
+              .join(rbase.alias("rb"), F.col("__rid") == F.col("rb.__id"))
+              .filter(inter.cast("double") / union >= threshold)
+              .select(F.col("__cid").alias("__doomed"))
+              .distinct())
+    return corpus.join(doomed, corpus[id_col] == F.col("__doomed"),
+                       "left_anti")

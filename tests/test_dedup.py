@@ -236,3 +236,25 @@ def test_semantic_dedup_transitive_keep_min(spark):
                                 threshold=0.97, num_planes=1, seed=7,
                                 round_to=6)
     assert sorted(r.vec_id for r in kept.collect()) == [1, 9]
+
+
+def test_cross_dedup_drops_reference_copies(spark):
+    """Corpus docs copied from (or trivially perturbed versions of)
+    reference docs drop; unrelated corpus docs survive."""
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "completely different reference content goes here now")],
+        "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),  # copy
+         (2, "the quick brown fox jumps over the lazy dog"),        # near
+         (3, "unrelated fresh corpus document about spark engines")],
+        "doc_id int, text string")
+    kept = sorted(r.doc_id for r in dedup.cross_dedup_minhash(
+        corpus, ref, "text", "doc_id", threshold=0.5).collect())
+    assert kept == [3]
+    # reference-side hot-bucket cap degrades to keeping everything
+    capped = sorted(r.doc_id for r in dedup.cross_dedup_minhash(
+        corpus, ref, "text", "doc_id", threshold=0.5,
+        max_bucket_df=0).collect())
+    assert capped == [1, 2, 3]
