@@ -357,6 +357,41 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange (the raw-crawl format of LLM pipelines):
+    documents round-trip through the JSONL sink/source with PERMISSIVE
+    quarantine — two deliberately malformed lines are planted beside the
+    clean part-files and must land in the dead-letter split, never kill
+    the read or leak into clean rows. Fidelity is proven by per-lang
+    md5-sums of the round-tripped text hash-matching the oracle computed
+    on the ORIGINAL parquet (15 hex chars → BIGINT, the cross-engine
+    hash convention)."""
+    import tempfile
+
+    from pydata_vector_search_spark.sources import (read_jsonl_quarantine,
+                                                    write_jsonl)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    p = os.path.join(tempfile.mkdtemp(prefix="pvss_jsonl_"), "docs")
+    write_jsonl(docs.coalesce(4), p)
+    with open(os.path.join(p, "part-99999-corrupt.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "lang": "en"\n')       # truncated object
+        fh.write('not json at all\n')
+    clean, bad = read_jsonl_quarantine(
+        spark, p, "doc_id bigint, text string, lang string")
+    # 10 hex chars = 40 bits/row: sums stay far under BIGINT overflow
+    # even at sf10 (ANSI mode raises on long overflow)
+    h = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    per_lang = (clean.groupBy("lang")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum("doc_id").cast("long").alias("id_sum"),
+                     F.sum(h).cast("long").alias("text_h")))
+    corrupt = (bad.agg(F.count(F.lit(1)).cast("long").alias("n"))
+               .select(F.lit("__corrupt__").alias("lang"), "n",
+                       F.lit(0).cast("long").alias("id_sum"),
+                       F.lit(0).cast("long").alias("text_h")))
+    return per_lang.unionByName(corrupt).orderBy("lang")
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup removal ("dedup the new crawl against the
     trained corpus"): documents split doc_id%3 into reference (==0) and
@@ -2210,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "constraint_checks": q_constraint_checks,
         "cross_dedup": q_cross_dedup,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2220,7 +2256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
-        "regexp_extract_agg": q_regexp_extract_agg,
         "range_frame_window": q_range_frame_window,
         "corpus_filter": q_corpus_filter,
         "approx_distinct": q_approx_distinct,
@@ -2307,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last_window": q_first_last_window,
         "shipping_priority": q_shipping_priority,
         "grouping_sets": q_grouping_sets,
+        "regexp_extract_agg": q_regexp_extract_agg,
     }
 
 
@@ -2570,6 +2606,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "cross_dedup": _cross_dedup_oracle(),
+        "jsonl_roundtrip": """
+            SELECT lang, count(*)::BIGINT AS n,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+                       AS text_h
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT '__corrupt__', 2, 0, 0
+            ORDER BY lang
+        """,
         "constraint_checks": """
             WITH tot AS (SELECT count(*)::BIGINT AS total FROM orders)
             SELECT rule, violations, (SELECT total FROM tot) AS total
