@@ -278,6 +278,63 @@ class Engine:
         return stream_upsert_sink(stream_df, self.catalog, table, key=key,
                                   checkpoint=checkpoint, **kw)
 
+    # -- retrieval / pipeline gates (round 5) ------------------------------
+    def bm25_search(self, table: str | DataFrame, text_col: str,
+                    id_col: str, query_terms, k: int = 10,
+                    **kw) -> DataFrame:
+        """Okapi BM25 lexical top-k. See operators/retrieval.bm25_search."""
+        from pydata_vector_search_spark.operators.retrieval import bm25_search
+        df = self.table(table) if isinstance(table, str) else table
+        return bm25_search(df, text_col, id_col, query_terms, k=k, **kw)
+
+    def hybrid_search_rrf(self, table: str, text_col: str, id_col: str,
+                          vector_col: str, query_terms, query_vec,
+                          k: int = 10, fetch_k: int = 50,
+                          metric: str = "cosine") -> DataFrame:
+        """BM25 + vector hybrid via Reciprocal Rank Fusion: lexical and
+        exact-vector top-``fetch_k`` lists fused as 1/(60+rank) sums.
+        The standard Lucene/Vespa hybrid pattern, composed from this
+        engine's own halves."""
+        from pyspark.sql import functions as F
+
+        from pydata_vector_search_spark.operators.knn import vector_search
+        from pydata_vector_search_spark.operators.retrieval import (
+            bm25_search, rrf_fuse)
+        df = self.table(table)
+        lex = bm25_search(df, text_col, id_col, query_terms, k=fetch_k)
+        vec = (vector_search(df, vector_col, query_vec, k=fetch_k,
+                             metric=metric, round_to=6, tiebreaker=id_col)
+               .select(id_col, "_distance"))
+        return rrf_fuse(lex, vec, id_col, k=k,
+                        b_order=[F.col("_distance").asc(),
+                                 F.col(id_col).asc()])
+
+    def semantic_dedup(self, table: str | DataFrame, vector_col: str,
+                       id_col: str, dim: int, **kw) -> DataFrame:
+        """SemDeDup: drop embedding-level near-duplicates, keep min-id
+        representative per semantic group."""
+        from pydata_vector_search_spark.operators.dedup import semantic_dedup
+        df = self.table(table) if isinstance(table, str) else table
+        return semantic_dedup(df, vector_col, id_col, dim, **kw)
+
+    def cross_dedup(self, corpus: str | DataFrame,
+                    reference: str | DataFrame, text_col: str,
+                    id_col: str, **kw) -> DataFrame:
+        """Drop corpus docs near-duplicate of any reference doc."""
+        from pydata_vector_search_spark.operators.dedup import \
+            cross_dedup_minhash
+        c = self.table(corpus) if isinstance(corpus, str) else corpus
+        r = self.table(reference) if isinstance(reference, str) else reference
+        return cross_dedup_minhash(c, r, text_col, id_col, **kw)
+
+    def validate(self, table: str | DataFrame, rules) -> DataFrame:
+        """Data-quality gate: per-rule violation report. See
+        operators/quality (not_null/unique/in_range/matches/check/
+        references rule builders)."""
+        from pydata_vector_search_spark.operators.quality import validate
+        df = self.table(table) if isinstance(table, str) else table
+        return validate(df, rules)
+
     # -- maintenance ------------------------------------------------------
     def compact(self, table: str, **kw) -> None:
         self.catalog.compact(table, **kw)

@@ -135,3 +135,40 @@ def test_engine_merge_and_retention_facade(spark, tmp_path):
     assert eng.catalog.info("t").history_start == 2
     got = sorted((r.k, r.v) for r in eng.read_asof("t", 2).collect())
     assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_engine_retrieval_and_gates(spark, tmp_path):
+    """Round-5 facade surface: bm25, hybrid RRF, semantic/cross dedup,
+    validation — each delegates to the oracle-checked operator."""
+    from pydata_vector_search_spark.engine import Engine
+    from pydata_vector_search_spark.operators import quality as Q
+
+    eng = Engine(spark, str(tmp_path / "r5"))
+    docs = spark.createDataFrame(
+        [(1, "vector search engine", [1.0, 0.0]),
+         (2, "hash join planner", [0.0, 1.0]),
+         (3, "vector search engine", [1.0, 0.01])],
+        "doc_id int, text string, embedding array<double>")
+    eng.ingest(docs, "docs", key="doc_id")
+
+    lex = eng.bm25_search("docs", "text", "doc_id", ("vector",), k=5)
+    assert {r.doc_id for r in lex.collect()} == {1, 3}
+
+    hyb = eng.hybrid_search_rrf("docs", "text", "doc_id", "embedding",
+                                ("vector",), [1.0, 0.0], k=3)
+    rows = hyb.collect()
+    assert rows[0].doc_id in (1, 3)          # in both rank lists
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+
+    kept = eng.semantic_dedup("docs", "embedding", "doc_id", dim=2,
+                              threshold=0.99, num_planes=1)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+    ref = spark.createDataFrame([(9, "vector search engine")],
+                                "doc_id int, text string")
+    surv = eng.cross_dedup("docs", ref, "text", "doc_id", threshold=0.9)
+    assert sorted(r.doc_id for r in surv.collect()) == [2]
+
+    rep = {r.rule: r.violations for r in eng.validate("docs", [
+        Q.not_null("text"), Q.unique("doc_id")]).collect()}
+    assert rep == {"not_null:text": 0, "unique:doc_id": 0}
