@@ -357,6 +357,40 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate (lakehouse IVM):
+    rollup built at bootstrap, base table mutated by upsert (updates +
+    inserts, some flipping group membership) and predicate delete, then
+    ``refresh_agg`` applies ONLY the changed keys' retract/apply delta —
+    never a full rescan. Hash equality against the oracle's batch rollup
+    of the final state proves the incremental path lands on exactly the
+    full-recompute answer (group death and birth included)."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.incremental_agg import (
+        create_agg, refresh_agg)
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders").select(*cols)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_ivm_"))
+    cat.write("t", o.filter(F.col("o_orderkey") < 3000).coalesce(4),
+              key="o_orderkey")
+    create_agg(cat, "t", "t_agg", ["o_orderstatus"],
+               {"total": "o_totalprice"})
+    upsert_table(cat, "t", o.filter((F.col("o_orderkey") % 5 == 0)
+                                    & (F.col("o_orderkey") < 4000))
+                 .withColumn("o_orderstatus", F.lit("U")).coalesce(4))
+    delete_where(cat, "t", "o_orderkey % 7 = 0")
+    refresh_agg(cat, "t", "t_agg")
+    return (cat.load("t_agg")
+            .select("o_orderstatus", "n_rows",
+                    F.round("total", 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange (the raw-crawl format of LLM pipelines):
     documents round-trip through the JSONL sink/source with PERMISSIVE
@@ -2246,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_checks": q_constraint_checks,
         "cross_dedup": q_cross_dedup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "incremental_agg": q_incremental_agg,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2257,7 +2292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
         "range_frame_window": q_range_frame_window,
-        "corpus_filter": q_corpus_filter,
         "approx_distinct": q_approx_distinct,
         "stream_static_join": q_stream_static_join,
         "token_counts": q_token_counts,
@@ -2343,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "grouping_sets": q_grouping_sets,
         "regexp_extract_agg": q_regexp_extract_agg,
+        "corpus_filter": q_corpus_filter,
     }
 
 
@@ -2606,6 +2641,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "cross_dedup": _cross_dedup_oracle(),
+        "incremental_agg": """
+            WITH final AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+                            ELSE o_orderstatus END AS g,
+                       o_totalprice AS x
+                FROM orders
+                WHERE (o_orderkey < 3000
+                       OR (o_orderkey % 5 = 0 AND o_orderkey < 4000))
+                  AND o_orderkey % 7 != 0
+            )
+            SELECT g AS o_orderstatus, count(*)::BIGINT AS n_rows,
+                   round(sum(x), 2) AS total
+            FROM final GROUP BY g ORDER BY g
+        """,
         "jsonl_roundtrip": """
             SELECT lang, count(*)::BIGINT AS n,
                    sum(doc_id)::BIGINT AS id_sum,

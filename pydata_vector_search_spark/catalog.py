@@ -34,6 +34,7 @@ class TableInfo:
     options: dict = field(default_factory=dict)   # reader options (csv header, …)
     has_schema: bool = False          # an explicit schema was given at registration
     indexes: dict = field(default_factory=dict)   # vector_col -> {path, commit}
+    aggregates: dict = field(default_factory=dict)  # agg table -> {group_by, sums, count_col, commit}
 
 
 class Catalog:
@@ -114,12 +115,13 @@ class Catalog:
         # fresh bootstrap (reset_history) is new table content, so prior
         # registrations are cleared.
         idx = {} if reset_history or prev is None else dict(prev.indexes)
+        ag = {} if reset_history or prev is None else dict(prev.aggregates)
         ct = {} if reset_history or prev is None else dict(prev.commit_times)
         hs = 1 if reset_history or prev is None else prev.history_start
         info = TableInfo(name=name, path=path, key=key,
                          partition_by=list(partition_by or []),
-                         last_commit=last, indexes=idx, commit_times=ct,
-                         history_start=hs)
+                         last_commit=last, indexes=idx, aggregates=ag,
+                         commit_times=ct, history_start=hs)
         self._tables[name] = info
         self._persist()
         if reset_history and key is not None:

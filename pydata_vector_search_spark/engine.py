@@ -335,6 +335,22 @@ class Engine:
         df = self.table(table) if isinstance(table, str) else table
         return validate(df, rules)
 
+    def create_agg(self, source: str, name: str, group_by, sums,
+                   count_col: str = "n_rows") -> None:
+        """Materialize an incrementally-maintainable rollup (SUM/COUNT)
+        of ``source``. See operators/incremental_agg."""
+        from pydata_vector_search_spark.operators.incremental_agg import \
+            create_agg
+        create_agg(self.catalog, source, name, group_by, sums,
+                   count_col=count_col)
+
+    def refresh_agg(self, source: str, name: str) -> dict:
+        """Apply the commit-log delta since the last refresh to the
+        materialized rollup — cost ∝ changed keys, never a full rescan."""
+        from pydata_vector_search_spark.operators.incremental_agg import \
+            refresh_agg
+        return refresh_agg(self.catalog, source, name)
+
     # -- maintenance ------------------------------------------------------
     def compact(self, table: str, **kw) -> None:
         self.catalog.compact(table, **kw)

@@ -1,0 +1,119 @@
+"""Incrementally-maintained materialized aggregates (IVM) off the commit
+log — keep a rollup table in sync with a mutating base table for the
+cost of the CHANGED data, never a full rescan.
+
+The lakehouse version of incremental view maintenance: the base table's
+commit log (upserts + ``_deleted`` tombstones — what ``read_incremental``
+emits) is a complete delta stream, and SUM/COUNT are self-maintainable
+aggregates, so a refresh is:
+
+1. changed keys   = distinct record keys in commits (R, N]
+                    (R = the aggregate's last refresh commit);
+2. old image      = ``read_asof(R)`` filtered to those keys — the rows
+                    whose contributions must be RETRACTED. Cost: commit-
+                    pruned log replay of the changed keys, not the table;
+3. new image      = current snapshot filtered to those keys (deleted
+                    keys simply absent);
+4. delta          = per-group (new aggregate − old aggregate), full-outer
+                    on the group keys;
+5. apply          = agg_table ⟗ delta: counts/sums add, groups whose
+                    count reaches 0 drop, brand-new groups insert.
+
+Work scales with |changed keys| × log depth + |agg table| — at 100 TB
+the agg table is the small output of a rollup and the changed keys are
+one batch, so a refresh is orders of magnitude cheaper than the full
+groupBy it replaces. The same shape Materialize/Delta Live Tables sell;
+here it is ~100 lines of Catalyst over the engine's own CDC feed.
+
+Maintainable measures: COUNT(*) and SUM(numeric) — the classic
+self-maintainable set under insert+delete. MIN/MAX are NOT maintainable
+under deletes without per-group history; ask for them and the module
+refuses rather than silently serving a wrong rollup.
+
+Float caveat: an incrementally-maintained SUM(double) equals the batch
+recompute up to floating-point reassociation (~1 ulp per refresh);
+round at read time, or use decimal measures for exact parity. NULL
+measures contribute 0 (an all-NULL group reads 0, where a batch SUM
+reads NULL) — documented divergence, same as most IVM engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_META_KEY = "aggregates"
+
+
+def _aggregate(df: DataFrame, group_by: list[str],
+               sums: dict[str, str], count_col: str) -> DataFrame:
+    aggs = [F.count(F.lit(1)).cast("long").alias(count_col)]
+    aggs += [F.coalesce(F.sum(src), F.lit(0.0)).alias(out)
+             for out, src in sums.items()]
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def create_agg(catalog, source: str, name: str, group_by: list[str],
+               sums: dict[str, str], count_col: str = "n_rows") -> None:
+    """Full build of the rollup at the source's CURRENT commit, plus the
+    metadata pin that makes incremental refresh possible.
+
+    ``sums`` maps output column -> source numeric column; ``count_col``
+    names the row count (always maintained — it decides group death)."""
+    info = catalog.info(source)
+    if info.key is None:
+        raise ValueError(
+            f"source {source!r} has no record key; incremental refresh "
+            "replays per-key history (register with key=)")
+    agg = _aggregate(catalog.load(source), group_by, sums, count_col)
+    catalog.write(name, agg)
+    aggs = getattr(info, _META_KEY)
+    aggs[name] = {"group_by": list(group_by), "sums": dict(sums),
+                  "count_col": count_col, "commit": info.last_commit}
+    catalog._persist()
+
+
+def refresh_agg(catalog, source: str, name: str) -> dict:
+    """Incremental refresh: apply the delta of commits since the last
+    refresh to the materialized table. Returns {"refreshed", "from",
+    "to"}; a no-change call is a cheap no-op (metadata compare only)."""
+    info = catalog.info(source)
+    meta = getattr(info, _META_KEY).get(name)
+    if meta is None:
+        raise ValueError(f"no aggregate {name!r} registered on {source!r}")
+    r, n = meta["commit"], info.last_commit
+    if r == n:
+        return {"refreshed": False, "from": r, "to": n}
+    gb, sums, cnt = meta["group_by"], meta["sums"], meta["count_col"]
+    key = info.key
+
+    changed = (catalog.read_incremental(source, r, latest_only=False)
+               .select(key).distinct())
+    old_img = catalog.read_asof(source, r).join(changed, key, "inner")
+    new_img = catalog.load(source).join(changed, key, "inner")
+
+    old_agg = _aggregate(old_img, gb, sums, cnt)
+    new_agg = _aggregate(new_img, gb, sums, cnt)
+    o = old_agg.select(*gb, *[F.col(c).alias(f"__o_{c}")
+                              for c in (cnt, *sums)])
+    nw = new_agg.select(*gb, *[F.col(c).alias(f"__n_{c}")
+                               for c in (cnt, *sums)])
+    delta = (o.join(nw, gb, "full_outer")
+              .select(*gb, *[
+                  (F.coalesce(F.col(f"__n_{c}"), F.lit(0))
+                   - F.coalesce(F.col(f"__o_{c}"), F.lit(0)))
+                  .alias(f"__d_{c}") for c in (cnt, *sums)]))
+
+    cur = catalog.load(name)
+    c = cur.select(*gb, *[F.col(x).alias(f"__c_{x}") for x in (cnt, *sums)])
+    applied = (c.join(delta, gb, "full_outer")
+                .select(*gb, *[
+                    (F.coalesce(F.col(f"__c_{x}"), F.lit(0))
+                     + F.coalesce(F.col(f"__d_{x}"), F.lit(0))).alias(x)
+                    for x in (cnt, *sums)])
+                .filter(F.col(cnt) > 0)
+                .withColumn(cnt, F.col(cnt).cast("long"))
+                .localCheckpoint(eager=True))   # overwriting the read path
+    catalog.write(name, applied)
+    meta["commit"] = n
+    catalog._persist()
+    return {"refreshed": True, "from": r, "to": n}

@@ -1,0 +1,72 @@
+"""Incrementally-maintained materialized aggregates (operators/incremental_agg)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.catalog import Catalog
+from pydata_vector_search_spark.operators.incremental_agg import (create_agg,
+                                                                  refresh_agg)
+from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                         upsert_table)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, g string, x double")
+
+
+def _snap(cat, name):
+    return sorted((r.g, r.n_rows, round(r.sx, 6))
+                  for r in cat.load(name).collect())
+
+
+def _full(cat, src):
+    return sorted((r.g, r.n, round(r.sx, 6)) for r in
+                  cat.load(src).groupBy("g")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                       F.coalesce(F.sum("x"), F.lit(0.0)).alias("sx"))
+                  .collect())
+
+
+def test_refresh_equals_full_recompute(spark, tmp_path):
+    """Upserts (value changes + inserts), deletes, a fully-emptied group,
+    and a brand-new group — after each refresh the materialized table
+    equals the batch groupBy of the current snapshot."""
+    cat = Catalog(spark, str(tmp_path / "ivm"))
+    cat.write("t", _df(spark, [(1, "a", 1.0), (2, "a", 2.0),
+                               (3, "b", 3.0), (4, "c", 4.0)]), key="k")
+    create_agg(cat, "t", "t_by_g", ["g"], {"sx": "x"})
+    assert _snap(cat, "t_by_g") == _full(cat, "t")
+
+    # update k=2 (a: 2.0 -> 20.0), move k=3 from b to d (group death +
+    # birth), insert k=5 into c
+    upsert_table(cat, "t", _df(spark, [(2, "a", 20.0), (3, "d", 3.5),
+                                       (5, "c", 5.0)]))
+    out = refresh_agg(cat, "t", "t_by_g")
+    assert out["refreshed"] is True
+    assert _snap(cat, "t_by_g") == _full(cat, "t")
+    assert ("b", 1, 3.0) not in _snap(cat, "t_by_g")   # b died
+
+    # delete every c row; no-op refresh afterwards
+    delete_where(cat, "t", "g = 'c'")
+    refresh_agg(cat, "t", "t_by_g")
+    snap = _snap(cat, "t_by_g")
+    assert snap == _full(cat, "t") and not any(g == "c" for g, *_ in snap)
+    assert refresh_agg(cat, "t", "t_by_g")["refreshed"] is False
+
+
+def test_refresh_survives_catalog_reattach(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "ivm2"))
+    cat.write("t", _df(spark, [(1, "a", 1.0)]), key="k")
+    create_agg(cat, "t", "agg", ["g"], {"sx": "x"})
+    upsert_table(cat, "t", _df(spark, [(2, "a", 2.0)]))
+
+    cat2 = Catalog(spark, str(tmp_path / "ivm2"))     # fresh attach
+    assert refresh_agg(cat2, "t", "agg")["refreshed"] is True
+    assert _snap(cat2, "agg") == [("a", 2, 3.0)]
+
+
+def test_create_agg_requires_key(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "ivm3"))
+    cat.write("t", _df(spark, [(1, "a", 1.0)]))       # keyless
+    with pytest.raises(ValueError, match="record key"):
+        create_agg(cat, "t", "agg", ["g"], {"sx": "x"})
