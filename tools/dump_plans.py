@@ -106,6 +106,35 @@ NOTES = {
         "evaluated map-side on the source before the join; the COW "
         "rewrite + two commit-log appends are write jobs, not part of "
         "this read plan."),
+    "bm25_search": (
+        "Okapi BM25 as one declarative plan: the query-term table, "
+        "per-term document frequencies and the corpus stats row are all "
+        "BroadcastExchange build sides; the only data shuffles are the "
+        "partial->final HashAggregates on (doc,term) and doc — map-side "
+        "combined, so shuffled bytes are bounded by docs x terms. Top-k "
+        "is TakeOrderedAndProject: no global sort."),
+    "hybrid_rrf": (
+        "Reciprocal Rank Fusion: both rank inputs are k-truncated top-N "
+        "lists, so the single-partition row_number windows sort <=50 rows "
+        "each — the corpus never reaches a global window. The fusion "
+        "full-outer join runs on two 50-row sides."),
+    "semantic_dedup": (
+        "SemDeDup: one shuffle on the LSH signature key, per-bucket BLAS "
+        "verify (applyInPandas), O(log n) pointer-jump rounds for "
+        "components, then a left-anti join whose right side is the doomed "
+        "id set — near-dup-count-sized, AQE broadcasts it at runtime."),
+    "merge_partitioned": (
+        "Partition-scoped MERGE INTO: the target scan carries partition "
+        "predicates for the source-touched partitions only (partition "
+        "pruning — untouched directories never open), the outer join runs "
+        "on (key, partition) identity, and the write is dynamic partition "
+        "overwrite of exactly the touched partitions."),
+    "incremental_agg": (
+        "Incremental view maintenance: refresh reads the commit-pruned "
+        "change log for the changed keys, replays only those keys' prior "
+        "image as-of the last refresh (log replay, not a table scan), and "
+        "applies a group-keyed delta onto the small materialized table. "
+        "The base table is never rescanned."),
     "zorder_scan": (
         "Scan over the Z-ORDERED rewrite: both range predicates reach the "
         "parquet scan (PushedFilters on l_orderkey AND l_partkey), and "
