@@ -357,6 +357,27 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector AGGREGATION (a genuine Spark gap — no built-in elementwise
+    array aggregate): per-label mean embedding via posexplode → one
+    (label, pos) hash aggregate (map-side combined: shuffle = labels ×
+    dim, corpus-size independent) → array re-assembly, then each
+    centroid scored against the query vector with the codegen'd cosine.
+    The oracle replays with unnest-WITH-ORDINALITY + list(ORDER BY)."""
+    from pydata_vector_search_spark.functions.vector import \
+        cosine_similarity_lit
+    from pydata_vector_search_spark.operators.vector_agg import mean_vector
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cent = mean_vector(emb, ["label"], "embedding")
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (cent.join(n, "label")
+            .select("label", "n",
+                    F.round(cosine_similarity_lit("centroid", qv), 6)
+                     .alias("centroid_sim"))
+            .orderBy("label"))
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized aggregate (lakehouse IVM):
     rollup built at bootstrap, base table mutated by upsert (updates +
@@ -2281,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": q_cross_dedup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "incremental_agg": q_incremental_agg,
+        "label_centroids": q_label_centroids,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2292,7 +2314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
         "range_frame_window": q_range_frame_window,
-        "approx_distinct": q_approx_distinct,
         "stream_static_join": q_stream_static_join,
         "token_counts": q_token_counts,
         "salted_join": q_salted_join,
@@ -2378,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "regexp_extract_agg": q_regexp_extract_agg,
         "corpus_filter": q_corpus_filter,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -2641,6 +2663,29 @@ def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "cross_dedup": _cross_dedup_oracle(),
+        "label_centroids": f"""
+            WITH ex AS (
+                SELECT label, u.pos AS pos, u.v::DOUBLE AS v
+                FROM (SELECT label,
+                             unnest([{{'pos': i, 'v': embedding[i]}}
+                                     for i in range(1, len(embedding)+1)])
+                                 AS u
+                      FROM embeddings)
+            ), per AS (
+                SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos
+            ), cent AS (
+                SELECT label, list(m ORDER BY pos)::DOUBLE[] AS centroid
+                FROM per GROUP BY label
+            ), n AS (
+                SELECT label, count(*)::BIGINT AS n FROM embeddings
+                GROUP BY label
+            )
+            SELECT c.label, n.n,
+                   round(list_cosine_similarity(c.centroid, {_ORACLE_Q}),
+                         6) AS centroid_sim
+            FROM cent c JOIN n USING (label)
+            ORDER BY c.label
+        """,
         "incremental_agg": """
             WITH final AS (
                 SELECT o_orderkey,

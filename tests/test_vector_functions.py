@@ -174,3 +174,19 @@ def test_sentence_transformer_encoder_real_model(spark):
     out = {r.id: r.embedding for r in
            embed_text(df, "text", encoder=enc).collect()}
     assert len(out[1]) == enc.dim and out[1] != out[2]
+
+
+def test_mean_and_sum_vector(spark):
+    """Elementwise grouped mean/sum match numpy; NULL vectors skipped."""
+    import numpy as np
+
+    from pydata_vector_search_spark.operators.vector_agg import (mean_vector,
+                                                                 sum_vector)
+    rows = [("a", [1.0, 2.0, 3.0]), ("a", [3.0, 0.0, -1.0]),
+            ("b", [10.0, 10.0, 10.0]), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    means = {r.g: r.centroid for r in mean_vector(df, ["g"], "v").collect()}
+    assert np.allclose(means["a"], [2.0, 1.0, 1.0])
+    assert np.allclose(means["b"], [10.0, 10.0, 10.0])
+    sums = {r.g: r.vec_sum for r in sum_vector(df, ["g"], "v").collect()}
+    assert np.allclose(sums["a"], [4.0, 2.0, 2.0])
