@@ -357,6 +357,42 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling (the dbt-docs/Deequ profile shape): per
+    column null count, exact distinct count (Expand-compiled multi-
+    distinct — approx HLL mode exists for corpus scale), and native-type
+    min/max rendered as strings. Timestamp column excluded: its string
+    rendering is engine-specific; numeric/string casts agree."""
+    from pydata_vector_search_spark.operators.quality import profile
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_orderpriority", "o_totalprice"])
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase, each step
+    strictly AFTER the previous step's first occurrence): classic
+    product analytics over the events table as three join+min
+    aggregates — no window over the full corpus, each stage joins only
+    survivors of the previous one."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+           .filter(F.col("ts") > F.col("t1"))
+           .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+           .filter(F.col("ts") > F.col("t2"))
+           .groupBy("user_id").agg(F.min("ts").alias("t3")))
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")) \
+                 .select(F.lit(name).alias("stage"), "n_users")
+
+    return (stage(v, "1_view").unionByName(stage(c, "2_click"))
+            .unionByName(stage(p, "3_purchase")).orderBy("stage"))
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector AGGREGATION (a genuine Spark gap — no built-in elementwise
     array aggregate): per-label mean embedding via posexplode → one
@@ -2303,6 +2339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "incremental_agg": q_incremental_agg,
         "label_centroids": q_label_centroids,
+        "table_profile": q_table_profile,
+        "funnel": q_funnel,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
@@ -2314,8 +2352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
         "range_frame_window": q_range_frame_window,
-        "stream_static_join": q_stream_static_join,
-        "token_counts": q_token_counts,
         "salted_join": q_salted_join,
         "bucketed_join": q_bucketed_join,
         "knn_join_ivf": q_knn_join_ivf,
@@ -2400,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_extract_agg": q_regexp_extract_agg,
         "corpus_filter": q_corpus_filter,
         "approx_distinct": q_approx_distinct,
+        "stream_static_join": q_stream_static_join,
+        "token_counts": q_token_counts,
     }
 
 
@@ -2663,6 +2701,69 @@ def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "cross_dedup": _cross_dedup_oracle(),
+        "table_profile": """
+            WITH agg AS (
+                SELECT count(*)::BIGINT AS n_rows,
+                       sum((o_orderkey IS NULL)::INT)::BIGINT AS null_1,
+                       count(DISTINCT o_orderkey)::BIGINT AS nd_1,
+                       min(o_orderkey)::VARCHAR AS min_1,
+                       max(o_orderkey)::VARCHAR AS max_1,
+                       sum((o_custkey IS NULL)::INT)::BIGINT AS null_2,
+                       count(DISTINCT o_custkey)::BIGINT AS nd_2,
+                       min(o_custkey)::VARCHAR AS min_2,
+                       max(o_custkey)::VARCHAR AS max_2,
+                       sum((o_orderstatus IS NULL)::INT)::BIGINT AS null_3,
+                       count(DISTINCT o_orderstatus)::BIGINT AS nd_3,
+                       min(o_orderstatus)::VARCHAR AS min_3,
+                       max(o_orderstatus)::VARCHAR AS max_3,
+                       sum((o_orderpriority IS NULL)::INT)::BIGINT AS null_4,
+                       count(DISTINCT o_orderpriority)::BIGINT AS nd_4,
+                       min(o_orderpriority)::VARCHAR AS min_4,
+                       max(o_orderpriority)::VARCHAR AS max_4,
+                       sum((o_totalprice IS NULL)::INT)::BIGINT AS null_5,
+                       count(DISTINCT o_totalprice)::BIGINT AS nd_5,
+                       min(o_totalprice)::VARCHAR AS min_5,
+                       max(o_totalprice)::VARCHAR AS max_5
+                FROM orders
+            )
+            SELECT c AS "column", n_rows, n_null, n_distinct,
+                   min_value, max_value
+            FROM agg, (
+                SELECT 'o_orderkey' AS c, null_1 AS n_null, nd_1 AS n_distinct,
+                       min_1 AS min_value, max_1 AS max_value FROM agg
+                UNION ALL
+                SELECT 'o_custkey', null_2, nd_2, min_2, max_2 FROM agg
+                UNION ALL
+                SELECT 'o_orderstatus', null_3, nd_3, min_3, max_3 FROM agg
+                UNION ALL
+                SELECT 'o_orderpriority', null_4, nd_4, min_4, max_4 FROM agg
+                UNION ALL
+                SELECT 'o_totalprice', null_5, nd_5, min_5, max_5 FROM agg
+            ) ORDER BY c
+        """,
+        "funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT stage, n_users FROM (
+                SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM v
+                UNION ALL
+                SELECT '2_click', count(*)::BIGINT FROM c
+                UNION ALL
+                SELECT '3_purchase', count(*)::BIGINT FROM p
+            ) ORDER BY stage
+        """,
         "label_centroids": f"""
             WITH ex AS (
                 SELECT label, u.pos AS pos, u.v::DOUBLE AS v

@@ -128,3 +128,38 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     from functools import reduce
     out = reduce(lambda a, b: a.unionByName(b), rows)
     return out.orderBy("rule")
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            exact_distinct: bool = True) -> DataFrame:
+    """One-pass table profile: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) per column, min/max computed on the native type
+    then rendered as strings (casting first would compare "10" < "9").
+
+    ``exact_distinct=True`` uses COUNT(DISTINCT) — Catalyst compiles the
+    multi-column form through an Expand node (input rows × columns), fine
+    for dozens of columns; at corpus scale pass False for
+    approx_count_distinct (HLL++, single pass, no Expand — estimates, so
+    the declared oracle uses the exact form)."""
+    cols = columns or df.columns
+    nd = (F.countDistinct if exact_distinct
+          else lambda c: F.approx_count_distinct(c))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            nd(c).cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    agg = df.agg(*aggs)
+    quads = ", ".join(
+        f"'{c}', `__null_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols)
+    return (agg.selectExpr(
+                f"stack({len(cols)}, {quads}) AS "
+                "(column, n_null, n_distinct, min_value, max_value)",
+                "__n AS n_rows")
+               .select("column", "n_rows", "n_null", "n_distinct",
+                       "min_value", "max_value")
+               .orderBy("column"))

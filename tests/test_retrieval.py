@@ -93,3 +93,19 @@ def test_validate_rules(spark):
         "check:amt_set": (1, 4),
         "references:id": (1, 4),      # id=4 orphan
     }
+
+
+def test_profile(spark):
+    from pydata_vector_search_spark.operators.quality import profile
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "y", None), (2, None, 9.5)],
+        "id int, s string, v double")
+    rep = {r.column: (r.n_rows, r.n_null, r.n_distinct,
+                      r.min_value, r.max_value)
+           for r in profile(df).collect()}
+    assert rep["id"] == (3, 0, 2, "1", "2")
+    assert rep["s"] == (3, 1, 2, "x", "y")
+    assert rep["v"] == (3, 1, 2, "2.0", "9.5")
+    # approx mode keeps the same shape
+    approx = {r.column for r in profile(df, exact_distinct=False).collect()}
+    assert approx == {"id", "s", "v"}
