@@ -357,6 +357,42 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("id_1", "id_2"))
 
 
+def q_purge_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten: ``purge_keys`` physically removes the
+    requested keys from the snapshot AND from every retained commit —
+    unlike delete_where, no tombstone records the prior image and
+    ``read_asof`` of older commits no longer returns them (compliance
+    trumps reproducibility). The query returns BOTH the post-purge
+    snapshot rollup and the as-of-bootstrap rollup; hash equality with
+    the oracle's two purged replays proves erasure reached history, not
+    just the live table."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders").select(*cols)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_purge_"))
+    cat.write("t", o.filter(F.col("o_orderkey") < 2000).coalesce(4),
+              key="o_orderkey")                                # commit 1
+    upsert_table(cat, "t", o.filter((F.col("o_orderkey") < 2000)
+                                    & (F.col("o_orderkey") % 3 == 0))
+                 .withColumn("o_orderstatus", F.lit("U")))     # commit 2
+    cat.purge_keys("t", list(range(0, 2000, 11)))
+
+    def roll(df, label):
+        return (df.groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                       F.round(F.sum("o_totalprice"), 2).alias("total"))
+                  .withColumn("state", F.lit(label)))
+
+    out = roll(cat.read_asof("t", 1), "asof1").unionByName(
+        roll(cat.load("t"), "snapshot"))
+    return (out.select("state", "o_orderstatus", "n", "total")
+               .orderBy("state", "o_orderstatus"))
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data profiling (the dbt-docs/Deequ profile shape): per
     column null count, exact distinct count (Expand-compiled multi-
@@ -2340,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "label_centroids": q_label_centroids,
         "table_profile": q_table_profile,
+        "purge_erasure": q_purge_erasure,
         "funnel": q_funnel,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
@@ -2352,7 +2389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
         "range_frame_window": q_range_frame_window,
-        "salted_join": q_salted_join,
         "bucketed_join": q_bucketed_join,
         "knn_join_ivf": q_knn_join_ivf,
         "ann_ivf_int8": q_ann_ivf_int8,
@@ -2438,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "stream_static_join": q_stream_static_join,
         "token_counts": q_token_counts,
+        "salted_join": q_salted_join,
     }
 
 
@@ -2701,6 +2738,26 @@ def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "cross_dedup": _cross_dedup_oracle(),
+        "purge_erasure": """
+            WITH kept AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders
+                WHERE o_orderkey < 2000 AND o_orderkey % 11 != 0
+            ), states AS (
+                SELECT 'asof1' AS state, o_orderstatus, o_totalprice
+                FROM kept
+                UNION ALL
+                SELECT 'snapshot',
+                       CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                            ELSE o_orderstatus END,
+                       o_totalprice
+                FROM kept
+            )
+            SELECT state, o_orderstatus, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM states GROUP BY state, o_orderstatus
+            ORDER BY state, o_orderstatus
+        """,
         "table_profile": """
             WITH agg AS (
                 SELECT count(*)::BIGINT AS n_rows,

@@ -430,6 +430,88 @@ class Catalog:
                    partition_by=info.partition_by or None,
                    reset_history=False)
 
+    def purge_keys(self, name: str, keys: list, key: str | None = None,
+                   max_keys: int = 1_000_000) -> dict:
+        """Right-to-be-forgotten: PHYSICALLY remove the given record keys
+        from the snapshot, from EVERY retained commit in the change log,
+        and from any registered vector index's data files.
+
+        This is the compliance operation ``delete_where`` is not:
+        delete_where logs tombstones and keeps prior images replayable
+        via ``read_asof`` — exactly what a GDPR erasure request forbids.
+        After a purge, historical reads still work but no longer contain
+        the purged keys (compliance trumps reproducibility — the same
+        trade Delta's VACUUM + DELETE and Hudi's cleaner make), and no
+        tombstone row records the purged key's prior image.
+
+        Cost: snapshot rewrite ∝ table (partition-scoped tables could
+        prune — purge requests are rare enough that the simple full COW
+        is used), plus one filtered rewrite per commit dir that actually
+        contains a purged key (checked with an early-terminating probe),
+        plus a pruned partition rewrite per registered index. ``keys``
+        is a driver-side list by design (erasure requests are bounded);
+        ``max_keys`` guards against abuse of that assumption."""
+        from pyspark.sql import functions as F
+
+        info = self._tables[name]
+        key = key or info.key
+        if key is None:
+            raise ValueError(
+                f"table {name!r} has no record key; purge needs one")
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"{len(keys):,} keys exceeds max_keys={max_keys:,}; "
+                "split the request or raise the limit explicitly")
+        keys = list(keys)
+        hit = F.col(key).isin(keys)
+
+        snap = self.load(name)
+        n_purged = snap.filter(hit).count()
+        kept = snap.filter(~hit).localCheckpoint(eager=True)
+        writer = kept.write.mode("overwrite")
+        if info.partition_by:
+            writer = writer.partitionBy(*info.partition_by)
+        writer.parquet(info.path)
+
+        commits_rewritten = 0
+        root = self._changes_root(name)
+        if os.path.isdir(root):
+            for d in sorted(os.listdir(root)):
+                cdir = os.path.join(root, d)
+                if not (d.startswith("commit=") and os.path.isdir(cdir)):
+                    continue
+                cdf = self.spark.read.parquet(cdir)
+                if key not in cdf.columns:
+                    continue
+                if cdf.filter(hit).limit(1).count() == 0:
+                    continue
+                (cdf.filter(~hit).localCheckpoint(eager=True)
+                    .write.mode("overwrite").parquet(cdir))
+                commits_rewritten += 1
+
+        indexes_patched = []
+        for vcol, entry in info.indexes.items():
+            data_path = os.path.join(entry["path"], "data")
+            if not os.path.isdir(data_path):
+                continue
+            idx = self.spark.read.parquet(data_path)
+            if key not in idx.columns:
+                continue
+            stale = idx.filter(hit)
+            touched = [r[0] for r in
+                       stale.select("__cid").distinct().collect()]
+            if not touched:
+                continue
+            keep_idx = (idx.filter(F.col("__cid").isin(touched))
+                           .filter(~hit).localCheckpoint(eager=True))
+            (keep_idx.write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("__cid").parquet(data_path))
+            indexes_patched.append(vcol)
+
+        return {"purged": n_purged, "commits_rewritten": commits_rewritten,
+                "indexes_patched": indexes_patched}
+
     def drop(self, name: str, delete_files: bool = True) -> None:
         """Table drop (reference S7: shutil.rmtree(TABLE_PATH), c8:10-11)."""
         info = self._tables.pop(name, None)

@@ -414,3 +414,44 @@ def test_expire_commits_guards(spark, cat):
     assert cat.info("ex2").history_start == 1
     with pytest.raises(ValueError, match="cannot expire"):
         cat.expire_commits("ex2", 99)
+
+
+def test_purge_keys_erases_history_and_index(spark, cat, tmp_path):
+    """GDPR purge: keys vanish from the snapshot, from EVERY retained
+    commit (read_asof no longer returns them), and from a registered
+    index's data files; other rows and the commit structure survive."""
+    import numpy as np
+
+    from pydata_vector_search_spark.operators import ann
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+
+    rows = [(i, f"u{i}", [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "k int, v string, emb array<double>")
+    cat.write("p", df, key="k")                                 # commit 1
+    upsert_table(cat, "p", spark.createDataFrame(
+        [(3, "u3b", [3.0, 2.0]), (30, "u30", [30.0, 1.0])],
+        "k int, v string, emb array<double>"))                  # commit 2
+    idx = ann.ivf_build(cat.load("p"), "emb",
+                        str(tmp_path / "pidx"), num_centroids=2, seed=1)
+    cat.register_index("p", "emb", idx.path)
+
+    out = cat.purge_keys("p", [3, 7])
+    assert out["purged"] == 2 and out["indexes_patched"] == ["emb"]
+    assert out["commits_rewritten"] == 2      # both commits held key 3/7
+
+    snap = cat.load("p")
+    assert snap.filter("k in (3, 7)").count() == 0
+    assert snap.count() == 19                 # 21 live - 2 purged
+    # history: as-of commit 1 no longer contains the purged keys
+    asof1 = cat.read_asof("p", 1)
+    assert asof1.filter("k in (3, 7)").count() == 0
+    assert asof1.count() == 18                # 20 bootstrap - 2
+    # incremental feed: no tombstone row leaks the purged keys
+    inc = cat.read_incremental("p", 1, latest_only=False)
+    assert inc.filter("k in (3, 7)").count() == 0
+    # index data physically clean
+    assert spark.read.parquet(idx.path + "/data") \
+        .filter("k in (3, 7)").count() == 0
+
+    with pytest.raises(ValueError, match="max_keys"):
+        cat.purge_keys("p", list(range(10)), max_keys=5)
