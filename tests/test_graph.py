@@ -40,7 +40,8 @@ def test_self_loops_are_inert(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=1)
+            _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=1,
+            local_threshold=0)
 
 
 def test_long_path_converges_in_log_rounds(spark):
@@ -48,7 +49,8 @@ def test_long_path_converges_in_log_rounds(spark):
     # path (diameter 199) must converge well within 12 rounds — plain
     # diameter-bound propagation would need ~199.
     comps = connected_components(
-        _edges(spark, [(i, i + 1) for i in range(200)]), max_iter=12)
+        _edges(spark, [(i, i + 1) for i in range(200)]), max_iter=12,
+        local_threshold=0)
     assert {r["component"] for r in comps.collect()} == {0}
 
 
@@ -91,3 +93,17 @@ def test_cluster_summary_rollup(spark):
     out = cluster_summary(
         _edges(spark, [(1, 2), (2, 3), (10, 11)])).collect()
     assert [tuple(r) for r in out] == [(1, 3, 3), (10, 2, 11)]
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The driver-side union-find fast path must produce exactly the
+    distributed loop's labels (min reachable id per node)."""
+    import random
+    rng = random.Random(11)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    e = _edges(spark, pairs)
+    local = {(r.node, r.component)
+             for r in connected_components(e).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(e, local_threshold=0).collect()}
+    assert local == dist and local
