@@ -111,6 +111,42 @@ def main() -> None:
                                       max_shingle_df=1000),
         src="id_1", dst="id_2").count())
 
+    # round-5 operators at scale
+    from pydata_vector_search_spark.operators.retrieval import bm25_search
+    timed("BM25 top-15 (broadcast terms, int-exact partials)",
+          lambda: len(bm25_search(bd, "text", "doc_id",
+                                  ("vector", "hash", "join", "stream"),
+                                  k=15).collect()))
+    timed("semantic dedup survivors (LSH + cosine + CC)",
+          lambda: dedup.semantic_dedup(be, "embedding", "vec_id", dim=64,
+                                       threshold=0.95,
+                                       num_planes=8).count())
+    half_ref = bd.filter(F.col("doc_id") % 3 == 0)
+    half_cor = bd.filter(F.col("doc_id") % 3 != 0)
+    timed("cross-corpus minhash dedup survivors",
+          lambda: dedup.cross_dedup_minhash(half_cor, half_ref, "text",
+                                            "doc_id").count())
+
+    from pydata_vector_search_spark.operators.incremental_agg import (
+        create_agg, refresh_agg)
+    from pydata_vector_search_spark.operators.upsert import upsert_table
+    cat2 = Catalog(spark, f"{out}/cat2")
+    ev = spark.read.parquet(f"{base}/events.parquet") \
+              .select("event_id", "event_type", "value")
+    bev = None
+    for i in range(n_copies):
+        e = ev.withColumn("event_id", F.col("event_id")
+                          + F.lit(i * 10_000_000).cast("bigint"))
+        bev = e if bev is None else bev.unionByName(e)
+    cat2.write("ev", bev.localCheckpoint(eager=True), key="event_id")
+    create_agg(cat2, "ev", "ev_agg", ["event_type"], {"sv": "value"})
+    upsert_table(cat2, "ev", bev.filter(F.col("event_id") % 97 == 0)
+                 .withColumn("value", F.col("value") + 1.0))
+    timed("IVM refresh (1/97 keys changed)",
+          lambda: refresh_agg(cat2, "ev", "ev_agg"))
+    timed("GDPR purge (1k keys, snapshot+log+index)",
+          lambda: cat2.purge_keys("ev", list(range(0, 97_000, 97))))
+
     shutil.rmtree(out, ignore_errors=True)
 
 
