@@ -2347,13 +2347,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- first 50 entries, in declaration order). Round-5 rotation:
         # --- (a) the 3 queries never driver-verified (decontaminate,
         # --- repetition_stats, token_budget_select — r04 ADVICE),
-        # --- (b) the 3 new round-5 queries (merge_partitioned,
-        # --- stream_upsert, stream_cdc), (c) the 4 r04-window queries
-        # --- whose modules round 5 changed (jaccard_prefix broadcast
-        # --- gate, merge_clauses partition-scoped merge_into,
-        # --- time_travel_read read_asof guard, ann_after_upsert
-        # --- ivf_patch guard), and (d) the 40 queries last verified in
-        # --- the r03 window, re-verified here under current code.
+        # --- (b) the 15 NEW round-5 queries (merge_partitioned,
+        # --- stream_upsert, stream_cdc, semantic_dedup, redact_pii,
+        # --- bm25_search, hybrid_rrf, constraint_checks, cross_dedup,
+        # --- jsonl_roundtrip, incremental_agg, label_centroids,
+        # --- table_profile, purge_erasure, funnel), (c) the 4
+        # --- r04-window queries whose modules round 5 changed
+        # --- (jaccard_prefix broadcast gate, merge_clauses
+        # --- partition-scoped merge_into, time_travel_read read_asof
+        # --- guard, ann_after_upsert ivf_patch guard), and (d) 28
+        # --- queries last verified in the r03 window, re-verified here
+        # --- under current code (incl. every dedup/CC/cosine query the
+        # --- r05 _minhash_bands/auto-blocking/union-find changes touch).
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "token_budget_select": q_token_budget_select,
@@ -2406,13 +2411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hash": q_embed_hash,
         # --- beyond the window: the r04 driver window (50/50 green,
         # --- CORRECTNESS_r04.json) minus the 4 re-verified members
-        # --- above, plus 4 queries whose plans are equality-pinned to
+        # --- above, plus the 12 stable r03-green queries displaced by
+        # --- the new round-5 queries (trivial Catalyst plans on
+        # --- untouched modules) and 4 queries plan-equality-pinned to
         # --- in-window ones by tests (vector_knn_tvf / vector_knn_dot
-        # --- share vector_knn's plan builder — test_sql_surface,
-        # --- test_vector_functions; hybrid_postfilter composes
-        # --- hybrid_prefilter's vector_search; scalar_subquery is a
-        # --- trivial untouched r03-green plan). All 100 pass
-        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        # --- share vector_knn's plan builder; hybrid_postfilter
+        # --- composes hybrid_prefilter's vector_search;
+        # --- scalar_subquery). All 112 pass tools/oracle_check.py at
+        # --- head (ORACLE_LOCAL.json).
         "upsert_merge": q_upsert_merge,
         "vector_knn_sql": q_vector_knn_sql,
         "chunk_summary": q_chunk_summary,
