@@ -454,6 +454,11 @@ class Catalog:
         from pyspark.sql import functions as F
 
         info = self._tables[name]
+        if info.num_buckets or info.format != "parquet" or info.has_schema:
+            raise ValueError(
+                f"table {name!r} is a bucketed/external registration; "
+                "purge rewrites raw parquet and would break its metadata "
+                "— rebuild it as a managed table first")
         key = key or info.key
         if key is None:
             raise ValueError(
@@ -509,8 +514,26 @@ class Catalog:
                      .partitionBy("__cid").parquet(data_path))
             indexes_patched.append(vcol)
 
+        # Materialized aggregates still CONTAIN the purged rows'
+        # contributions, and a purge is not a commit — incremental
+        # refresh would never retract them. Rebuild each registered
+        # rollup from the purged snapshot (rollups are small by
+        # definition; correctness beats the one full-aggregate pass).
+        aggs_rebuilt = []
+        for agg_name, spec in info.aggregates.items():
+            from pydata_vector_search_spark.operators.incremental_agg \
+                import _aggregate
+            rebuilt = _aggregate(self.load(name), spec["group_by"],
+                                 spec["sums"], spec["count_col"])
+            self.write(agg_name, rebuilt)
+            spec["commit"] = info.last_commit
+            aggs_rebuilt.append(agg_name)
+        if aggs_rebuilt:
+            self._persist()
+
         return {"purged": n_purged, "commits_rewritten": commits_rewritten,
-                "indexes_patched": indexes_patched}
+                "indexes_patched": indexes_patched,
+                "aggregates_rebuilt": aggs_rebuilt}
 
     def drop(self, name: str, delete_files: bool = True) -> None:
         """Table drop (reference S7: shutil.rmtree(TABLE_PATH), c8:10-11)."""

@@ -70,3 +70,20 @@ def test_create_agg_requires_key(spark, tmp_path):
     cat.write("t", _df(spark, [(1, "a", 1.0)]))       # keyless
     with pytest.raises(ValueError, match="record key"):
         create_agg(cat, "t", "agg", ["g"], {"sx": "x"})
+
+
+def test_purge_rebuilds_registered_aggregates(spark, tmp_path):
+    """GDPR purge must not leave materialized rollups carrying the purged
+    rows' contributions (purge is not a commit, so IVM refresh would
+    never retract them) — they are rebuilt from the purged snapshot."""
+    cat = Catalog(spark, str(tmp_path / "pivm"))
+    cat.write("t", _df(spark, [(1, "a", 1.0), (2, "a", 2.0),
+                               (3, "b", 3.0)]), key="k")
+    create_agg(cat, "t", "agg", ["g"], {"sx": "x"})
+    out = cat.purge_keys("t", [2])
+    assert out["aggregates_rebuilt"] == ["agg"]
+    assert _snap(cat, "agg") == [("a", 1, 1.0), ("b", 1, 3.0)]
+    # and refresh still works afterwards
+    upsert_table(cat, "t", _df(spark, [(9, "b", 9.0)]))
+    assert refresh_agg(cat, "t", "agg")["refreshed"] is True
+    assert _snap(cat, "agg") == [("a", 1, 1.0), ("b", 2, 12.0)]
