@@ -28,7 +28,7 @@ def _assemble(per_pos: DataFrame, group_by: list[str], measure: str,
     arr = F.transform(
         F.array_sort(F.collect_list(F.struct(F.col("__pos"),
                                              F.col(measure)))),
-        lambda s: s["__m"])
+        lambda s: s[measure])
     return per_pos.groupBy(*group_by).agg(arr.alias(out_col))
 
 
