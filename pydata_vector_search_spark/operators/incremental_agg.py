@@ -93,20 +93,37 @@ def refresh_agg(catalog, source: str, name: str) -> dict:
 
     old_agg = _aggregate(old_img, gb, sums, cnt)
     new_agg = _aggregate(new_img, gb, sums, cnt)
-    o = old_agg.select(*gb, *[F.col(c).alias(f"__o_{c}")
-                              for c in (cnt, *sums)])
-    nw = new_agg.select(*gb, *[F.col(c).alias(f"__n_{c}")
-                               for c in (cnt, *sums)])
-    delta = (o.join(nw, gb, "full_outer")
-              .select(*gb, *[
-                  (F.coalesce(F.col(f"__n_{c}"), F.lit(0))
-                   - F.coalesce(F.col(f"__o_{c}"), F.lit(0)))
-                  .alias(f"__d_{c}") for c in (cnt, *sums)]))
+
+    # NULL-SAFE outer joins on the group keys: a NULL group value is a
+    # legitimate group (groupBy treats it as one), and plain equality
+    # would split it into disjoint old/new/current rows.
+    def nsjoin(left, right, how):
+        cond = None
+        for g in gb:
+            c = left[f"__l_{g}"].eqNullSafe(right[f"__r_{g}"])
+            cond = c if cond is None else cond & c
+        j = left.join(right, cond, how)
+        merged = [F.coalesce(left[f"__l_{g}"], right[f"__r_{g}"]).alias(g)
+                  for g in gb]
+        return j, merged
+
+    o = old_agg.select(*[F.col(g).alias(f"__l_{g}") for g in gb],
+                       *[F.col(c).alias(f"__o_{c}") for c in (cnt, *sums)])
+    nw = new_agg.select(*[F.col(g).alias(f"__r_{g}") for g in gb],
+                        *[F.col(c).alias(f"__n_{c}") for c in (cnt, *sums)])
+    j1, merged1 = nsjoin(o, nw, "full_outer")
+    delta = j1.select(*merged1, *[
+        (F.coalesce(F.col(f"__n_{c}"), F.lit(0))
+         - F.coalesce(F.col(f"__o_{c}"), F.lit(0)))
+        .alias(f"__d_{c}") for c in (cnt, *sums)])
 
     cur = catalog.load(name)
-    c = cur.select(*gb, *[F.col(x).alias(f"__c_{x}") for x in (cnt, *sums)])
-    applied = (c.join(delta, gb, "full_outer")
-                .select(*gb, *[
+    c = cur.select(*[F.col(g).alias(f"__l_{g}") for g in gb],
+                   *[F.col(x).alias(f"__c_{x}") for x in (cnt, *sums)])
+    d = delta.select(*[F.col(g).alias(f"__r_{g}") for g in gb],
+                     *[F.col(f"__d_{x}") for x in (cnt, *sums)])
+    j2, merged2 = nsjoin(c, d, "full_outer")
+    applied = (j2.select(*merged2, *[
                     (F.coalesce(F.col(f"__c_{x}"), F.lit(0))
                      + F.coalesce(F.col(f"__d_{x}"), F.lit(0))).alias(x)
                     for x in (cnt, *sums)])

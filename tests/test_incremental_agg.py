@@ -87,3 +87,17 @@ def test_purge_rebuilds_registered_aggregates(spark, tmp_path):
     upsert_table(cat, "t", _df(spark, [(9, "b", 9.0)]))
     assert refresh_agg(cat, "t", "agg")["refreshed"] is True
     assert _snap(cat, "agg") == [("a", 1, 1.0), ("b", 2, 12.0)]
+
+
+def test_refresh_handles_null_group_keys(spark, tmp_path):
+    """A NULL group value is one group, not three: refresh must merge the
+    old/new/current contributions null-safely."""
+    cat = Catalog(spark, str(tmp_path / "ivmn"))
+    cat.write("t", _df(spark, [(1, None, 1.0), (2, None, 2.0),
+                               (3, "b", 3.0)]), key="k")
+    create_agg(cat, "t", "agg", ["g"], {"sx": "x"})
+    upsert_table(cat, "t", _df(spark, [(2, None, 20.0), (4, None, 4.0)]))
+    refresh_agg(cat, "t", "agg")
+    got = sorted(((r.g or "<null>"), r.n_rows, round(r.sx, 6))
+                 for r in cat.load("agg").collect())
+    assert got == [("<null>", 3, 25.0), ("b", 1, 3.0)]
