@@ -190,3 +190,50 @@ def test_random_mutation_history_model_check(spark, tmp_path):
         else:
             replayed[r.k] = r.v
     assert replayed == state
+
+
+def test_ivm_refresh_model_check(spark, tmp_path):
+    """Model check for incremental aggregate maintenance: a random
+    sequence of upserts (value changes, group moves, inserts) and
+    predicate deletes, refreshing after EACH commit — the materialized
+    rollup must equal the batch groupBy of the snapshot every time."""
+    import random
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.incremental_agg import (
+        create_agg, refresh_agg)
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    rng = random.Random(5)
+    cat = Catalog(spark, str(tmp_path / "ivm_model"))
+    groups = ["a", "b", "c", None]
+
+    def rows(ks):
+        return [(k, rng.choice(groups), round(rng.uniform(-5, 5), 2))
+                for k in ks]
+
+    df = spark.createDataFrame(rows(range(40)), "k int, g string, x double")
+    cat.write("t", df, key="k")
+    create_agg(cat, "t", "agg", ["g"], {"sx": "x"})
+
+    def check():
+        got = sorted(((r.g or "~"), r.n_rows, round(r.sx, 6))
+                     for r in cat.load("agg").collect())
+        want = sorted(((r.g or "~"), r.n, round(r.sx, 6)) for r in
+                      cat.load("t").groupBy("g")
+                      .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                           F.coalesce(F.sum("x"), F.lit(0.0)).alias("sx"))
+                      .collect())
+        assert got == want
+
+    for step in range(5):
+        if step % 2 == 0:
+            ks = rng.sample(range(60), rng.randrange(3, 10))
+            upsert_table(cat, "t", spark.createDataFrame(
+                rows(ks), "k int, g string, x double"))
+        else:
+            m = rng.randrange(3, 7)
+            delete_where(cat, "t", f"k % {m} = 1")
+        refresh_agg(cat, "t", "agg")
+        check()
