@@ -335,6 +335,18 @@ class Engine:
         df = self.table(table) if isinstance(table, str) else table
         return validate(df, rules)
 
+    def profile(self, table: str | DataFrame,
+                columns: list | None = None, **kw) -> DataFrame:
+        """One-pass per-column profile (nulls, distinct, min/max)."""
+        from pydata_vector_search_spark.operators.quality import profile
+        df = self.table(table) if isinstance(table, str) else table
+        return profile(df, columns, **kw)
+
+    def purge_keys(self, table: str, keys: list, **kw) -> dict:
+        """GDPR physical erasure: keys removed from snapshot, commit
+        history, index data files; registered rollups rebuilt."""
+        return self.catalog.purge_keys(table, keys, **kw)
+
     def create_agg(self, source: str, name: str, group_by, sums,
                    count_col: str = "n_rows") -> None:
         """Materialize an incrementally-maintainable rollup (SUM/COUNT)
