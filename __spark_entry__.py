@@ -484,6 +484,35 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def q_csv_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External CSV table (S1'): supplier written as headered CSV,
+    registered via ``register_path(format='csv', schema=...)`` — the
+    explicit schema skips the inference pass — then landed into a
+    MANAGED parquet table (the documented scale path: csv re-parses
+    text per query and can't push predicates) and aggregated. Hash
+    equality against the parquet-native oracle proves the CSV
+    round-trip is lossless including doubles."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+
+    sup = _t(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="pvss_csv_")
+    csv_path = os.path.join(root, "supplier_csv")
+    sup.coalesce(2).write.option("header", "true").csv(csv_path)
+    cat = Catalog(spark, root)
+    cat.register_path(
+        "sup_csv", csv_path, format="csv",
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint, "
+               "s_acctbal double", header="true")
+    cat.write("sup_managed", cat.load("sup_csv"))     # land into parquet
+    return (cat.load("sup_managed")
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("acctbal"))
+            .orderBy("s_nationkey"))
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange (the raw-crawl format of LLM pipelines):
     documents round-trip through the JSONL sink/source with PERMISSIVE
@@ -2378,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_checks": q_constraint_checks,
         "cross_dedup": q_cross_dedup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_external": q_csv_external,
         "incremental_agg": q_incremental_agg,
         "label_centroids": q_label_centroids,
         "table_profile": q_table_profile,
@@ -2388,7 +2418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "stateful_totals": q_stateful_totals,
-        "variant_json": q_variant_json,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
         "multimodal_frames": q_multimodal_frames,
@@ -2481,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": q_stream_static_join,
         "token_counts": q_token_counts,
         "salted_join": q_salted_join,
+        "variant_json": q_variant_json,
     }
 
 
@@ -2864,6 +2894,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS o_orderstatus, count(*)::BIGINT AS n_rows,
                    round(sum(x), 2) AS total
             FROM final GROUP BY g ORDER BY g
+        """,
+        "csv_external": """
+            SELECT s_nationkey, count(*)::BIGINT AS n,
+                   round(sum(s_acctbal), 2) AS acctbal
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
         """,
         "jsonl_roundtrip": """
             SELECT lang, count(*)::BIGINT AS n,
