@@ -80,6 +80,29 @@ def main():
               .option("checkpointLocation", os.path.join(warm_dir, "ckpt"))
               .trigger(availableNow=True).start())
         sq.awaitTermination(120)
+        # applyInPandasWithState init (Arrow state serde + python worker
+        # handshake) — otherwise the first stateful query eats ~3s
+        from pyspark.sql.streaming.state import (GroupState,
+                                                 GroupStateTimeout)
+
+        def _warm_state(key, pdfs, state: GroupState):
+            import pandas as pd
+            n = sum(len(p) for p in pdfs)
+            state.update((n,))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        sq2 = (spark.readStream.schema("id long, ts timestamp").parquet(src)
+               .withColumn("g", F.pmod(F.col("id"), F.lit(2)))
+               .groupBy("g")
+               .applyInPandasWithState(
+                   _warm_state, "k long, n long", "n long",
+                   "update", GroupStateTimeout.NoTimeout)
+               .writeStream.format("memory")
+               .queryName("bench_warm_state")
+               .outputMode("update")
+               .option("checkpointLocation", os.path.join(warm_dir, "ckpt2"))
+               .trigger(availableNow=True).start())
+        sq2.awaitTermination(120)
     except Exception as e:                       # warmup must never fail the bench
         print(f"# warmup skipped: {e}", file=sys.stderr)
     finally:

@@ -322,6 +322,7 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
     5M pairs ≈ 80 MB at 16 B/row); above it the verify runs as a
     shuffle join — graceful degradation. Explicit True/False skips the
     estimate job entirely."""
+    _gate_input = df
     df = _fan_out(df, id_col)
     # hash shingles to longs ONCE, row-side: every downstream consumer
     # (df-count join, self-join keys, verify intersect) works on 8-byte
@@ -363,9 +364,20 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                         F.col("b.__id").alias("id_2"))
                 .distinct())
     if broadcast_candidates is None:
-        # Upper-bound gate: Σ_s C(df(s), 2) over the (capped) shingle
-        # document frequencies counts every same-shingle (id_a < id_b)
-        # tuple — a superset of the prefix-filtered candidates, from one
+        # Two-tier gate. Tier 1: C(n_docs, 2) bounds candidates for ANY
+        # data — a limit-bounded doc count over the PRE-fan-out input
+        # (early-terminating scan, no shuffle) clears small corpora
+        # without touching the shingle pipeline.
+        import math
+        safe_n = int((1 + math.isqrt(1 + 8 * max_broadcast_candidates))
+                     // 2)
+        n_docs = _gate_input.select(F.lit(1)).limit(safe_n + 1).count()
+        if n_docs <= safe_n:
+            broadcast_candidates = True
+    if broadcast_candidates is None:
+        # Tier 2: Σ_s C(df(s), 2) over the (capped) shingle document
+        # frequencies counts every same-shingle (id_a < id_b) tuple — a
+        # superset of the prefix-filtered candidates, from one
         # explode+aggregate (no window, no self-join; the verify plan
         # below stays byte-identical to the forced-broadcast one).
         # Overestimating on duplicate-heavy corpora can only demote to
