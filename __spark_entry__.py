@@ -119,6 +119,27 @@ def q_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "label", "score"))
 
 
+def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN tier (Jégou et al. TPAMI'11): vectors
+    PQ-encoded to m=8 one-byte codes (×64 less probe I/O than raw
+    float64), query scored via the ADC lookup table, shortlist exact
+    re-ranked. Declared at shortlist=corpus so the ADC stage is pure
+    routing and the answer EQUALS exact KNN — codes, LUT, shortlist and
+    re-rank all sit inside the hash check; recall at small shortlists
+    is pinned in tests/test_pq.py."""
+    from pydata_vector_search_spark.operators import pq
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cb = pq.pq_train(emb, "embedding", m=8, k_codes=32, seed=42,
+                     metric="cosine")
+    coded = pq.pq_encode(emb, "embedding", cb)
+    hits = pq.pq_search(coded, "embedding", "pq_code", cb, qv, k=10,
+                        shortlist=emb.count(), tiebreaker="vec_id",
+                        round_to=2)
+    return (hits.withColumn("score", F.round(1 - F.col("_distance"), 2))
+                .select("vec_id", "label", "score"))
+
+
 def q_vector_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4 generalization SURVEY §2.9 names outright ("top matches per
     company"): top-3 most-similar vectors PER LABEL — one scan with the
@@ -2408,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": q_cross_dedup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_external": q_csv_external,
+        "pq_knn": q_pq_knn,
         "incremental_agg": q_incremental_agg,
         "label_centroids": q_label_centroids,
         "table_profile": q_table_profile,
@@ -2416,7 +2438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
         "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
         "stateful_totals": q_stateful_totals,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
@@ -2511,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "salted_join": q_salted_join,
         "variant_json": q_variant_json,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2894,6 +2916,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS o_orderstatus, count(*)::BIGINT AS n_rows,
                    round(sum(x), 2) AS total
             FROM final GROUP BY g ORDER BY g
+        """,
+        "pq_knn": f"""
+            SELECT e.vec_id, e.label,
+                   round(1 - round(1 - list_cosine_similarity(
+                             e.embedding::DOUBLE[], {_ORACLE_Q}), 2),
+                         2) AS score
+            FROM embeddings e
+            ORDER BY round(1 - list_cosine_similarity(
+                         e.embedding::DOUBLE[], {_ORACLE_Q}), 2) ASC,
+                     e.vec_id ASC
+            LIMIT 10
         """,
         "csv_external": """
             SELECT s_nationkey, count(*)::BIGINT AS n,

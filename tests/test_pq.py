@@ -1,0 +1,80 @@
+"""Product quantization (operators/pq): encode/ADC/search properties."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.catalog import read_table
+from pydata_vector_search_spark.operators import knn, pq
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_pq_codes_shape_and_determinism(emb):
+    cb = pq.pq_train(emb, "embedding", m=8, k_codes=16, seed=3)
+    assert cb.books.shape == (8, 16, 8)          # 64-dim fixtures
+    enc1 = {r.vec_id: list(r.pq_code) for r in
+            pq.pq_encode(emb, "embedding", cb).collect()}
+    enc2 = {r.vec_id: list(r.pq_code) for r in
+            pq.pq_encode(emb, "embedding", cb).collect()}
+    assert enc1 == enc2
+    assert all(len(c) == 8 for c in enc1.values())
+
+
+def test_pq_full_shortlist_equals_exact(emb, spark):
+    """shortlist >= corpus makes the ADC stage pure routing: the exact
+    re-rank must reproduce exact KNN bit for bit."""
+    n = emb.count()
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    cb = pq.pq_train(emb, "embedding", m=8, k_codes=32, seed=3,
+                     metric="cosine")
+    coded = pq.pq_encode(emb, "embedding", cb)
+    got = [(r.vec_id, r._distance) for r in pq.pq_search(
+        coded, "embedding", "pq_code", cb, qv, k=10, shortlist=n,
+        tiebreaker="vec_id", round_to=6).collect()]
+    want = [(r.vec_id, r._distance) for r in knn.vector_search(
+        emb, "embedding", qv, k=10, metric="cosine",
+        tiebreaker="vec_id", round_to=6).collect()]
+    assert got == want
+
+
+def test_pq_small_shortlist_recall(emb):
+    """A 64-row shortlist over the 500-row fixture corpus must keep high
+    top-10 recall — the ADC ordering is an approximation, not noise."""
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    cb = pq.pq_train(emb, "embedding", m=8, k_codes=64, seed=3,
+                     metric="cosine")
+    coded = pq.pq_encode(emb, "embedding", cb)
+    got = {r.vec_id for r in pq.pq_search(
+        coded, "embedding", "pq_code", cb, qv, k=10, shortlist=64,
+        tiebreaker="vec_id").collect()}
+    want = {r.vec_id for r in knn.vector_search(
+        emb, "embedding", qv, k=10, metric="cosine",
+        tiebreaker="vec_id").collect()}
+    assert len(got & want) >= 7                  # >=70% top-10 recall
+
+
+def test_pq_adc_close_to_true_distance(emb):
+    """ADC approximates the true squared L2 in the normalized space:
+    mean absolute error well under the distance scale."""
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    cb = pq.pq_train(emb, "embedding", m=16, k_codes=64, seed=3,
+                     metric="cosine")
+    coded = pq.pq_encode(emb, "embedding", cb)
+    rows = (coded.withColumn("adc", pq.pq_adc_distance("pq_code", cb, qv))
+                 .select("embedding", "adc").limit(200).collect())
+    q = np.array(qv); q = q / np.linalg.norm(q)
+    errs = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=float)
+        v = v / np.linalg.norm(v)
+        errs.append(abs(((v - q) ** 2).sum() - r.adc))
+    assert np.mean(errs) < 0.25                  # scale: d in [0, 4]
+
+
+def test_pq_dim_guard(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq.pq_train(emb, "embedding", m=7)
