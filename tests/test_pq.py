@@ -78,3 +78,41 @@ def test_pq_adc_close_to_true_distance(emb):
 def test_pq_dim_guard(emb):
     with pytest.raises(ValueError, match="divisible"):
         pq.pq_train(emb, "embedding", m=7)
+
+
+def test_ivfpq_composition(emb, spark, tmp_path):
+    """IVF×PQ (the FAISS IVFPQ layout) falls out of composing the two
+    tiers: PQ-encode the IVF-partitioned data, probe a centroid subset,
+    ADC-score only the probed partitions' CODES, exact re-rank the
+    shortlist. Full probe + full shortlist must equal exact KNN; a
+    pruned probe keeps high recall while scanning a fraction of codes."""
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.operators import ann
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    cb = pq.pq_train(emb, "embedding", m=8, k_codes=32, seed=3,
+                     metric="cosine")
+    idx = ann.ivf_build(pq.pq_encode(emb, "embedding", cb), "embedding",
+                        str(tmp_path / "ivfpq"), num_centroids=8,
+                        seed=42, quantize=False)
+    data = spark.read.parquet(idx.data_path)
+
+    def search(nprobe, shortlist, k=10):
+        import numpy as np
+        C = idx.centroids / np.linalg.norm(idx.centroids, axis=1,
+                                           keepdims=True)
+        q = np.array(qv); q = q / np.linalg.norm(q)
+        probes = list(np.argsort(-(C @ q))[:nprobe])
+        pruned = data.filter(F.col("__cid").isin([int(p) for p in probes]))
+        return [r.vec_id for r in pq.pq_search(
+            pruned, "embedding", "pq_code", cb, qv, k=k,
+            shortlist=shortlist, tiebreaker="vec_id",
+            round_to=6).collect()]
+
+    exact = [r.vec_id for r in knn.vector_search(
+        emb, "embedding", qv, k=10, metric="cosine",
+        tiebreaker="vec_id", round_to=6).collect()]
+    assert search(nprobe=8, shortlist=emb.count()) == exact
+    pruned_hits = search(nprobe=4, shortlist=128)
+    assert len(set(pruned_hits) & set(exact)) >= 7
