@@ -309,6 +309,25 @@ class Engine:
                         b_order=[F.col("_distance").asc(),
                                  F.col(id_col).asc()])
 
+    def pq_index(self, table: str | DataFrame, vector_col: str,
+                 m: int = 8, k_codes: int = 256, seed: int = 42,
+                 metric: str = "cosine"):
+        """Train PQ codebooks and return (encoded_df, codebooks) — feed
+        the pair to ``pq_search``. See operators/pq."""
+        from pydata_vector_search_spark.operators import pq
+        df = self.table(table) if isinstance(table, str) else table
+        cb = pq.pq_train(df, vector_col, m=m, k_codes=k_codes, seed=seed,
+                         metric=metric)
+        return pq.pq_encode(df, vector_col, cb), cb
+
+    def pq_search(self, coded: DataFrame, cb, vector_col: str,
+                  query_vec, k: int = 10, shortlist: int = 256,
+                  **kw) -> DataFrame:
+        """ADC shortlist + exact re-rank over a PQ-encoded frame."""
+        from pydata_vector_search_spark.operators import pq
+        return pq.pq_search(coded, vector_col, "pq_code", cb, query_vec,
+                            k=k, shortlist=shortlist, **kw)
+
     def semantic_dedup(self, table: str | DataFrame, vector_col: str,
                        id_col: str, dim: int, **kw) -> DataFrame:
         """SemDeDup: drop embedding-level near-duplicates, keep min-id

@@ -172,3 +172,22 @@ def test_engine_retrieval_and_gates(spark, tmp_path):
     rep = {r.rule: r.violations for r in eng.validate("docs", [
         Q.not_null("text"), Q.unique("doc_id")]).collect()}
     assert rep == {"not_null:text": 0, "unique:doc_id": 0}
+
+
+def test_engine_pq_facade(spark, tmp_path, sf_dir):
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.engine import Engine
+    from pydata_vector_search_spark.operators import knn
+
+    eng = Engine(spark, str(tmp_path / "pqf"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    eng.ingest(emb, "emb", key="vec_id")
+    coded, cb = eng.pq_index("emb", "embedding", m=8, k_codes=32)
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    got = [r.vec_id for r in eng.pq_search(
+        coded, cb, "embedding", qv, k=5, shortlist=emb.count(),
+        tiebreaker="vec_id", round_to=6).collect()]
+    want = [r.vec_id for r in knn.vector_search(
+        emb, "embedding", qv, k=5, metric="cosine",
+        tiebreaker="vec_id", round_to=6).collect()]
+    assert got == want
