@@ -127,3 +127,51 @@ def rrf_fuse(a: DataFrame, b: DataFrame, id_col: str,
                      F.col("__rb").alias("rank_vec"))
              .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
              .limit(k))
+
+
+def mmr_rerank(hits: DataFrame, id_col: str, vector_col: str,
+               query_vec, k: int = 10, lamb: float = 0.5) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick the candidate maximizing
+    ``λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`` — the standard
+    diversification pass over a retrieval shortlist (near-duplicate hits
+    stop crowding out distinct results; λ=1 degenerates to plain
+    similarity order).
+
+    Deliberately DRIVER-SIDE: the input contract is an already
+    k-truncated candidate list (the top-N of vector_search / pq_search /
+    rrf_fuse — tens of rows), and the greedy recurrence is inherently
+    sequential; a distributed spelling would serialize through N tiny
+    jobs instead of N² trivial float ops. Ties break on ascending id.
+    Returns (id, mmr_rank, mmr_score) for the selected k."""
+    import numpy as np
+
+    rows = hits.select(id_col, vector_col).collect()
+    if not rows:
+        return hits.sparkSession.createDataFrame(
+            [], f"{id_col} long, mmr_rank long, mmr_score double")
+    ids = [r[0] for r in rows]
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    rel = V @ q
+    sim = V @ V.T
+
+    selected: list[int] = []
+    out = []
+    cand = list(range(len(ids)))
+    # deterministic: sort candidate scan order by (relevance desc, id asc)
+    cand.sort(key=lambda i: (-rel[i], ids[i]))
+    while cand and len(selected) < k:
+        best, best_score = None, None
+        for i in cand:
+            red = max((sim[i][j] for j in selected), default=0.0)
+            s = lamb * rel[i] - (1 - lamb) * red
+            if best is None or s > best_score + 1e-12:
+                best, best_score = i, s
+        selected.append(best)
+        cand.remove(best)
+        out.append((ids[best], len(selected), float(best_score)))
+    return hits.sparkSession.createDataFrame(
+        out, f"{id_col} long, mmr_rank long, mmr_score double")

@@ -109,3 +109,30 @@ def test_profile(spark):
     # approx mode keeps the same shape
     approx = {r.column for r in profile(df, exact_distinct=False).collect()}
     assert approx == {"id", "s", "v"}
+
+
+def test_mmr_demotes_near_duplicates(spark):
+    from pydata_vector_search_spark.operators.retrieval import mmr_rerank
+    # query NOT colinear with the duplicate cluster: with q == v1,
+    # redundancy to {v1} equals relevance and MMR stays monotone in
+    # relevance for any lambda — no diversification to observe
+    q = [0.9, 0.45]
+    hits = spark.createDataFrame(
+        [(1, [1.0, 0.0]),        # most relevant direction
+         (2, [0.999, 0.01]),     # near-dup of 1
+         (3, [0.45, 0.9]),       # distinct direction, decent relevance
+         (4, [0.995, 0.02])],    # another near-dup of 1
+        "doc_id long, v array<double>")
+    out = [r.doc_id for r in mmr_rerank(
+        hits, "doc_id", "v", q, k=3, lamb=0.5)
+        .orderBy("mmr_rank").collect()]
+    assert out[0] == 4                    # relevance first (tilted to q)
+    assert out[1] == 3                    # diversity beats the near-dups
+    # lambda=1 degenerates to plain similarity order
+    plain = [r.doc_id for r in mmr_rerank(
+        hits, "doc_id", "v", q, k=3, lamb=1.0)
+        .orderBy("mmr_rank").collect()]
+    assert plain == [4, 2, 1]
+    # empty input stays empty with a stable schema
+    assert mmr_rerank(hits.filter("doc_id < 0"), "doc_id", "v",
+                      [1.0, 0.0]).count() == 0
