@@ -159,10 +159,14 @@ def main():
             "(r1-r4 used declaration order, which rotates with the driver "
             "correctness window — the r04 upsert_merge 3.8x / chunk_summary "
             "2.2x 'regressions' were cold-position artifacts; both measure "
-            "at r03 levels warm). First-in-sequence numbers still absorb "
-            "residual one-time costs; slowest_rerun_warm gives steady "
-            "state. Host timing variance observed this round: +/-15% "
-            "run-to-run on identical code."),
+            "at r03 levels warm). Host timing variance observed this "
+            "round: +/-15-25% run-to-run on identical code (131-167s "
+            "totals). slowest_rerun_warm approximates steady state but "
+            "runs at session END under 110+ queries of JVM residue and "
+            "can still read high; ISOLATED fresh-session warm numbers "
+            "for the heavy queries are recorded in CHANGES_r05.md "
+            "(e.g. jaccard_prefix 3.7-4.6s, semantic_dedup 2.6s, "
+            "bm25_search 2.1s)."),
     }
     # Full per-query detail always lands in a repo file the judge can read.
     here = os.path.dirname(os.path.abspath(__file__))
