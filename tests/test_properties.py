@@ -237,3 +237,50 @@ def test_ivm_refresh_model_check(spark, tmp_path):
             delete_where(cat, "t", f"k % {m} = 1")
         refresh_agg(cat, "t", "agg")
         check()
+
+
+def test_purge_model_check(spark, tmp_path):
+    """Purge interleaved with a random mutation history: after each purge,
+    the purged keys appear in NO snapshot, NO read_asof state, and NO
+    incremental batch, while every surviving key's state still matches a
+    pure-Python model of the same history."""
+    import random
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    rng = random.Random(99)
+    cat = Catalog(spark, str(tmp_path / "purge_model"))
+    boot = [(i, f"v{i}") for i in range(30)]
+    cat.write("t", spark.createDataFrame(boot, "k int, v string"), key="k")
+    model = dict(boot)
+    purged: set = set()
+
+    for step in range(4):
+        roll = rng.random()
+        if roll < 0.4:
+            ks = rng.sample(range(40), 6)
+            rows = [(k, f"s{step}_{k}") for k in ks]
+            upsert_table(cat, "t", spark.createDataFrame(
+                rows, "k int, v string"))
+            model.update(rows)
+        elif roll < 0.7:
+            m = rng.randrange(4, 8)
+            delete_where(cat, "t", f"k % {m} = 2")
+            model = {k: v for k, v in model.items() if k % m != 2}
+        else:
+            doomed = rng.sample(sorted(model), 3)
+            cat.purge_keys("t", doomed)
+            purged |= set(doomed)
+            model = {k: v for k, v in model.items() if k not in doomed}
+
+        snap = {(r.k, r.v) for r in cat.load("t").collect()}
+        assert snap == set(model.items())
+        for c in range(1, cat.current_commit("t") + 1):
+            hist_keys = {r.k for r in cat.read_asof("t", c).collect()}
+            assert not (hist_keys & purged)
+        inc_keys = {r.k for r in
+                    cat.read_incremental("t", 1, latest_only=False)
+                       .collect()}
+        assert not (inc_keys & purged)
