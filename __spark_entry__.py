@@ -2213,6 +2213,33 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("o_orderstatus"))
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A+ scale path for quantiles: ``approx_percentile`` (Greenwald-
+    Khanna style sketch — fixed-size mergeable partials, no sort of the
+    whole column) beside the exact percentile. Sketch internals differ
+    across engines, so the declared result carries the EXACT p50/p95
+    (rounded) plus booleans that Spark's sketch landed within 2% of
+    them — the oracle asserts the same rows with the flags literally
+    true. At 100 TB exact percentiles are a global sort; the sketch is
+    one map-side-combined aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95), 5000)")
+    tol = 0.02
+    return (li.groupBy("l_returnflag")
+              .agg(exact.alias("__e"), approx.alias("__a"))
+              .select(
+                  "l_returnflag",
+                  F.round(F.col("__e")[0], 2).alias("p50_exact"),
+                  F.round(F.col("__e")[1], 2).alias("p95_exact"),
+                  (F.abs(F.col("__a")[0] - F.col("__e")[0])
+                   <= tol * F.col("__e")[0]).alias("p50_ok"),
+                  (F.abs(F.col("__a")[1] - F.col("__e")[1])
+                   <= tol * F.col("__e")[1]).alias("p95_ok"))
+              .orderBy("l_returnflag"))
+
+
 def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental/CDC pull (the reference stack's Hudi incremental query):
     bootstrap a keyed table, apply two deterministic upsert commits, then
@@ -2430,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_external": q_csv_external,
         "pq_knn": q_pq_knn,
+        "approx_percentile": q_approx_percentile,
         "incremental_agg": q_incremental_agg,
         "label_centroids": q_label_centroids,
         "table_profile": q_table_profile,
@@ -2437,7 +2465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
-        "sessionize": q_sessionize,
         "stateful_totals": q_stateful_totals,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
@@ -2533,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "variant_json": q_variant_json,
         "stratified_sample": q_stratified_sample,
+        "sessionize": q_sessionize,
     }
 
 
@@ -2916,6 +2944,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS o_orderstatus, count(*)::BIGINT AS n_rows,
                    round(sum(x), 2) AS total
             FROM final GROUP BY g ORDER BY g
+        """,
+        "approx_percentile": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 2)
+                       AS p50_exact,
+                   round(quantile_cont(l_extendedprice, 0.95), 2)
+                       AS p95_exact,
+                   true AS p50_ok, true AS p95_ok
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "pq_knn": f"""
             SELECT e.vec_id, e.label,
