@@ -2270,6 +2270,34 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("commit_id", "o_orderstatus"))
 
 
+def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 drop / replace + U2 overwrite under the oracle: a table is
+    created with one region's nations, OVERWRITTEN with another's
+    (mode='overwrite' — the reference's c8:26 write), then DROPPED (the
+    reference's shutil.rmtree, c8:10-11 — files and change log gone) and
+    RECREATED under the same name with suppliers-per-nation. The final
+    read must show ONLY the recreated content: hash equality proves drop
+    left nothing behind and overwrite replaced rather than appended."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_lc_"))
+    cat.write("t", n.filter(F.col("n_regionkey") == 0), key="n_nationkey")
+    cat.write("t", n.filter(F.col("n_regionkey") == 1),
+              key="n_nationkey", mode="overwrite")      # replace content
+    assert cat.load("t").count() > 0
+    cat.drop("t")                                       # files + log gone
+    assert "t" not in cat
+    per_nation = (s.groupBy("s_nationkey")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_sup"),
+                        F.round(F.sum("s_acctbal"), 2).alias("bal")))
+    cat.write("t", per_nation)                          # same name, new life
+    return cat.load("t").orderBy("s_nationkey")
+
+
 def q_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-log retention (timeline VACUUM): bootstrap → upsert →
     delete → ``expire_commits(3)`` collapses commits 1-2 into a
@@ -2458,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_external": q_csv_external,
         "pq_knn": q_pq_knn,
         "approx_percentile": q_approx_percentile,
+        "table_lifecycle": q_table_lifecycle,
         "incremental_agg": q_incremental_agg,
         "label_centroids": q_label_centroids,
         "table_profile": q_table_profile,
@@ -2468,7 +2497,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_totals": q_stateful_totals,
         "clustered_scan": q_clustered_scan,
         "chunk_embed_knn": q_chunk_embed_knn,
-        "multimodal_frames": q_multimodal_frames,
         "full_outer_join": q_full_outer_join,
         "range_frame_window": q_range_frame_window,
         "bucketed_join": q_bucketed_join,
@@ -2561,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json": q_variant_json,
         "stratified_sample": q_stratified_sample,
         "sessionize": q_sessionize,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -2944,6 +2973,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS o_orderstatus, count(*)::BIGINT AS n_rows,
                    round(sum(x), 2) AS total
             FROM final GROUP BY g ORDER BY g
+        """,
+        "table_lifecycle": """
+            SELECT s_nationkey, count(*)::BIGINT AS n_sup,
+                   round(sum(s_acctbal), 2) AS bal
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
         """,
         "approx_percentile": """
             SELECT l_returnflag,
