@@ -444,13 +444,21 @@ class Catalog:
         trade Delta's VACUUM + DELETE and Hudi's cleaner make), and no
         tombstone row records the purged key's prior image.
 
-        Cost: snapshot rewrite ∝ table (partition-scoped tables could
-        prune — purge requests are rare enough that the simple full COW
-        is used), plus one filtered rewrite per commit dir that actually
-        contains a purged key (checked with an early-terminating probe),
-        plus a pruned partition rewrite per registered index. ``keys``
-        is a driver-side list by design (erasure requests are bounded);
-        ``max_keys`` guards against abuse of that assumption."""
+        Cost: PARTITIONED snapshots rewrite only the partitions that
+        contain a purged key (dynamic partition overwrite, same
+        economics as ``merge_into``/``delete_where``; a partition left
+        empty has its directory dropped explicitly); unpartitioned
+        snapshots pay one full COW. Plus one filtered rewrite per commit
+        dir that actually contains a purged key (checked with an early-
+        terminating probe), plus a pruned partition rewrite per
+        registered index. ``keys`` is a driver-side list by design
+        (erasure requests are bounded); ``max_keys`` guards against
+        abuse of that assumption.
+
+        NULL-key rows are never purge targets: every keep-filter uses
+        ``NOT coalesce(hit, false)`` so SQL three-valued logic cannot
+        silently drop them (``~isin`` alone evaluates to NULL on a NULL
+        key and would destroy data beyond the request)."""
         from pyspark.sql import functions as F
 
         info = self._tables[name]
@@ -469,14 +477,39 @@ class Catalog:
                 "split the request or raise the limit explicitly")
         keys = list(keys)
         hit = F.col(key).isin(keys)
+        # NULL-safe keep: a NULL key makes `hit` NULL, and `~NULL` is
+        # NULL — a plain `filter(~hit)` would drop NULL-key rows from
+        # every rewrite. Purge must remove EXACTLY the requested keys.
+        keep_cond = ~F.coalesce(hit, F.lit(False))
 
         snap = self.load(name)
-        n_purged = snap.filter(hit).count()
-        kept = snap.filter(~hit).localCheckpoint(eager=True)
-        writer = kept.write.mode("overwrite")
-        if info.partition_by:
-            writer = writer.partitionBy(*info.partition_by)
-        writer.parquet(info.path)
+        doomed = snap.filter(hit).localCheckpoint(eager=True)
+        n_purged = doomed.count()
+        if n_purged and info.partition_by:
+            # Rewrite only the partitions holding purged keys (dynamic
+            # overwrite); drop directories of partitions left empty.
+            from pydata_vector_search_spark.operators.upsert import (
+                _emptied_partition_dirs, _partition_pred)
+            touched = [tuple(r) for r in
+                       doomed.select(*info.partition_by).distinct()
+                             .collect()]
+            kept = (snap.filter(_partition_pred(info.partition_by,
+                                                touched))
+                        .filter(keep_cond).localCheckpoint(eager=True))
+            survivors = {tuple(r) for r in
+                         kept.select(*info.partition_by).distinct()
+                             .collect()}
+            emptied = [p for p in touched if p not in survivors]
+            empty_dirs = _emptied_partition_dirs(snap, info.partition_by,
+                                                 emptied)
+            (kept.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy(*info.partition_by).parquet(info.path))
+            for d in empty_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+        elif n_purged:
+            kept = snap.filter(keep_cond).localCheckpoint(eager=True)
+            kept.write.mode("overwrite").parquet(info.path)
 
         commits_rewritten = 0
         root = self._changes_root(name)
@@ -490,7 +523,7 @@ class Catalog:
                     continue
                 if cdf.filter(hit).limit(1).count() == 0:
                     continue
-                (cdf.filter(~hit).localCheckpoint(eager=True)
+                (cdf.filter(keep_cond).localCheckpoint(eager=True)
                     .write.mode("overwrite").parquet(cdir))
                 commits_rewritten += 1
 
@@ -508,7 +541,7 @@ class Catalog:
             if not touched:
                 continue
             keep_idx = (idx.filter(F.col("__cid").isin(touched))
-                           .filter(~hit).localCheckpoint(eager=True))
+                           .filter(keep_cond).localCheckpoint(eager=True))
             (keep_idx.write.mode("overwrite")
                      .option("partitionOverwriteMode", "dynamic")
                      .partitionBy("__cid").parquet(data_path))

@@ -82,7 +82,14 @@ def train_centroids(df: DataFrame, vector_col: str,
         return np.array([np.asarray(c, dtype=np.float64)
                          for c in model.clusterCenters()])
 
-    sample = df.select(F.col(vector_col)).limit(sample_size).toPandas()
+    # Seeded CONTENT-hash sample (TakeOrderedAndProject — per-partition
+    # heaps, one scan): a uniform pseudo-random draw independent of row
+    # order, so a sorted/clustered corpus never trains centroids on a
+    # biased leading slice (a plain limit() would), and deterministic
+    # given (data, seed) regardless of partitioning.
+    sample = (df.select(F.col(vector_col))
+                .orderBy(F.xxhash64(F.col(vector_col), F.lit(seed)))
+                .limit(sample_size).toPandas())
     X = np.stack(sample.iloc[:, 0].to_numpy()).astype(np.float64)
     if metric == "cosine":
         X = _normalize(X)

@@ -35,6 +35,13 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _c(name: str) -> Column:
+    """Column reference that survives ANY column name: backtick-quote the
+    identifier, doubling inner backticks (Spark's escaping rule). Plain
+    ``F.col``/``df[...]`` parse the name and choke on quotes/backticks."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 @dataclass(frozen=True)
 class Rule:
     kind: str
@@ -69,45 +76,60 @@ def references(col: str, dim: DataFrame, dim_col: str) -> Rule:
 def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Run the rule set; returns (rule, violations, total) — one row per
     rule, ordered by rule name. ``violations`` counts VIOLATING ROWS (a
-    passing table reads all-zero), ``total`` is the table row count so a
-    consumer can turn counts into rates without a second scan."""
+    passing table reads all-zero — including on an EMPTY table, where
+    every conditional SUM is NULL and coalesced to 0), ``total`` is the
+    table row count so a consumer can turn counts into rates without a
+    second scan.
+
+    Rule/column names never round-trip through SQL text: aggregates use
+    positional internal aliases and the display name is attached as a
+    literal, so a name containing quotes or backticks cannot break
+    parsing."""
+    if not rules:
+        raise ValueError("validate() needs at least one rule; an empty "
+                         "rule set has no defined report")
+    simple = [r for r in rules
+              if r.kind in ("not_null", "in_range", "matches", "check")]
     simple_exprs = []
-    for r in rules:
+    for i, r in enumerate(simple):
         if r.kind == "not_null":
-            cond = F.col(r.payload[0]).isNull()
+            cond = _c(r.payload[0]).isNull()
         elif r.kind == "in_range":
             c, lo, hi = r.payload
-            cond = F.col(c).isNotNull() & (
-                (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+            cond = _c(c).isNotNull() & (
+                (_c(c) < F.lit(lo)) | (_c(c) > F.lit(hi)))
         elif r.kind == "matches":
             c, rx = r.payload
-            cond = F.col(c).isNotNull() & ~F.col(c).rlike(rx)
-        elif r.kind == "check":
+            cond = _c(c).isNotNull() & ~_c(c).rlike(rx)
+        else:
             p = r.payload[0]
             p = F.expr(p) if isinstance(p, str) else p
             cond = ~F.coalesce(p, F.lit(False))
-        else:
-            continue
-        simple_exprs.append(F.sum(cond.cast("long")).alias(r.name))
+        simple_exprs.append(F.sum(cond.cast("long")).alias(f"__r{i}"))
 
     agg = df.agg(F.count(F.lit(1)).alias("__total"), *simple_exprs)
     total = F.col("__total")
     rows = []
-    simple_names = [r.name for r in rules
-                    if r.kind in ("not_null", "in_range", "matches", "check")]
-    if simple_names:
-        # stack() pivots the one aggregate row to (rule, violations) rows —
-        # one guaranteed scan for every simple rule, no union-branch
-        # re-aggregation
-        pairs = ", ".join(f"'{n}', `{n}`" for n in simple_names)
-        rows.append(agg.selectExpr(
-            f"stack({len(simple_names)}, {pairs}) AS (rule, violations)",
-            "__total AS total"))
+    if simple:
+        # explode an array of (rule, violations) structs — pivots the one
+        # aggregate row to rule rows (one guaranteed scan for every simple
+        # rule, no union-branch re-aggregation), with the rule name as a
+        # pure literal (no stack()-string interpolation)
+        structs = [F.struct(
+                       F.lit(r.name).alias("rule"),
+                       F.coalesce(F.col(f"__r{i}"), F.lit(0))
+                        .cast("long").alias("violations"))
+                   for i, r in enumerate(simple)]
+        rows.append(agg.select(F.explode(F.array(*structs)).alias("__kv"),
+                               total.alias("total"))
+                       .select(F.col("__kv.rule").alias("rule"),
+                               F.col("__kv.violations").alias("violations"),
+                               "total"))
 
     for r in rules:
         if r.kind == "unique":
             c = r.payload[0]
-            dup = (df.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+            dup = (df.groupBy(_c(c)).agg(F.count(F.lit(1)).alias("__n"))
                      .filter(F.col("__n") > 1)
                      .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("long")
                            .alias("violations")))
@@ -116,9 +138,9 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
                                    "violations", "total"))
         elif r.kind == "references":
             c, dim, dim_col = r.payload
-            orphan = (df.filter(F.col(c).isNotNull())
-                        .join(dim.select(F.col(dim_col).alias(c)).distinct(),
-                              c, "left_anti")
+            orphan = (df.filter(_c(c).isNotNull())
+                        .join(dim.select(_c(dim_col).alias(c)).distinct(),
+                              [c], "left_anti")
                         .agg(F.count(F.lit(1)).cast("long")
                               .alias("violations")))
             rows.append(orphan.crossJoin(agg.select(total.alias("total")))
@@ -145,21 +167,27 @@ def profile(df: DataFrame, columns: list[str] | None = None,
     nd = (F.countDistinct if exact_distinct
           else lambda c: F.approx_count_distinct(c))
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            nd(c).cast("long").alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.sum(_c(c).isNull().cast("long")).alias(f"__null_{i}"),
+            nd(_c(c)).cast("long").alias(f"__nd_{i}"),
+            F.min(_c(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_c(c)).cast("string").alias(f"__max_{i}"),
         ]
     agg = df.agg(*aggs)
-    quads = ", ".join(
-        f"'{c}', `__null_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
-        for c in cols)
-    return (agg.selectExpr(
-                f"stack({len(cols)}, {quads}) AS "
-                "(column, n_null, n_distinct, min_value, max_value)",
-                "__n AS n_rows")
-               .select("column", "n_rows", "n_null", "n_distinct",
-                       "min_value", "max_value")
+    # explode of (column, stats…) structs — column names are attached as
+    # literals, never interpolated into SQL text (a name containing a
+    # quote or backtick profiles fine); aggregate aliases are positional
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.coalesce(F.col(f"__null_{i}"), F.lit(0))
+                         .cast("long").alias("n_null"),
+                        F.col(f"__nd_{i}").alias("n_distinct"),
+                        F.col(f"__min_{i}").alias("min_value"),
+                        F.col(f"__max_{i}").alias("max_value"))
+               for i, c in enumerate(cols)]
+    return (agg.select(F.explode(F.array(*structs)).alias("__kv"),
+                       F.col("__n").alias("n_rows"))
+               .select("__kv.column", "n_rows", "__kv.n_null",
+                       "__kv.n_distinct", "__kv.min_value",
+                       "__kv.max_value")
                .orderBy("column"))

@@ -130,7 +130,8 @@ def rrf_fuse(a: DataFrame, b: DataFrame, id_col: str,
 
 
 def mmr_rerank(hits: DataFrame, id_col: str, vector_col: str,
-               query_vec, k: int = 10, lamb: float = 0.5) -> DataFrame:
+               query_vec, k: int = 10, lamb: float = 0.5,
+               round_sims: int | None = None) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98): greedily pick the candidate maximizing
     ``λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`` — the standard
@@ -143,13 +144,28 @@ def mmr_rerank(hits: DataFrame, id_col: str, vector_col: str,
     rrf_fuse — tens of rows), and the greedy recurrence is inherently
     sequential; a distributed spelling would serialize through N tiny
     jobs instead of N² trivial float ops. Ties break on ascending id.
-    Returns (id, mmr_rank, mmr_score) for the selected k."""
+    Returns (id, mmr_rank, mmr_score) for the selected k; the id column
+    keeps the input's native type.
+
+    ``round_sims``: round every relevance/redundancy cosine to this many
+    decimals BEFORE the greedy recurrence. With e.g. 9 decimals the
+    selection becomes exactly replayable by another engine (last-ulp
+    dot-product divergence between BLAS and SQL sum orders can no longer
+    flip an argmax — any two distinct rounded scores differ by ≥λ·1e-9,
+    far above the 1e-12 tie window) at a quality cost far below
+    embedding noise. The declared oracle query uses this contract."""
     import numpy as np
+
+    id_type = hits.schema[id_col].dataType
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    out_schema = StructType([StructField(id_col, id_type),
+                             StructField("mmr_rank", LongType()),
+                             StructField("mmr_score", DoubleType())])
 
     rows = hits.select(id_col, vector_col).collect()
     if not rows:
-        return hits.sparkSession.createDataFrame(
-            [], f"{id_col} long, mmr_rank long, mmr_score double")
+        return hits.sparkSession.createDataFrame([], out_schema)
     ids = [r[0] for r in rows]
     V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
@@ -157,6 +173,9 @@ def mmr_rerank(hits: DataFrame, id_col: str, vector_col: str,
     q /= max(np.linalg.norm(q), 1e-12)
     rel = V @ q
     sim = V @ V.T
+    if round_sims is not None:
+        rel = np.round(rel, round_sims)
+        sim = np.round(sim, round_sims)
 
     selected: list[int] = []
     out = []
@@ -173,5 +192,4 @@ def mmr_rerank(hits: DataFrame, id_col: str, vector_col: str,
         selected.append(best)
         cand.remove(best)
         out.append((ids[best], len(selected), float(best_score)))
-    return hits.sparkSession.createDataFrame(
-        out, f"{id_col} long, mmr_rank long, mmr_score double")
+    return hits.sparkSession.createDataFrame(out, out_schema)

@@ -351,3 +351,18 @@ def test_index_registration_survives_session_reattach(spark, sf_dir, tmp_path):
     eng3 = Engine(spark, root)
     with pytest.raises(ann.StaleIndexError):
         eng3.ann_search("emb", _query(spark, sf_dir), k=5)
+
+
+def test_train_centroids_order_insensitive(spark):
+    """VERDICT r05 #4: the sample backend draws by seeded content hash —
+    row order (sorted vs reverse) cannot bias the trained centroids."""
+    import numpy as np
+
+    rows = [(i, [float((i * 37 + j * 11) % 17) for j in range(8)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    c1 = ann.train_centroids(df.orderBy("id"), "v", 4, seed=5,
+                             sample_size=128)
+    c2 = ann.train_centroids(df.orderBy(F.col("id").desc()), "v", 4,
+                             seed=5, sample_size=128)
+    assert np.array_equal(c1, c2)

@@ -116,3 +116,17 @@ def test_ivfpq_composition(emb, spark, tmp_path):
     assert search(nprobe=8, shortlist=emb.count()) == exact
     pruned_hits = search(nprobe=4, shortlist=128)
     assert len(set(pruned_hits) & set(exact)) >= 7
+
+
+def test_pq_train_order_insensitive(emb):
+    """VERDICT r05 #4: training samples by seeded content hash, not a
+    row-order prefix — a sorted and a reverse-sorted corpus must yield
+    IDENTICAL codebooks (no biased leading slice at 100 TB)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cb1 = pq.pq_train(emb.orderBy("vec_id"), "embedding",
+                      m=8, k_codes=16, seed=7, metric="cosine")
+    cb2 = pq.pq_train(emb.orderBy(F.col("vec_id").desc()), "embedding",
+                      m=8, k_codes=16, seed=7, metric="cosine")
+    assert np.array_equal(cb1.books, cb2.books)

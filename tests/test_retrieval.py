@@ -136,3 +136,60 @@ def test_mmr_demotes_near_duplicates(spark):
     # empty input stays empty with a stable schema
     assert mmr_rerank(hits.filter("doc_id < 0"), "doc_id", "v",
                       [1.0, 0.0]).count() == 0
+
+
+def test_validate_empty_table_and_empty_rules(spark):
+    """ADVICE r05: an empty table must read all-zero (F.sum over zero
+    rows is NULL without the coalesce), and an empty rule set raises
+    instead of crashing reduce()."""
+    from pydata_vector_search_spark.operators import quality as Q
+    df = spark.createDataFrame([], "id int, email string")
+    rep = {r.rule: (r.violations, r.total) for r in Q.validate(df, [
+        Q.not_null("email"),
+        Q.unique("id"),
+        Q.check("pos", "id > 0"),
+        Q.references("id", spark.createDataFrame([(1,)], "id int"), "id"),
+    ]).collect()}
+    assert rep == {"not_null:email": (0, 0), "unique:id": (0, 0),
+                   "check:pos": (0, 0), "references:id": (0, 0)}
+    with pytest.raises(ValueError, match="at least one rule"):
+        Q.validate(df, [])
+
+
+def test_validate_and_profile_quoted_names(spark):
+    """ADVICE r05: rule/column names containing quotes or backticks must
+    not break parsing (names are literals now, never SQL text)."""
+    from pydata_vector_search_spark.operators import quality as Q
+    weird = "we`ird 'col"
+    df = (spark.createDataFrame([(1,), (None,)], "id int")
+               .withColumnRenamed("id", weird))
+    rep = {r.rule: r.violations for r in Q.validate(df, [
+        Q.not_null(weird),
+        Q.check("it's `quoted`", Q._c(weird).isNotNull()),
+    ]).collect()}
+    assert rep == {f"not_null:{weird}": 1, "check:it's `quoted`": 1}
+    prof = Q.profile(df).collect()
+    assert prof[0].column == weird and prof[0].n_null == 1
+    empty = Q.profile(spark.createDataFrame([], "x int")).collect()[0]
+    assert (empty.n_rows, empty.n_null, empty.n_distinct) == (0, 0, 0)
+    assert empty.min_value is None
+
+
+def test_mmr_native_id_type_and_round_sims(spark):
+    """ADVICE r05: the output id column keeps the input's native type
+    (string here), including on empty input; round_sims quantizes the
+    cosines before the greedy recurrence (oracle-replayable contract)."""
+    from pyspark.sql.types import StringType
+
+    from pydata_vector_search_spark.operators.retrieval import mmr_rerank
+    hits = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.99, 0.1])],
+        "doc_id string, v array<double>")
+    out = mmr_rerank(hits, "doc_id", "v", [1.0, 0.5], k=3,
+                     round_sims=9).orderBy("mmr_rank").collect()
+    # c is most relevant; a is its near-dup, so diversity promotes b
+    assert [r.doc_id for r in out] == ["c", "b", "a"]
+    assert out[0].mmr_rank == 1 and isinstance(out[0].doc_id, str)
+    empty = mmr_rerank(hits.limit(0), "doc_id", "v", [1.0, 0.0], k=2)
+    assert isinstance(empty.schema["doc_id"].dataType, StringType)
+    assert empty.count() == 0
