@@ -557,7 +557,8 @@ class Catalog:
             from pydata_vector_search_spark.operators.incremental_agg \
                 import _aggregate
             rebuilt = _aggregate(self.load(name), spec["group_by"],
-                                 spec["sums"], spec["count_col"])
+                                 spec["sums"], spec["count_col"],
+                                 spec.get("mins"), spec.get("maxs"))
             self.write(agg_name, rebuilt)
             spec["commit"] = info.last_commit
             aggs_rebuilt.append(agg_name)

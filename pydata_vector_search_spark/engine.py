@@ -367,13 +367,15 @@ class Engine:
         return self.catalog.purge_keys(table, keys, **kw)
 
     def create_agg(self, source: str, name: str, group_by, sums,
-                   count_col: str = "n_rows") -> None:
-        """Materialize an incrementally-maintainable rollup (SUM/COUNT)
-        of ``source``. See operators/incremental_agg."""
+                   count_col: str = "n_rows", mins=None,
+                   maxs=None) -> None:
+        """Materialize an incrementally-maintained rollup of ``source``:
+        SUM/COUNT refresh by pure delta; MIN/MAX (``mins``/``maxs``)
+        switch to group-scoped recompute. See operators/incremental_agg."""
         from pydata_vector_search_spark.operators.incremental_agg import \
             create_agg
         create_agg(self.catalog, source, name, group_by, sums,
-                   count_col=count_col)
+                   count_col=count_col, mins=mins, maxs=maxs)
 
     def refresh_agg(self, source: str, name: str) -> dict:
         """Apply the commit-log delta since the last refresh to the

@@ -309,6 +309,22 @@ def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
     return {"removed_partitions": len(touched), "appended": n_new}
 
 
+def probe_cids(index: IVFIndex, query_vec: Sequence[float],
+               nprobe: int) -> list[int]:
+    """The ``nprobe`` centroid ids nearest to the query — the partition
+    set an IVF probe scans (driver-side: k×dim floats, microseconds).
+    Shared by ``ivf_search`` / ``ivf_search_int8`` / ``pq.ivfpq_search``
+    so every tier prunes identically."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if index.metric == "cosine":
+        sims = _normalize(index.centroids) @ _normalize(q)
+        order = np.argsort(-sims, kind="stable")
+    else:
+        order = np.argsort(((index.centroids - q) ** 2).sum(-1),
+                           kind="stable")
+    return [int(c) for c in order[:nprobe]]
+
+
 def ivf_search(spark: SparkSession, index: IVFIndex,
                query_vec: Sequence[float], k: int = 10, nprobe: int = 8,
                filter: Column | None = None,
@@ -320,12 +336,7 @@ def ivf_search(spark: SparkSession, index: IVFIndex,
     ``__cid IN (...)`` (PartitionFilters in .explain — directories outside
     the probe set are never opened) → TakeOrderedAndProject(k)."""
     q = np.asarray(list(query_vec), dtype=np.float64)
-    if index.metric == "cosine":
-        sims = _normalize(index.centroids) @ _normalize(q)
-        order = np.argsort(-sims, kind="stable")
-    else:
-        order = np.argsort(((index.centroids - q) ** 2).sum(-1), kind="stable")
-    probe = [int(c) for c in order[:nprobe]]
+    probe = probe_cids(index, q, nprobe)
 
     data = spark.read.parquet(os.path.join(index.path, "data")) \
                 .filter(F.col(_CID).isin(probe))
@@ -367,12 +378,7 @@ def ivf_search_int8(spark: SparkSession, index: IVFIndex,
 
     q = np.asarray(list(query_vec), dtype=np.float64)
     metric = index.metric
-    if metric == "cosine":
-        sims = _normalize(index.centroids) @ _normalize(q)
-        order = np.argsort(-sims, kind="stable")
-    else:
-        order = np.argsort(((index.centroids - q) ** 2).sum(-1), kind="stable")
-    probe = [int(c) for c in order[:nprobe]]
+    probe = probe_cids(index, q, nprobe)
 
     scan = spark.read.parquet(index.data_path).filter(F.col(_CID).isin(probe))
     if _CODE not in scan.columns:

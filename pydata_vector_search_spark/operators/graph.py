@@ -135,13 +135,17 @@ def connected_components(edges: DataFrame, src: str = "src",
 
 
 def cluster_summary(edges: DataFrame, src: str = "src",
-                    dst: str = "dst") -> DataFrame:
+                    dst: str = "dst",
+                    local_threshold: int = 2_000_000) -> DataFrame:
     """Per-component rollup of a near-dup pair graph: the dedup decision
     table (keep ``component`` = min id, drop the other ``size-1`` members).
 
     Returns ``(cluster_id, cluster_size, max_member)`` sorted by cluster id.
-    """
-    comps = connected_components(edges, src=src, dst=dst)
+    ``local_threshold`` passes through to ``connected_components`` —
+    ``0`` forces the distributed pointer-jumping loop regardless of edge
+    count (the path every 100-TB graph takes)."""
+    comps = connected_components(edges, src=src, dst=dst,
+                                 local_threshold=local_threshold)
     return (comps.groupBy(F.col("component").alias("cluster_id"))
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.max("node").alias("max_member"))

@@ -26,9 +26,16 @@ groupBy it replaces. The same shape Materialize/Delta Live Tables sell;
 here it is ~100 lines of Catalyst over the engine's own CDC feed.
 
 Maintainable measures: COUNT(*) and SUM(numeric) — the classic
-self-maintainable set under insert+delete. MIN/MAX are NOT maintainable
-under deletes without per-group history; ask for them and the module
-refuses rather than silently serving a wrong rollup.
+self-maintainable set under insert+delete; these refresh by pure delta
+arithmetic (no base-table rescan at all). MIN/MAX are NOT delta-
+maintainable under deletes (retracting the current minimum needs the
+runner-up, which the rollup discarded); asking for them switches the
+refresh to GROUP-SCOPED RECOMPUTE: changed keys → affected group set →
+one groupBy over ONLY those groups' rows (semi-join pushed into the
+snapshot scan), merged with the untouched rollup rows by anti-join.
+Work ∝ data of changed groups — still never a full rescan — which is
+exactly the affordable price of non-maintainable measures (the same
+fallback Materialize's MIN/MAX reduction and DBSP take).
 
 Float caveat: an incrementally-maintained SUM(double) equals the batch
 recompute up to floating-point reassociation (~1 ulp per refresh);
@@ -45,30 +52,40 @@ _META_KEY = "aggregates"
 
 
 def _aggregate(df: DataFrame, group_by: list[str],
-               sums: dict[str, str], count_col: str) -> DataFrame:
+               sums: dict[str, str], count_col: str,
+               mins: dict[str, str] | None = None,
+               maxs: dict[str, str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias(count_col)]
     aggs += [F.coalesce(F.sum(src), F.lit(0.0)).alias(out)
              for out, src in sums.items()]
+    aggs += [F.min(src).alias(out) for out, src in (mins or {}).items()]
+    aggs += [F.max(src).alias(out) for out, src in (maxs or {}).items()]
     return df.groupBy(*group_by).agg(*aggs)
 
 
 def create_agg(catalog, source: str, name: str, group_by: list[str],
-               sums: dict[str, str], count_col: str = "n_rows") -> None:
+               sums: dict[str, str], count_col: str = "n_rows",
+               mins: dict[str, str] | None = None,
+               maxs: dict[str, str] | None = None) -> None:
     """Full build of the rollup at the source's CURRENT commit, plus the
     metadata pin that makes incremental refresh possible.
 
-    ``sums`` maps output column -> source numeric column; ``count_col``
-    names the row count (always maintained — it decides group death)."""
+    ``sums``/``mins``/``maxs`` map output column -> source column;
+    ``count_col`` names the row count (always maintained — it decides
+    group death). Any ``mins``/``maxs`` switch refreshes from pure delta
+    arithmetic to group-scoped recompute (see module docstring)."""
     info = catalog.info(source)
     if info.key is None:
         raise ValueError(
             f"source {source!r} has no record key; incremental refresh "
             "replays per-key history (register with key=)")
-    agg = _aggregate(catalog.load(source), group_by, sums, count_col)
+    agg = _aggregate(catalog.load(source), group_by, sums, count_col,
+                     mins, maxs)
     catalog.write(name, agg)
     aggs = getattr(info, _META_KEY)
     aggs[name] = {"group_by": list(group_by), "sums": dict(sums),
-                  "count_col": count_col, "commit": info.last_commit}
+                  "count_col": count_col, "commit": info.last_commit,
+                  "mins": dict(mins or {}), "maxs": dict(maxs or {})}
     catalog._persist()
 
 
@@ -84,12 +101,39 @@ def refresh_agg(catalog, source: str, name: str) -> dict:
     if r == n:
         return {"refreshed": False, "from": r, "to": n}
     gb, sums, cnt = meta["group_by"], meta["sums"], meta["count_col"]
+    mins, maxs = meta.get("mins") or {}, meta.get("maxs") or {}
     key = info.key
 
     changed = (catalog.read_incremental(source, r, latest_only=False)
                .select(key).distinct())
     old_img = catalog.read_asof(source, r).join(changed, key, "inner")
     new_img = catalog.load(source).join(changed, key, "inner")
+
+    if mins or maxs:
+        # MIN/MAX are not delta-maintainable under deletes — recompute
+        # ONLY the affected groups from the snapshot (semi-join pushes
+        # the tiny group set into the scan; broadcast by size) and merge
+        # with the untouched rollup rows (anti-join, null-safe on group
+        # keys). Dead groups vanish (absent from the scoped groupBy),
+        # new groups appear. Work ∝ changed groups' data.
+        from functools import reduce as _reduce
+
+        groups = (old_img.select(*gb).unionByName(new_img.select(*gb))
+                         .distinct())
+        g2 = F.broadcast(groups.select(
+            *[F.col(g).alias(f"__g_{g}") for g in gb]))
+        cond = _reduce(lambda a, b: a & b,
+                       [F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+                        for g in gb])
+        scoped = catalog.load(source).join(g2, cond, "left_semi")
+        fresh = _aggregate(scoped, gb, sums, cnt, mins, maxs)
+        untouched = catalog.load(name).join(g2, cond, "left_anti")
+        applied = (untouched.unionByName(fresh)
+                   .localCheckpoint(eager=True))
+        catalog.write(name, applied)
+        meta["commit"] = n
+        catalog._persist()
+        return {"refreshed": True, "from": r, "to": n}
 
     old_agg = _aggregate(old_img, gb, sums, cnt)
     new_agg = _aggregate(new_img, gb, sums, cnt)

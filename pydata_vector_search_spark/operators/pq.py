@@ -170,3 +170,36 @@ def pq_search(df: DataFrame, vector_col: str, code_col: str,
                          metric=metric or cb.metric,
                          distance_col=distance_col,
                          tiebreaker=tiebreaker, round_to=round_to)
+
+
+def ivfpq_search(spark, index, cb: PQCodebooks,
+                 query_vec: Sequence[float], k: int = 10,
+                 nprobe: int = 8, shortlist: int = 256,
+                 code_col: str = "pq_code",
+                 distance_col: str = "_distance",
+                 tiebreaker: str | None = None,
+                 round_to: int | None = None) -> DataFrame:
+    """IVF×PQ — both ANN tiers composed, the FAISS ``IVFPQ`` layout
+    (flat-PQ variant: codes quantize the raw vectors, not centroid
+    residuals): the IVF probe prunes WHICH partitions are scanned
+    (``__cid IN (...)`` partition filter — unprobed directories never
+    opened), PQ shrinks what each scanned row COSTS (ADC table lookups
+    over 1-byte-per-subspace codes), the shortlist is exact re-ranked on
+    true vectors. At 100 TB the probe reads ``nprobe/num_centroids`` of
+    the corpus at ``m`` bytes per row for ranking — both prune factors
+    multiply.
+
+    ``index`` is an ``ann.IVFIndex`` built over a ``pq_encode``-ed
+    DataFrame (the code column rides the partitioned parquet for free —
+    columnar storage, pruned away by full-vector probes). With
+    ``nprobe >= num_centroids`` and ``shortlist >=`` probed rows the
+    result EQUALS exact KNN (how the declared query oracle-checks the
+    whole composed pipeline); pruned recall is pinned in tests."""
+    from pydata_vector_search_spark.operators.ann import (_CID, probe_cids)
+
+    probe = probe_cids(index, query_vec, nprobe)
+    data = (spark.read.parquet(index.data_path)
+                 .filter(F.col(_CID).isin(probe)))
+    return pq_search(data, index.vector_col, code_col, cb, query_vec,
+                     k=k, shortlist=shortlist, distance_col=distance_col,
+                     tiebreaker=tiebreaker, round_to=round_to).drop(_CID)

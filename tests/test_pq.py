@@ -130,3 +130,31 @@ def test_pq_train_order_insensitive(emb):
     cb2 = pq.pq_train(emb.orderBy(F.col("vec_id").desc()), "embedding",
                       m=8, k_codes=16, seed=7, metric="cosine")
     assert np.array_equal(cb1.books, cb2.books)
+
+
+def test_ivfpq_search_first_class(emb, spark, tmp_path):
+    """ivfpq_search (the packaged IVF×PQ tier): full probe + full
+    shortlist equals exact KNN; a pruned probe prunes partitions (the
+    scan carries a __cid partition filter) and keeps recall."""
+    from pydata_vector_search_spark.operators import ann
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    cb = pq.pq_train(emb, "embedding", m=8, k_codes=32, seed=3,
+                     metric="cosine")
+    idx = ann.ivf_build(pq.pq_encode(emb, "embedding", cb), "embedding",
+                        str(tmp_path / "ivfpq2"), num_centroids=8,
+                        seed=42, quantize=False)
+
+    exact = [r.vec_id for r in knn.vector_search(
+        emb, "embedding", qv, k=10, metric="cosine",
+        tiebreaker="vec_id", round_to=6).collect()]
+    full = pq.ivfpq_search(spark, idx, cb, qv, k=10, nprobe=8,
+                           shortlist=emb.count(), tiebreaker="vec_id",
+                           round_to=6)
+    assert [r.vec_id for r in full.collect()] == exact
+    assert "__cid" not in full.columns
+
+    pruned = pq.ivfpq_search(spark, idx, cb, qv, k=10, nprobe=4,
+                             shortlist=128, tiebreaker="vec_id")
+    hits = [r.vec_id for r in pruned.collect()]
+    assert len(set(hits) & set(exact)) >= 7
