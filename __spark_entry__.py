@@ -2429,6 +2429,120 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-6 additions: distributed CC, IVF×PQ, MMR oracle, MIN/MAX IVM
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SAME n-gram-Jaccard edge set as
+    ``dedup_clusters``, but with ``local_threshold=0`` so the DISTRIBUTED
+    O(log n) pointer-jumping loop (operators/graph.py, Kiveris SoCC'14
+    shape) computes the labels — the code path every 100-TB near-dup
+    graph takes. The union-find fast path had absorbed all oracle-scale
+    CC runs (r05 verdict #1); here the distributed iterations themselves
+    carry the hash: the loop executes ≥1 full join+jump round by
+    construction (termination requires a no-change round) and the
+    local/distributed equality is separately test-pinned."""
+    from pydata_vector_search_spark.operators.graph import cluster_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similarity_join(docs, "text", "doc_id",
+                                          n=3, threshold=0.5)
+    return cluster_summary(pairs, src="id_1", dst="id_2",
+                           local_threshold=0)
+
+
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the composed ANN stack (FAISS IVFPQ layout, flat-PQ
+    variant): codes ride the IVF-partitioned parquet, the probe prunes
+    partitions AND scores 1-byte-per-subspace codes via the ADC table,
+    the shortlist is exact re-ranked. Declared at nprobe=all +
+    shortlist=corpus so the answer EQUALS exact KNN and the oracle hash
+    covers the whole composition — centroid assignment, partition
+    layout, code encode, LUT scoring, shortlist, re-rank; pruned-probe
+    recall is pinned in tests/test_pq.py."""
+    import tempfile
+
+    from pydata_vector_search_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cb = pq.pq_train(emb, "embedding", m=8, k_codes=32, seed=42,
+                     metric="cosine")
+    idx = ann.ivf_build(pq.pq_encode(emb, "embedding", cb), "embedding",
+                        tempfile.mkdtemp(prefix="pvss_ivfpq_"),
+                        num_centroids=8, seed=42, quantize=False)
+    hits = pq.ivfpq_search(spark, idx, cb, qv, k=10, nprobe=8,
+                           shortlist=emb.count(), tiebreaker="vec_id",
+                           round_to=2)
+    return (hits.withColumn("score", F.round(1 - F.col("_distance"), 2))
+                .select("vec_id", "label", "score"))
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein SIGIR'98) under the
+    oracle: top-20 exact-cosine shortlist → greedy
+    ``λ·rel − (1−λ)·max-sim-to-selected`` selection of 8, with
+    ``round_sims=9`` quantizing every cosine BEFORE the recurrence so
+    the selection is exactly replayable (distinct rounded scores differ
+    by ≥λ·1e-9 ≫ the 1e-12 tie window — BLAS-vs-SQL last-ulp drift can
+    no longer flip an argmax). The oracle unrolls the same greedy
+    recurrence as 8 chained SQL steps; ranks AND 6-dp scores are
+    hash-matched. The operator itself stays deliberately driver-side
+    over the k-truncated shortlist (documented contract)."""
+    from pydata_vector_search_spark.operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    short = knn.vector_search(emb, "embedding", qv, k=20,
+                              metric="cosine", round_to=2,
+                              tiebreaker="vec_id")
+    sel = mmr_rerank(short, "vec_id", "embedding", qv, k=8, lamb=0.5,
+                     round_sims=9)
+    return (sel.select("vec_id", "mmr_rank",
+                       F.round("mmr_score", 6).alias("mmr_score"))
+               .orderBy("mmr_rank"))
+
+
+def q_incremental_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM with NON-delta-maintainable measures (r05 verdict #8): the
+    rollup carries MIN/MAX next to SUM/COUNT, so ``refresh_agg`` runs
+    the group-scoped recompute path — changed keys → affected groups →
+    one semi-join-scoped groupBy merged with untouched rollup rows —
+    never a full rescan. The predicate delete removes rows that hold
+    group minima/maxima, the exact case delta arithmetic cannot serve
+    (the retracted extremum's runner-up must resurface); hash equality
+    against the oracle's batch rollup of the final state proves it."""
+    import tempfile
+
+    from pydata_vector_search_spark.catalog import Catalog
+    from pydata_vector_search_spark.operators.incremental_agg import (
+        create_agg, refresh_agg)
+    from pydata_vector_search_spark.operators.upsert import (delete_where,
+                                                             upsert_table)
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders").select(*cols)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pvss_ivmm_"))
+    cat.write("t", o.filter(F.col("o_orderkey") < 3000).coalesce(4),
+              key="o_orderkey")
+    create_agg(cat, "t", "t_agg", ["o_orderstatus"],
+               {"total": "o_totalprice"},
+               mins={"min_price": "o_totalprice"},
+               maxs={"max_price": "o_totalprice"})
+    upsert_table(cat, "t", o.filter((F.col("o_orderkey") % 5 == 0)
+                                    & (F.col("o_orderkey") < 4000))
+                 .withColumn("o_orderstatus", F.lit("U")).coalesce(4))
+    delete_where(cat, "t", "o_orderkey % 7 = 0")
+    refresh_agg(cat, "t", "t_agg")
+    return (cat.load("t_agg")
+            .select("o_orderstatus", "n_rows",
+                    F.round("total", 2).alias("total"),
+                    F.round("min_price", 2).alias("min_price"),
+                    F.round("max_price", 2).alias("max_price"))
+            .orderBy("o_orderstatus"))
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -2446,24 +2560,75 @@ def entry(spark: SparkSession) -> DataFrame:
                 .select("vec_id", "label", "score", "lang", "source"))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries() -> dict[str, Callable[[SparkSession, str],
+                                    DataFrame]]:
     return {
-        # --- first-50 driver window (the driver hash-checks exactly the
-        # --- first 50 entries, in declaration order). Round-5 rotation:
-        # --- (a) the 3 queries never driver-verified (decontaminate,
-        # --- repetition_stats, token_budget_select — r04 ADVICE),
-        # --- (b) the 15 NEW round-5 queries (merge_partitioned,
-        # --- stream_upsert, stream_cdc, semantic_dedup, redact_pii,
-        # --- bm25_search, hybrid_rrf, constraint_checks, cross_dedup,
-        # --- jsonl_roundtrip, incremental_agg, label_centroids,
-        # --- table_profile, purge_erasure, funnel), (c) the 4
-        # --- r04-window queries whose modules round 5 changed
-        # --- (jaccard_prefix broadcast gate, merge_clauses
-        # --- partition-scoped merge_into, time_travel_read read_asof
-        # --- guard, ann_after_upsert ivf_patch guard), and (d) 28
-        # --- queries last verified in the r03 window, re-verified here
-        # --- under current code (incl. every dedup/CC/cosine query the
-        # --- r05 _minhash_bands/auto-blocking/union-find changes touch).
+        # --- first-50 driver window (hash-checked in declaration order).
+        # --- Round-6 rotation: (a) the 4 NEW r06 queries (distributed-CC
+        # --- pointer-jump path, IVF×PQ composition, MMR greedy oracle,
+        # --- MIN/MAX group-scoped IVM); (b) all 20 queries whose latest
+        # --- driver-green row predates r04 (r05 verdict #3); (c) the 13
+        # --- queries sitting on modules round 6 changed (quality.py
+        # --- explode-struct pivot, pq/ann content-hash sampling +
+        # --- probe_cids, catalog partition-scoped purge, graph
+        # --- local_threshold, retrieval mmr/bm25 module,
+        # --- incremental_agg min/max); (d) 13 oldest r04-verified
+        # --- queries, catalog/knn-adjacent first. Every declared
+        # --- query's latest green row is now <=2 rounds old.
+        "dedup_clusters_dist": q_dedup_clusters_dist,
+        "ivfpq_knn": q_ivfpq_knn,
+        "mmr_rerank": q_mmr_rerank,
+        "incremental_agg_minmax": q_incremental_agg_minmax,
+        "hybrid_postfilter": q_hybrid_postfilter,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "variant_json": q_variant_json,
+        "multimodal_frames": q_multimodal_frames,
+        "ntile_buckets": q_ntile_buckets,
+        "explode_tokens": q_explode_tokens,
+        "scalar_subquery": q_scalar_subquery,
+        "case_buckets": q_case_buckets,
+        "first_last_window": q_first_last_window,
+        "shipping_priority": q_shipping_priority,
+        "grouping_sets": q_grouping_sets,
+        "regexp_extract_agg": q_regexp_extract_agg,
+        "corpus_filter": q_corpus_filter,
+        "approx_distinct": q_approx_distinct,
+        "stream_static_join": q_stream_static_join,
+        "token_counts": q_token_counts,
+        "vector_knn_tvf": q_vector_knn_tvf,
+        "vector_knn_dot": q_vector_knn_dot,
+        "salted_join": q_salted_join,
+        "constraint_checks": q_constraint_checks,
+        "table_profile": q_table_profile,
+        "pq_knn": q_pq_knn,
+        "ann_ivf_knn": q_ann_ivf_knn,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "ann_after_upsert": q_ann_after_upsert,
+        "knn_join_ivf": q_knn_join_ivf,
+        "purge_erasure": q_purge_erasure,
+        "incremental_agg": q_incremental_agg,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "zorder_scan": q_zorder_scan,
+        "incremental_read": q_incremental_read,
+        "keyed_delete": q_keyed_delete,
+        "vector_knn_sql": q_vector_knn_sql,
+        "hybrid_prefilter": q_hybrid_prefilter,
+        "vector_knn_l2": q_vector_knn_l2,
+        "log_retention": q_log_retention,
+        "upsert_merge": q_upsert_merge,
+        "chunk_summary": q_chunk_summary,
+        "stream_dedup": q_stream_dedup,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_audio": q_multimodal_audio,
+        "salted_agg": q_salted_agg,
+        # --- beyond the window: everything re-verified in the r05 window
+        # --- (CORRECTNESS_r05.json, 50/50 green) plus the remaining
+        # --- r04-green queries on untouched modules. All pass
+        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "token_budget_select": q_token_budget_select,
@@ -2473,24 +2638,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "merge_clauses": q_merge_clauses,
         "time_travel_read": q_time_travel_read,
-        "ann_after_upsert": q_ann_after_upsert,
         "vector_knn": q_vector_knn,
         "hyperplane_lsh_neardup": q_hyperplane_lsh,
-        "semantic_dedup": q_semantic_dedup,
         "redact_pii": q_redact_pii,
-        "bm25_search": q_bm25_search,
-        "hybrid_rrf": q_hybrid_rrf,
-        "constraint_checks": q_constraint_checks,
         "cross_dedup": q_cross_dedup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_external": q_csv_external,
-        "pq_knn": q_pq_knn,
         "approx_percentile": q_approx_percentile,
         "table_lifecycle": q_table_lifecycle,
-        "incremental_agg": q_incremental_agg,
         "label_centroids": q_label_centroids,
-        "table_profile": q_table_profile,
-        "purge_erasure": q_purge_erasure,
         "funnel": q_funnel,
         "maintenance_cycle": q_maintenance_cycle,
         "vector_topk_per_group": q_vector_topk_per_group,
@@ -2500,38 +2656,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_join": q_full_outer_join,
         "range_frame_window": q_range_frame_window,
         "bucketed_join": q_bucketed_join,
-        "knn_join_ivf": q_knn_join_ivf,
-        "ann_ivf_int8": q_ann_ivf_int8,
         "cosine_topk_pairs": q_cosine_topk_pairs,
         "cosine_neardup": q_cosine_neardup,
         "vector_knn_join": q_vector_knn_join,
-        "ann_ivf_knn": q_ann_ivf_knn,
         "knn_join": q_knn_join,
         "stream_tumbling": q_stream_tumbling,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "jaccard_join": q_jaccard_join,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "embed_hash": q_embed_hash,
-        # --- beyond the window: the r04 driver window (50/50 green,
-        # --- CORRECTNESS_r04.json) minus the 4 re-verified members
-        # --- above, plus the 12 stable r03-green queries displaced by
-        # --- the new round-5 queries (trivial Catalyst plans on
-        # --- untouched modules) and 4 queries plan-equality-pinned to
-        # --- in-window ones by tests (vector_knn_tvf / vector_knn_dot
-        # --- share vector_knn's plan builder; hybrid_postfilter
-        # --- composes hybrid_prefilter's vector_search;
-        # --- scalar_subquery). All 112 pass tools/oracle_check.py at
-        # --- head (ORACLE_LOCAL.json).
-        "upsert_merge": q_upsert_merge,
-        "vector_knn_sql": q_vector_knn_sql,
-        "chunk_summary": q_chunk_summary,
-        "multimodal_meta": q_multimodal_meta,
         "agg_pricing_summary": q_agg_pricing_summary,
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
-        "salted_agg": q_salted_agg,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "session_windows": q_session_windows,
@@ -2561,35 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": q_string_functions,
         "cube_agg": q_cube_agg,
         "stream_stream_join": q_stream_stream_join,
-        "zorder_scan": q_zorder_scan,
-        "log_retention": q_log_retention,
         "unpivot": q_unpivot,
-        "multimodal_audio": q_multimodal_audio,
-        "stream_dedup": q_stream_dedup,
-        "keyed_delete": q_keyed_delete,
-        "incremental_read": q_incremental_read,
-        "hybrid_prefilter": q_hybrid_prefilter,
-        "vector_knn_l2": q_vector_knn_l2,
-        "vector_knn_tvf": q_vector_knn_tvf,
-        "vector_knn_dot": q_vector_knn_dot,
-        "hybrid_postfilter": q_hybrid_postfilter,
-        "scalar_subquery": q_scalar_subquery,
-        "ntile_buckets": q_ntile_buckets,
-        "explode_tokens": q_explode_tokens,
-        "case_buckets": q_case_buckets,
-        "first_last_window": q_first_last_window,
-        "shipping_priority": q_shipping_priority,
-        "grouping_sets": q_grouping_sets,
-        "regexp_extract_agg": q_regexp_extract_agg,
-        "corpus_filter": q_corpus_filter,
-        "approx_distinct": q_approx_distinct,
-        "stream_static_join": q_stream_static_join,
-        "token_counts": q_token_counts,
-        "salted_join": q_salted_join,
-        "variant_json": q_variant_json,
-        "stratified_sample": q_stratified_sample,
-        "sessionize": q_sessionize,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -2849,8 +2958,90 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.3, num_planes: int = 4,
     """
 
 
+def _mmr_oracle(k: int = 8, n_short: int = 20, lamb: float = 0.5) -> str:
+    """DuckDB replay of q_mmr_rerank: same top-20 shortlist (rounded
+    distance + vec_id tiebreak), then the greedy MMR recurrence UNROLLED
+    as k chained single-row argmax steps. Both engines quantize rel/sim
+    to 9 decimals first, so the per-step scores are bit-identical
+    doubles (0.5·rel − 0.5·red over identical inputs is exact IEEE) and
+    the argmax ordering (score desc, rel desc, id asc) replays the
+    Python scan order exactly."""
+    one_m = repr(1.0 - lamb)
+    lam = repr(lamb)
+    steps = [f"sel0 AS MATERIALIZED (SELECT vec_id FROM rel WHERE false)"]
+    for i in range(1, k + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+                SELECT r.vec_id, r.rel,
+                       {lam} * r.rel - {one_m} * coalesce((
+                           SELECT max(s.s) FROM sim s, sel{i - 1} p
+                           WHERE s.i = r.vec_id AND s.j = p.vec_id),
+                           0.0) AS score
+                FROM rel r
+                WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+            ), p{i} AS MATERIALIZED (
+                SELECT vec_id, {i}::BIGINT AS mmr_rank, score
+                FROM s{i} ORDER BY score DESC, rel DESC, vec_id ASC
+                LIMIT 1
+            ), sel{i} AS MATERIALIZED (
+                SELECT vec_id FROM sel{i - 1}
+                UNION ALL SELECT vec_id FROM p{i}
+            )""")
+    picks = "\n                UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    return f"""
+            WITH short AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       round(1 - list_cosine_similarity(
+                                 embedding::DOUBLE[], {_ORACLE_Q}),
+                             2) AS d
+                FROM embeddings
+                ORDER BY d ASC, vec_id ASC LIMIT {n_short}
+            ), nrm AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(v, x -> x /
+                           sqrt(list_dot_product(v, v))) AS nv
+                FROM short
+            ), qn AS (
+                SELECT list_transform(q, x -> x /
+                           sqrt(list_dot_product(q, q))) AS nq
+                FROM (SELECT {_ORACLE_Q} AS q)
+            ), rel AS MATERIALIZED (
+                SELECT vec_id,
+                       round(list_dot_product(nv, nq), 9) AS rel
+                FROM nrm, qn
+            ), sim AS MATERIALIZED (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       round(list_dot_product(a.nv, b.nv), 9) AS s
+                FROM nrm a, nrm b
+            ),
+            {', '.join(steps)}
+            SELECT vec_id, mmr_rank, round(score, 6) AS mmr_score
+            FROM ({picks})
+            ORDER BY mmr_rank
+        """
+
+
+_INCR_MM_SQL = """
+            WITH final AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+                            ELSE o_orderstatus END AS g,
+                       o_totalprice AS x
+                FROM orders
+                WHERE (o_orderkey < 3000
+                       OR (o_orderkey % 5 = 0 AND o_orderkey < 4000))
+                  AND o_orderkey % 7 != 0
+            )
+            SELECT g AS o_orderstatus, count(*)::BIGINT AS n_rows,
+                   round(sum(x), 2) AS total,
+                   round(min(x), 2) AS min_price,
+                   round(max(x), 2) AS max_price
+            FROM final GROUP BY g ORDER BY g
+        """
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "cross_dedup": _cross_dedup_oracle(),
         "purge_erasure": """
@@ -4363,3 +4554,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # round-6 additions sharing existing oracle bodies: the distributed
+    # CC query replays the same transitive closure; IVF×PQ at
+    # nprobe=all + shortlist=corpus equals exact KNN
+    d["dedup_clusters_dist"] = d["dedup_clusters"]
+    d["ivfpq_knn"] = d["ann_ivf_knn"]
+    d["mmr_rerank"] = _mmr_oracle()
+    d["incremental_agg_minmax"] = _INCR_MM_SQL
+    return d
