@@ -2542,6 +2542,52 @@ def q_incremental_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence PACKING (the GPT-style "pack docs into
+    fixed-token rows" step, T5 §2.2): greedy next-fit of documents into
+    256-token bins, blocked by 100-id ranges so every block packs in one
+    parallel Arrow batch and bins never cross blocks
+    (operators/packing.pack_sequences — deterministic under any
+    partitioning, layout derives from doc_id alone). The oracle replays
+    the greedy recurrence as a recursive CTE stepping all blocks' doc
+    positions in lockstep; per-bin (docs, tokens, first doc) hash
+    equality pins every assignment."""
+    from pydata_vector_search_spark.operators.packing import pack_sequences
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", T.token_count("text").cast("long")
+                    .alias("n_tok")))
+    packed = pack_sequences(docs, "doc_id", "n_tok", max_len=256,
+                            block_span=100)
+    return (packed.groupBy("bin_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("bin_tokens"),
+                 F.min("doc_id").cast("long").alias("first_doc"))
+            .orderBy("bin_id"))
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (the Pile/ROOTS/mT5 rule):
+    source g keeps ``n_g^α/Σn^α`` of the α=0.5 flattened target — rare
+    sources upsampled relative to uniform — selected by a PURE md5 hash
+    rule (keep iff u(doc_id) < rate_g), so membership is exactly
+    row-reproducible by the oracle, stable under partitioning, no RNG
+    state. One tiny groupBy + broadcast rate join + scan filter; the
+    corpus never shuffles. Rates rounded to 9 decimals in BOTH engines
+    so a pow() ulp cannot flip a boundary row."""
+    from pydata_vector_search_spark.operators.packing import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = temperature_mix(docs, "doc_id", "lang", alpha=0.5,
+                            sample_frac=0.5, seed=42)
+    return (mixed.groupBy("lang", "mix_rate")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .select("lang", F.round("mix_rate", 9).alias("mix_rate"),
+                    "n_kept", "id_sum")
+            .orderBy("lang"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2564,21 +2610,26 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-6 rotation: (a) the 4 NEW r06 queries (distributed-CC
+        # --- Round-6 rotation: (a) the 6 NEW r06 queries (distributed-CC
         # --- pointer-jump path, IVF×PQ composition, MMR greedy oracle,
-        # --- MIN/MAX group-scoped IVM); (b) all 20 queries whose latest
+        # --- MIN/MAX group-scoped IVM, sequence packing, temperature
+        # --- mixing); (b) all 20 queries whose latest
         # --- driver-green row predates r04 (r05 verdict #3); (c) the 13
         # --- queries sitting on modules round 6 changed (quality.py
         # --- explode-struct pivot, pq/ann content-hash sampling +
         # --- probe_cids, catalog partition-scoped purge, graph
         # --- local_threshold, retrieval mmr/bm25 module,
         # --- incremental_agg min/max); (d) 13 oldest r04-verified
-        # --- queries, catalog/knn-adjacent first. Every declared
+        # --- queries, catalog/knn-adjacent first (multimodal_audio and
+        # --- salted_agg displaced to make room for the packing pair —
+        # --- both r04-green on untouched modules). Every other declared
         # --- query's latest green row is now <=2 rounds old.
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "ivfpq_knn": q_ivfpq_knn,
         "mmr_rerank": q_mmr_rerank,
         "incremental_agg_minmax": q_incremental_agg_minmax,
+        "sequence_pack": q_sequence_pack,
+        "temperature_mix": q_temperature_mix,
         "hybrid_postfilter": q_hybrid_postfilter,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -2623,12 +2674,12 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "chunk_summary": q_chunk_summary,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_audio": q_multimodal_audio,
-        "salted_agg": q_salted_agg,
         # --- beyond the window: everything re-verified in the r05 window
         # --- (CORRECTNESS_r05.json, 50/50 green) plus the remaining
         # --- r04-green queries on untouched modules. All pass
         # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        "multimodal_audio": q_multimodal_audio,
+        "salted_agg": q_salted_agg,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "token_budget_select": q_token_budget_select,
@@ -4561,4 +4612,65 @@ def oracle_sql() -> dict[str, str]:
     d["ivfpq_knn"] = d["ann_ivf_knn"]
     d["mmr_rerank"] = _mmr_oracle()
     d["incremental_agg_minmax"] = _INCR_MM_SQL
+    # greedy next-fit packing replayed as a recursive CTE: one level per
+    # in-block doc position, ALL blocks step in lockstep (|levels| =
+    # max docs per block, rows per level = |blocks|)
+    d["sequence_pack"] = r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                        END)::BIGINT AS ln,
+                       (doc_id // 100)::BIGINT AS blk,
+                       row_number() OVER (PARTITION BY doc_id // 100
+                                          ORDER BY doc_id) AS pos
+                FROM documents
+            ), pack AS (
+                SELECT blk, 0::BIGINT AS pos, -1::BIGINT AS bin,
+                       0::BIGINT AS fill, NULL::BIGINT AS doc_id
+                FROM (SELECT DISTINCT blk FROM d)
+                UNION ALL
+                SELECT p.blk, p.pos + 1,
+                       CASE WHEN p.bin < 0 OR p.fill + n.ln > 256
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.bin < 0 OR p.fill + n.ln > 256
+                            THEN n.ln ELSE p.fill + n.ln END,
+                       n.doc_id
+                FROM pack p JOIN d n
+                  ON n.blk = p.blk AND n.pos = p.pos + 1
+            ), asg AS (
+                SELECT p.blk * 100 + p.bin AS bin_id, p.doc_id, d2.ln
+                FROM pack p JOIN d d2 ON d2.doc_id = p.doc_id
+                WHERE p.pos >= 1
+            )
+            SELECT bin_id, count(*)::BIGINT AS n_docs,
+                   sum(ln)::BIGINT AS bin_tokens,
+                   min(doc_id)::BIGINT AS first_doc
+            FROM asg GROUP BY bin_id ORDER BY bin_id
+        """
+    # identical md5 hash rule + identically-rounded rates: membership is
+    # row-reproducible, so counts and id sums must match exactly
+    d["temperature_mix"] = """
+            WITH c AS (
+                SELECT lang, count(*)::DOUBLE AS n
+                FROM documents GROUP BY lang
+            ), s AS (
+                SELECT sum(pow(n, 0.5)) AS dn, sum(n) AS tot FROM c
+            ), r AS (
+                SELECT lang,
+                       round(least(1.0, pow(n, 0.5) / dn * (0.5 * tot)
+                                        / n), 9) AS rate
+                FROM c, s
+            ), kept AS (
+                SELECT d.doc_id, d.lang, r.rate
+                FROM documents d JOIN r USING (lang)
+                WHERE ('0x' || substr(md5('mix42|' || d.doc_id::VARCHAR),
+                                      1, 5))::BIGINT / 1048576.0 < r.rate
+            )
+            SELECT lang, round(rate, 9) AS mix_rate,
+                   count(*)::BIGINT AS n_kept,
+                   sum(doc_id)::BIGINT AS id_sum
+            FROM kept GROUP BY lang, rate ORDER BY lang
+        """
     return d

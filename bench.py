@@ -145,12 +145,61 @@ def main():
                        "warm": round(time.perf_counter() - t0, 3)}
         print(f"# rerun {name}: {rerun[name]['warm']:.3f}s", file=sys.stderr)
 
+    # Round-over-round regression protocol (r05 verdict #2): compare
+    # against the PREVIOUS round's full per-query detail (the committed
+    # BENCH_SUMMARY.json, read before this run overwrites it); any query
+    # >1.5x its prior time AND >0.75s absolute gets a FRESH-SESSION
+    # isolated warm measurement via a subprocess (tools/isolated_warm.py)
+    # so a dirty-session artifact can never read as a regression.
+    here_dir = os.path.dirname(os.path.abspath(__file__))
+    isolated: dict[str, dict] = {}
+    try:
+        with open(os.path.join(here_dir, "BENCH_SUMMARY.json")) as f:
+            prev = json.load(f).get("queries", {})
+    except Exception:
+        prev = {}
+    flagged = sorted(
+        (n for n, t in timings.items()
+         if n in prev and prev[n] > 0 and t > 0.75 and t / prev[n] > 1.5),
+        key=lambda n: -(timings[n] / prev[n]))[:6]
+    if flagged:
+        import subprocess
+        try:
+            # Free the bench JVM first: a resident 32-core/100GB-heap
+            # SparkContext contends with the fresh session (GC, CPU) and
+            # inflates the isolated numbers by 2-3x — the exact artifact
+            # this protocol exists to rule out.
+            spark.stop()
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(here_dir, "tools", "isolated_warm.py"),
+                 *flagged],
+                capture_output=True, text=True, timeout=600,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+            for line in out.stdout.splitlines():
+                try:
+                    rec = json.loads(line)
+                    isolated[rec["query"]] = {
+                        "prev_round": prev.get(rec["query"]),
+                        "this_round_first": timings[rec["query"]],
+                        "isolated_runs": rec["runs"],
+                        "isolated_warm": rec["warm"]}
+                except (ValueError, KeyError):
+                    continue
+            for n, rec in isolated.items():
+                print(f"# isolated {n}: warm={rec['isolated_warm']}s "
+                      f"(prev={rec['prev_round']}, "
+                      f"first={rec['this_round_first']})", file=sys.stderr)
+        except Exception as e:
+            print(f"# isolated-warm protocol skipped: {e}", file=sys.stderr)
+
     summary = {
         "metric": "declared_query_set_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "slowest_rerun_warm": rerun,
+        "isolated_warm": isolated,
         "order": "alphabetical",
         "sf": sf,
         "n_queries": len(timings),
@@ -185,6 +234,9 @@ def main():
                    "queries_omitted": len(timings) - len(slowest),
                    "queries_file": "BENCH_SUMMARY.json"}
         summary.pop("slowest_rerun_warm", None)  # in the file, keep line short
+        if isolated:   # full detail in the file; flag presence in the line
+            summary["isolated_warm"] = {
+                n: rec["isolated_warm"] for n, rec in isolated.items()}
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
 

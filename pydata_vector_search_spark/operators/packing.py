@@ -1,0 +1,133 @@
+"""Training-batch assembly operators: sequence packing and
+temperature-weighted corpus mixing.
+
+Two ops every LLM pre-training pipeline runs between "corpus is clean"
+and "tokens hit the trainer", absent from the reference (a vector-search
+demo, demo.ipynb c0:4) and from Spark itself:
+
+* ``pack_sequences`` — greedy NEXT-FIT bin packing of documents into
+  fixed-token-capacity training sequences (the GPT-style "pack docs into
+  4k-token rows" step; Raffel et al. T5 §2.2 describe the same packing).
+  The greedy recurrence is inherently sequential, so the distributed
+  spelling is BLOCKED: documents are grouped into fixed id-range blocks,
+  each block packs independently in one Arrow batch (applyInPandas), and
+  bins never cross blocks. Packing quality loses at most one partial bin
+  per block (amortized ≪1% at block_span ≫ max_len/avg_len); in exchange
+  every block packs in parallel and the result is deterministic under
+  ANY partitioning — block id and in-block order derive from the id
+  column alone, never from row order. At 100 TB: one hash shuffle on
+  block id, then embarrassingly parallel Python batches of ~block_span
+  rows.
+
+* ``temperature_mix`` — deterministic temperature-weighted downsampling
+  across sources (the Pile / ROOTS / mT5 mixing rule): group g with
+  n_g documents gets target share ∝ n_g^alpha, flattening the source
+  distribution as alpha → 0. Selection is a pure hash rule —
+  keep iff u(id) < rate_g, u(id) = md5-derived uniform in [0,1) — so
+  membership is reproducible row-for-row by any engine (md5 is the
+  cross-engine hash family; same trick as the dedup oracles), stable
+  under re-partitioning, and needs no RNG state. Plan: one tiny groupBy
+  (|groups| rows, collected driver-side), a broadcast join of the rate
+  table, one scan filter. No shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_U_BITS = 20                       # u(id) granularity: 2^20 ≈ 1e-6 steps
+_U_DENOM = float(1 << _U_BITS)
+
+
+def pack_sequences(df: DataFrame, id_col: str, len_col,
+                   max_len: int, block_span: int = 256,
+                   bin_col: str = "bin_id",
+                   pos_col: str = "bin_pos") -> DataFrame:
+    """Assign every document a packing bin of capacity ``max_len``.
+
+    Returns the input plus ``bin_col`` (long, globally unique:
+    ``block * block_span + bin-within-block``) and ``pos_col`` (0-based
+    slot of the doc inside its bin). Greedy next-fit in ascending
+    ``id_col`` order within each block of ``block_span`` consecutive id
+    values: a doc opens a new bin when it no longer fits; a single doc
+    longer than ``max_len`` gets a bin of its own (callers truncate or
+    split upstream — packing never drops data silently).
+
+    ``id_col`` must be integral (block identity is ``id // block_span``
+    — pure arithmetic on the key, so the layout is reproducible from the
+    data alone). The bin-id arithmetic cannot collide: a block of at
+    most ``block_span`` docs opens at most ``block_span`` bins."""
+    lc = F.col(len_col) if isinstance(len_col, str) else len_col
+    base = df.withColumn("__len", lc.cast("long")) \
+             .withColumn("__blk", (F.col(id_col) / block_span)
+                         .cast("long"))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType — StructType.add MUTATES, and the DataFrame's
+    # cached schema object must not grow the output columns
+    out_schema = StructType(list(base.schema.fields)
+                            + [StructField(bin_col, LongType()),
+                               StructField(pos_col, LongType())])
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        blk = int(pdf["__blk"].iloc[0])
+        bins, pos = [], []
+        cur_bin, fill, slot = -1, 0, 0
+        for ln in pdf["__len"]:
+            ln = int(ln)
+            if cur_bin < 0 or fill + ln > max_len:
+                cur_bin += 1
+                fill, slot = 0, 0
+            bins.append(blk * block_span + cur_bin)
+            pos.append(slot)
+            fill += ln
+            slot += 1
+        pdf[bin_col] = pd.Series(bins, dtype="int64")
+        pdf[pos_col] = pd.Series(pos, dtype="int64")
+        return pdf
+
+    return (base.groupBy("__blk").applyInPandas(_pack, out_schema)
+                .drop("__len", "__blk"))
+
+
+def _u01(id_col: str, seed: int) -> F.Column:
+    """Deterministic uniform in [0,1) from the row id: top 20 bits of
+    md5(seed||id) — exactly replayable as
+    ``('0x' || substr(md5(...),1,5))::INT / 1048576.0`` in DuckDB."""
+    h = F.md5(F.concat(F.lit(f"mix{seed}|"),
+                       F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, _U_BITS // 4), 16, 10) \
+            .cast("long") / F.lit(_U_DENOM)
+
+
+def temperature_mix(df: DataFrame, id_col: str, group_col: str,
+                    alpha: float = 0.5, sample_frac: float = 0.5,
+                    seed: int = 42,
+                    rate_col: str = "mix_rate") -> DataFrame:
+    """Temperature-weighted corpus mix: keep a deterministic subset where
+    group ``g`` receives target share ``n_g^alpha / Σ n^alpha`` of
+    ``sample_frac · N`` total rows (capped at keeping the whole group).
+
+    Returns the surviving rows plus ``rate_col`` — the group's keep rate
+    rounded to 9 decimals (rounded IDENTICALLY in the oracle, so the
+    boundary comparison ``u < rate`` can never diverge by an ulp of
+    ``pow``). alpha=1 reduces to uniform ``sample_frac`` sampling;
+    alpha=0 equalizes sources. Selection is the pure md5 hash rule of
+    ``_u01`` — reproducible under any partitioning, no RNG state."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")).collect()
+    total = sum(r["__n"] for r in counts)
+    denom = sum(r["__n"] ** alpha for r in counts) or 1.0
+    target = sample_frac * total
+    rates = [(r[group_col],
+              round(min(1.0, (r["__n"] ** alpha / denom) * target
+                        / r["__n"]), 9))
+             for r in counts]
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        rates, df.select(group_col).schema.add(rate_col, "double"))
+    return (df.join(F.broadcast(rdf), [group_col])
+              .filter(_u01(id_col, seed) < F.col(rate_col)))

@@ -1,0 +1,65 @@
+"""Fresh-session ISOLATED warm measurement for declared queries.
+
+The in-bench ``slowest_rerun_warm`` rerun happens at session end, under
+100+ queries of JVM residue (dead broadcasts, stale codegen caches), so
+it can read high. This tool answers the question a flagged bench number
+actually raises — "is the QUERY slower, or was the session dirty?" — by
+measuring in a brand-new process/session with only the standard cheap
+warmups applied (table footers, one Arrow round-trip, one codegen
+expression). The last run of ``n`` is the steady-state number.
+
+Usage: python tools/isolated_warm.py QUERY [QUERY ...] [--sf SF_DIR]
+Prints one JSON line per query: {"query", "runs", "warm"}.
+Invoked automatically by bench.py for any query >1.5x its prior-round
+time (r05 verdict #2 protocol); also usable by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+    n_runs = int(os.environ.get("ISOLATED_RUNS", "2"))
+
+    import __spark_entry__ as entry
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.session import get_spark
+
+    spark = get_spark("isolated_warm")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            read_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+    from pyspark.sql import functions as F
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long").count()
+    spark.range(1000).select(F.md5(F.col("id").cast("string"))).count()
+
+    qs = entry.queries()
+    for name in args:
+        fn = qs[name]
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            len(fn(spark, sf_dir).collect())
+            runs.append(round(time.perf_counter() - t0, 3))
+        print(json.dumps({"query": name, "sf_dir": sf_dir,
+                          "runs": runs, "warm": runs[-1]}))
+
+
+if __name__ == "__main__":
+    main()

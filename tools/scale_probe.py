@@ -147,6 +147,25 @@ def main() -> None:
     timed("GDPR purge (1k keys, snapshot+log+index)",
           lambda: cat2.purge_keys("ev", list(range(0, 97_000, 97))))
 
+    # round-6 tiers at scale: the composed IVF×PQ probe and the MIN/MAX
+    # group-scoped IVM recompute
+    from pydata_vector_search_spark.operators import ann, pq
+    cb = pq.pq_train(be, "embedding", m=8, k_codes=64, seed=42,
+                     metric="cosine")
+    idx = ann.ivf_build(pq.pq_encode(be, "embedding", cb), "embedding",
+                        f"{out}/ivfpq", num_centroids=16, seed=42,
+                        quantize=False)
+    timed("IVF×PQ pruned probe (nprobe=4, ADC shortlist + re-rank)",
+          lambda: len(pq.ivfpq_search(spark, idx, cb, qv, k=10, nprobe=4,
+                                      shortlist=256,
+                                      tiebreaker="vec_id").collect()))
+    create_agg(cat2, "ev", "ev_mm", ["event_type"], {"sv": "value"},
+               maxs={"mx": "value"})
+    upsert_table(cat2, "ev", bev.filter(F.col("event_id") % 193 == 0)
+                 .withColumn("value", F.col("value") + 2.0))
+    timed("IVM MIN/MAX refresh (group-scoped recompute)",
+          lambda: refresh_agg(cat2, "ev", "ev_mm"))
+
     shutil.rmtree(out, ignore_errors=True)
 
 
