@@ -107,11 +107,15 @@ def test_zorder_write_localizes_both_columns(spark, tmp_path):
                       / span_o)
         frac_p.append((max(maxs["l_partkey"]) - min(mins["l_partkey"]))
                       / span_p)
-    # average per-file coverage well below full span on BOTH dimensions
+    # average per-file coverage well below full span on BOTH dimensions.
+    # The discriminating alternative is a single-key sort, which leaves
+    # the other dimension at ~1.0; 0.7 keeps that discrimination while
+    # tolerating distribution drift across driver testdata generations
+    # (observed 0.55-0.61 on different generations of sf0.01).
     avg_o = sum(frac_o) / len(frac_o)
     avg_p = sum(frac_p) / len(frac_p)
-    assert avg_o < 0.6, avg_o
-    assert avg_p < 0.6, avg_p
+    assert avg_o < 0.7, avg_o
+    assert avg_p < 0.7, avg_p
     # and content round-trips exactly
     assert spark.read.parquet(path).count() == li.count()
 
