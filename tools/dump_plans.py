@@ -147,6 +147,37 @@ NOTES = {
         "on user_id with the interval condition) ran before this with "
         "state sized to 4 partitions — see the declared query's "
         "docstring for the state-store economics."),
+    "ivfpq_knn": (
+        "IVF×PQ (r06): the scan carries PartitionFilters on __cid (IVF "
+        "prune) and reads the pq_code column for ADC ranking — the float "
+        "vectors are decoded only for the exact re-rank of the shortlist "
+        "(columnar pruning does the second byte cut). Two prune factors "
+        "multiply: nprobe/num_centroids of the rows at m bytes each."),
+    "dedup_clusters_dist": (
+        "Distributed connected components (r06): per iteration one "
+        "edges⋈labels shuffle-join + groupBy-min + pointer-jump "
+        "self-join, all hash-partitioned on node id; "
+        "localCheckpoint(eager) truncates lineage every round so the "
+        "plan below stays constant-size across iterations (the classic "
+        "iterative-Spark failure avoided)."),
+    "sequence_pack": (
+        "Sequence packing (r06): ONE hash exchange on the block id, then "
+        "FlatMapGroupsInPandas packs each ~block_span-doc block in a "
+        "single Arrow batch — embarrassingly parallel, layout a pure "
+        "function of ids. The rollup above is a standard partial-agg "
+        "exchange on bin_id."),
+    "temperature_mix": (
+        "Temperature mixing (r06): the rate table (|groups| rows) is a "
+        "BroadcastHashJoin build side and the md5 hash-rule filter is a "
+        "codegen'd expression in the probe-side scan stage — the corpus "
+        "is never shuffled or collected."),
+    "incremental_agg_minmax": (
+        "MIN/MAX IVM refresh (r06): affected groups (from the changed "
+        "keys' old∪new images) broadcast into a left-semi join that "
+        "scopes the snapshot groupBy, merged with the untouched rollup "
+        "rows by a null-safe anti-join. Work ∝ changed groups' data; "
+        "the plan shows the broadcast semi/anti pair, never a full "
+        "rescan-aggregate of unchanged groups feeding the result."),
 }
 
 
