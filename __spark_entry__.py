@@ -1608,6 +1608,63 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("keep_doc_id"))
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma / RefinedWeb / C4 rule —
+    sub-document boilerplate removal): documents are re-chunked into
+    deterministic 10-token lines (the synthetic corpus has no newlines),
+    then every line that already occurred anywhere in the corpus is
+    removed except its first (doc_id, position) occurrence, and
+    surviving lines reassemble in order. Per-lang doc counts, unit/kept
+    sums, and an md5-sum of every rebuilt text prove byte-identical
+    reassembly. Two shuffles total (unit-key groupBy + doc reassembly);
+    hot boilerplate keys are absorbed map-side — see
+    operators/span_dedup.py scale notes."""
+    from pydata_vector_search_spark.operators.span_dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(T.normalized_text("text"), " ")
+    k = 10
+    nlines = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    d = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = paragraph_dedup(d, "text", "doc_id")
+    h = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    return (out.join(docs.select("doc_id", "lang"), "doc_id")
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_units").cast("long").alias("units"),
+                    F.sum("n_kept").cast("long").alias("kept"),
+                    F.sum(h).cast("long").alias("text_h"))
+               .orderBy("lang"))
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (token-span) dedup, Lee et al. 2021: every
+    duplicated run of >= 8 tokens is removed from all but its first
+    (doc_id, start) occurrence — the suffix-array formulation re-expressed
+    as a window-hash groupBy + gaps-and-islands interval merge (one
+    content-key shuffle + one per-doc window; no suffix array, no
+    self-join). Per-lang token/removal/span sums plus an md5-sum over
+    every rebuilt text pin the exact surviving byte sequence."""
+    from pydata_vector_search_spark.operators.span_dedup import (
+        duplicate_span_dedup)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_span_dedup(docs.select("doc_id", "text"),
+                               "text", "doc_id", n=8)
+    h = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    return (out.join(docs.select("doc_id", "lang"), "doc_id")
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("toks"),
+                    F.sum("n_removed").cast("long").alias("removed"),
+                    F.sum("n_spans").cast("long").alias("spans"),
+                    F.sum(h).cast("long").alias("text_h"))
+               .orderBy("lang"))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The md5-order
     permutations make even the LSH candidate set engine-independent, so this
@@ -2221,7 +2278,15 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded) plus booleans that Spark's sketch landed within 2% of
     them — the oracle asserts the same rows with the flags literally
     true. At 100 TB exact percentiles are a global sort; the sketch is
-    one map-side-combined aggregate."""
+    one map-side-combined aggregate.
+
+    Rounding note: interpolated percentiles of 2-decimal prices land on
+    a 0.0005 grid, which includes the exact half-cent round boundary
+    (x.xx5) where Spark (HALF_UP on the shortest decimal repr) and
+    DuckDB disagree — e.g. round(52724.244999999995, 2) is .24 vs .25.
+    Both engines produce bit-identical raw doubles, so a +1e-6 nudge
+    (≪ the 0.0005 grid spacing) before rounding resolves every boundary
+    point upward in both engines and moves no off-boundary value."""
     li = _t(spark, sf_dir, "lineitem")
     exact = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
     approx = F.expr(
@@ -2231,8 +2296,8 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(exact.alias("__e"), approx.alias("__a"))
               .select(
                   "l_returnflag",
-                  F.round(F.col("__e")[0], 2).alias("p50_exact"),
-                  F.round(F.col("__e")[1], 2).alias("p95_exact"),
+                  F.round(F.col("__e")[0] + F.lit(1e-6), 2).alias("p50_exact"),
+                  F.round(F.col("__e")[1] + F.lit(1e-6), 2).alias("p95_exact"),
                   (F.abs(F.col("__a")[0] - F.col("__e")[0])
                    <= tol * F.col("__e")[0]).alias("p50_ok"),
                   (F.abs(F.col("__a")[1] - F.col("__e")[1])
@@ -2610,7 +2675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-6 rotation: (a) the 6 NEW r06 queries (distributed-CC
+        # --- Round-6 rotation: (a) the 8 NEW r06 queries (sub-document
+        # --- paragraph + substring-span dedup, distributed-CC
         # --- pointer-jump path, IVF×PQ composition, MMR greedy oracle,
         # --- MIN/MAX group-scoped IVM, sequence packing, temperature
         # --- mixing); (b) all 20 queries whose latest
@@ -2619,11 +2685,15 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # --- explode-struct pivot, pq/ann content-hash sampling +
         # --- probe_cids, catalog partition-scoped purge, graph
         # --- local_threshold, retrieval mmr/bm25 module,
-        # --- incremental_agg min/max); (d) 13 oldest r04-verified
-        # --- queries, catalog/knn-adjacent first (multimodal_audio and
-        # --- salted_agg displaced to make room for the packing pair —
-        # --- both r04-green on untouched modules). Every other declared
-        # --- query's latest green row is now <=2 rounds old.
+        # --- incremental_agg min/max); (d) 11 oldest r04-verified
+        # --- queries, catalog/knn-adjacent first (multimodal_audio,
+        # --- salted_agg, stream_dedup and multimodal_meta displaced to
+        # --- make room for the packing + span-dedup pairs — all four
+        # --- r04-green on untouched modules, so still <=2 rounds old).
+        # --- Every other declared query's latest green row is now
+        # --- <=2 rounds old.
+        "paragraph_dedup": q_paragraph_dedup,
+        "span_dedup": q_span_dedup,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "ivfpq_knn": q_ivfpq_knn,
         "mmr_rerank": q_mmr_rerank,
@@ -2672,12 +2742,12 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "log_retention": q_log_retention,
         "upsert_merge": q_upsert_merge,
         "chunk_summary": q_chunk_summary,
-        "stream_dedup": q_stream_dedup,
-        "multimodal_meta": q_multimodal_meta,
         # --- beyond the window: everything re-verified in the r05 window
         # --- (CORRECTNESS_r05.json, 50/50 green) plus the remaining
         # --- r04-green queries on untouched modules. All pass
         # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        "stream_dedup": q_stream_dedup,
+        "multimodal_meta": q_multimodal_meta,
         "multimodal_audio": q_multimodal_audio,
         "salted_agg": q_salted_agg,
         "decontaminate": q_decontaminate,
@@ -3223,9 +3293,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_percentile": """
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.5), 2)
+                   round(quantile_cont(l_extendedprice, 0.5) + 1e-6, 2)
                        AS p50_exact,
-                   round(quantile_cont(l_extendedprice, 0.95), 2)
+                   round(quantile_cont(l_extendedprice, 0.95) + 1e-6, 2)
                        AS p95_exact,
                    true AS p50_ok, true AS p95_ok
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -4183,6 +4253,111 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY fp
             ORDER BY keep_doc_id
+        """,
+        "paragraph_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+            ), ll AS (
+                SELECT doc_id, lang,
+                       list_transform(
+                           generate_series(0, CAST(ceil(len(tk) / 10.0)
+                                                   AS INT) - 1),
+                           i -> array_to_string(tk[(i*10+1):(i*10+10)], ' '))
+                           AS ln
+                FROM toks
+            ), units AS (
+                SELECT doc_id, lang,
+                       generate_subscripts(ln, 1) - 1 AS pos,
+                       unnest(ln) AS u
+                FROM ll
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY u
+                                             ORDER BY doc_id, pos) AS rn
+                FROM units
+            ), kept AS (
+                SELECT * FROM ranked WHERE length(u) < 1 OR rn = 1
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(u, chr(10) ORDER BY pos) AS clean,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            ), perdoc AS (
+                SELECT t.doc_id, t.lang, len(t.ln)::BIGINT AS n_units,
+                       coalesce(r.n_kept, 0) AS n_kept,
+                       coalesce(r.clean, '') AS clean
+                FROM ll t LEFT JOIN reb r ON t.doc_id = r.doc_id
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_units)::BIGINT AS units,
+                   sum(n_kept)::BIGINT AS kept,
+                   sum(('0x' || substr(md5(clean), 1, 10))::BIGINT)::BIGINT
+                       AS text_h
+            FROM perdoc GROUP BY lang ORDER BY lang
+        """,
+        "span_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+            ), occ AS (
+                SELECT doc_id, i - 1 AS st,
+                       array_to_string(tk[i:(i+7)], ' ') AS g
+                FROM (SELECT doc_id, generate_subscripts(tk, 1) AS i, tk
+                      FROM toks)
+                WHERE i <= len(tk) - 7
+            ), dup AS (
+                SELECT doc_id, st, st + 8 AS e FROM (
+                    SELECT *, row_number() OVER (PARTITION BY g
+                                                 ORDER BY doc_id, st) AS rn
+                    FROM occ)
+                WHERE rn > 1
+            ), d1 AS (
+                SELECT doc_id, st, e,
+                       CASE WHEN st > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY st
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS ni
+                FROM dup
+            ), d2 AS (
+                SELECT doc_id, st, e,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+                                     ROWS UNBOUNDED PRECEDING) AS isl
+                FROM d1
+            ), merged AS (
+                SELECT doc_id, isl, min(st) AS s, max(e) AS e
+                FROM d2 GROUP BY doc_id, isl
+            ), tok AS (
+                SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                       unnest(tk) AS t
+                FROM toks
+            ), keptt AS (
+                SELECT tok.doc_id, pos, t
+                FROM tok LEFT JOIN merged
+                  ON tok.doc_id = merged.doc_id
+                 AND pos >= merged.s AND pos < merged.e
+                WHERE merged.doc_id IS NULL
+            ), reb AS (
+                SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean
+                FROM keptt GROUP BY doc_id
+            ), spanstats AS (
+                SELECT doc_id, count(*)::BIGINT AS n_spans,
+                       sum(e - s)::BIGINT AS n_removed
+                FROM merged GROUP BY doc_id
+            ), perdoc AS (
+                SELECT t.doc_id, t.lang, len(t.tk)::BIGINT AS n_tokens,
+                       coalesce(ss.n_removed, 0) AS n_removed,
+                       coalesce(ss.n_spans, 0) AS n_spans,
+                       coalesce(r.clean, '') AS clean
+                FROM toks t
+                LEFT JOIN reb r ON t.doc_id = r.doc_id
+                LEFT JOIN spanstats ss ON t.doc_id = ss.doc_id
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS toks,
+                   sum(n_removed)::BIGINT AS removed,
+                   sum(n_spans)::BIGINT AS spans,
+                   sum(('0x' || substr(md5(clean), 1, 10))::BIGINT)::BIGINT
+                       AS text_h
+            FROM perdoc GROUP BY lang ORDER BY lang
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),

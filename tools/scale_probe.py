@@ -166,6 +166,28 @@ def main() -> None:
     timed("IVM MIN/MAX refresh (group-scoped recompute)",
           lambda: refresh_agg(cat2, "ev", "ev_mm"))
 
+    # sub-document dedup at scale (r06): the replicated corpus makes
+    # every base paragraph/span appear n_copies times — removal volume
+    # is inherent output growth, the plans stay two-shuffle linear
+    from pydata_vector_search_spark.operators.span_dedup import (
+        duplicate_span_dedup, paragraph_dedup)
+    lines10 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.ceil(F.size(F.split("text", " ")) / F.lit(10))
+                        .cast("int") - 1),
+            lambda i: F.array_join(
+                F.slice(F.split("text", " "), i * 10 + 1, 10), " ")),
+        "\n")
+    timed("paragraph dedup (10-token lines, rebuild)",
+          lambda: paragraph_dedup(
+              bd.select("doc_id", lines10.alias("text")),
+              "text", "doc_id").agg(
+                  F.sum("n_units"), F.sum("n_kept")).collect() and "ok")
+    timed("substring-span dedup (n=8, interval merge + rebuild)",
+          lambda: duplicate_span_dedup(bd, "text", "doc_id", n=8).agg(
+              F.sum("n_removed"), F.sum("n_spans")).collect() and "ok")
+
     shutil.rmtree(out, ignore_errors=True)
 
 
