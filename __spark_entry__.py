@@ -1665,6 +1665,78 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("lang"))
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020): per-doc
+    negative log-likelihood under an interpolated unigram/bigram model
+    trained on the corpus itself in one pass. Per-gram log terms are
+    floored to integer micro-nats before summing (the bm25 convention),
+    so per-doc and per-lang sums are exact longs — order-independent
+    and bit-equal across engines; the declared result contains NO
+    rounded float at all. ``hi_nll`` counts docs over 3.5 nats/bigram
+    (the "gibberish" tail a CCNet-style filter would cut), compared in
+    exact integer arithmetic."""
+    from pydata_vector_search_spark.operators.lm_score import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_score(docs, "text", "doc_id", lam=0.8)
+    return (out.join(docs.select("doc_id", "lang"), "doc_id")
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_bigrams").cast("long").alias("bigrams"),
+                    F.sum("nll_micro").cast("long").alias("nll_micro"),
+                    F.sum(F.when(F.col("nll_micro")
+                                 > F.lit(3_500_000) * F.col("n_bigrams"), 1)
+                          .otherwise(0)).cast("long").alias("hi_nll"))
+               .orderBy("lang"))
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    weights of the whole corpus toward the English-doc target
+    distribution; top 15 docs by weight. Bucket models are
+    ``num_buckets`` rows — broadcast — so the corpus explode never
+    shuffles; per-doc weights are exact integer micro-nat sums
+    (``w_micro``), so the declared result is float-free."""
+    from pydata_vector_search_spark.operators.lm_score import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_importance(docs, target, "text", "doc_id",
+                           num_buckets=10_000, k=15)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization: the jaccard_join edge
+    set collapsed to connected components (same CC operator the
+    dedup_clusters queries pin), but the kept representative is the
+    HIGHEST-QUALITY member (quality_score round-2, ties → min doc_id)
+    instead of the min id — what production pipelines actually do
+    (keep the cleanest duplicate, not an arbitrary one). The
+    per-cluster argmax is a window over members — clusters are tiny,
+    so the window partitions stay balanced at any corpus size."""
+    from pydata_vector_search_spark.operators.graph import \
+        connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similarity_join(docs, "text", "doc_id",
+                                          n=3, threshold=0.5)
+    comps = connected_components(pairs, src="id_1", dst="id_2")
+    scored = comps.join(
+        docs.select(F.col("doc_id").alias("node"),
+                    F.round(T.quality_score("text"), 2).alias("q")),
+        "node")
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(),
+                                                F.col("node").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .groupBy(F.col("component").alias("cluster_id"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"),
+                       F.max(F.when(F.col("__rn") == 1, F.col("node")))
+                        .alias("keep_id"),
+                       F.max(F.when(F.col("__rn") == 1, F.col("q")))
+                        .alias("keep_q"))
+                  .orderBy("cluster_id"))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The md5-order
     permutations make even the LSH candidate set engine-independent, so this
@@ -2675,25 +2747,30 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-6 rotation: (a) the 8 NEW r06 queries (sub-document
-        # --- paragraph + substring-span dedup, distributed-CC
+        # --- Round-6 rotation: (a) the 11 NEW r06 queries (sub-document
+        # --- paragraph + substring-span dedup, bigram-LM perplexity,
+        # --- DSIR selection, quality-aware keep-best, distributed-CC
         # --- pointer-jump path, IVF×PQ composition, MMR greedy oracle,
         # --- MIN/MAX group-scoped IVM, sequence packing, temperature
         # --- mixing); (b) all 20 queries whose latest
-        # --- driver-green row predates r04 (r05 verdict #3); (c) the 13
+        # --- driver-green row predates r04 (r05 verdict #3); (c) the 12
         # --- queries sitting on modules round 6 changed (quality.py
         # --- explode-struct pivot, pq/ann content-hash sampling +
         # --- probe_cids, catalog partition-scoped purge, graph
         # --- local_threshold, retrieval mmr/bm25 module,
-        # --- incremental_agg min/max); (d) 11 oldest r04-verified
-        # --- queries, catalog/knn-adjacent first (multimodal_audio,
-        # --- salted_agg, stream_dedup and multimodal_meta displaced to
-        # --- make room for the packing + span-dedup pairs — all four
-        # --- r04-green on untouched modules, so still <=2 rounds old).
-        # --- Every other declared query's latest green row is now
-        # --- <=2 rounds old.
+        # --- incremental_agg min/max); (d) the 7 oldest r04-verified
+        # --- catalog/knn-adjacent queries (displaced to make room:
+        # --- multimodal_audio, salted_agg, stream_dedup,
+        # --- multimodal_meta, upsert_merge, chunk_summary — r04-green
+        # --- on modules r06 did not touch, so still <=2 rounds old —
+        # --- and dedup_clusters, r05-green with graph.py's r06 change
+        # --- exercised in-window by dedup_clusters_dist). Every other
+        # --- declared query's latest green row is now <=2 rounds old.
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,
+        "lm_perplexity": q_lm_perplexity,
+        "dsir_select": q_dsir_select,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "ivfpq_knn": q_ivfpq_knn,
         "mmr_rerank": q_mmr_rerank,
@@ -2729,7 +2806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "knn_join_ivf": q_knn_join_ivf,
         "purge_erasure": q_purge_erasure,
         "incremental_agg": q_incremental_agg,
-        "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2740,12 +2816,15 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "hybrid_prefilter": q_hybrid_prefilter,
         "vector_knn_l2": q_vector_knn_l2,
         "log_retention": q_log_retention,
-        "upsert_merge": q_upsert_merge,
-        "chunk_summary": q_chunk_summary,
         # --- beyond the window: everything re-verified in the r05 window
         # --- (CORRECTNESS_r05.json, 50/50 green) plus the remaining
-        # --- r04-green queries on untouched modules. All pass
-        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        # --- r04-green queries on untouched modules (dedup_clusters is
+        # --- r05-green and graph.py's r06 change is exercised in-window
+        # --- by dedup_clusters_dist). All pass tools/oracle_check.py at
+        # --- head (ORACLE_LOCAL.json).
+        "dedup_clusters": q_dedup_clusters,
+        "upsert_merge": q_upsert_merge,
+        "chunk_summary": q_chunk_summary,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_audio": q_multimodal_audio,
@@ -4358,6 +4437,121 @@ def oracle_sql() -> dict[str, str]:
                    sum(('0x' || substr(md5(clean), 1, 10))::BIGINT)::BIGINT
                        AS text_h
             FROM perdoc GROUP BY lang ORDER BY lang
+        """,
+        "lm_perplexity": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+            ), uni AS (
+                SELECT w, count(*) AS c1 FROM (
+                    SELECT unnest(tk) AS w FROM toks) GROUP BY w
+            ), nn AS (
+                SELECT sum(len(tk))::DOUBLE AS n FROM toks
+            ), big AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+                FROM (SELECT doc_id, generate_subscripts(tk, 1) AS i, tk
+                      FROM toks)
+                WHERE i < len(tk)
+            ), bc AS (
+                SELECT bg, count(*) AS c12 FROM big GROUP BY bg
+            ), cost AS (
+                SELECT bg,
+                       floor(-ln(0.8::DOUBLE * c12::DOUBLE / u1.c1
+                                 + {1.0 - 0.8!r}::DOUBLE * u2.c1::DOUBLE
+                                   / nn.n)
+                             * 1000000 + 0.5)::BIGINT AS q
+                FROM bc
+                JOIN uni u1 ON split_part(bg, ' ', 1) = u1.w
+                JOIN uni u2 ON split_part(bg, ' ', 2) = u2.w, nn
+            ), perdoc AS (
+                SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                       sum(q)::BIGINT AS nll_micro
+                FROM big JOIN cost USING (bg) GROUP BY doc_id
+            )
+            SELECT d.lang, count(*)::BIGINT AS n_docs,
+                   sum(p.n_bigrams)::BIGINT AS bigrams,
+                   sum(p.nll_micro)::BIGINT AS nll_micro,
+                   sum(CASE WHEN p.nll_micro > 3500000 * p.n_bigrams
+                            THEN 1 ELSE 0 END)::BIGINT AS hi_nll
+            FROM perdoc p JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "dsir_select": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+            ), big AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))
+                           ::BIGINT % 10000 AS b
+                FROM (SELECT doc_id, lang, generate_subscripts(tk, 1) AS i,
+                             tk
+                      FROM toks)
+                WHERE i < len(tk)
+            ), tgt AS (
+                SELECT b, count(*) AS ct FROM big
+                WHERE lang = 'en' GROUP BY b
+            ), rawc AS (
+                SELECT b, count(*) AS cr FROM big GROUP BY b
+            ), nt AS (SELECT sum(ct)::DOUBLE AS n FROM tgt
+            ), nr AS (SELECT sum(cr)::DOUBLE AS n FROM rawc
+            ), cost AS (
+                SELECT rawc.b,
+                       floor(ln(((coalesce(tgt.ct, 0) + 1) / (nt.n + 10000))
+                                / ((rawc.cr + 1) / (nr.n + 10000)))
+                             * 1000000 + 0.5)::BIGINT AS q
+                FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b, nt, nr
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+                   sum(q)::BIGINT AS w_micro
+            FROM big JOIN cost USING (b)
+            GROUP BY doc_id
+            ORDER BY w_micro DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk, text FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+            ), pairs AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ), edges AS (
+                SELECT id_1 AS u, id_2 AS v FROM pairs
+                UNION
+                SELECT id_2, id_1 FROM pairs
+            ), reach AS (
+                SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+            ), comp AS (
+                SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+            ), scored AS (
+                SELECT c.component, c.node,
+                       round(0.4 * least(length(d.text) / 200.0, 1.0)
+                           + 0.3 * (CASE WHEN length(d.text)::DOUBLE
+                                        / len(regexp_split_to_array(
+                                              trim(d.text), '\\s+'))
+                                        BETWEEN 3 AND 12
+                                        THEN 1.0 ELSE 0.5 END)
+                           + 0.3 * (1.0 - least(5.0 * length(
+                                 regexp_replace(d.text,
+                                     '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                                 ::DOUBLE / length(d.text), 1.0)), 2) AS q
+                FROM comp c JOIN documents d ON c.node = d.doc_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY component
+                                             ORDER BY q DESC, node ASC)
+                           AS rn
+                FROM scored
+            )
+            SELECT component AS cluster_id,
+                   count(*)::BIGINT AS cluster_size,
+                   max(CASE WHEN rn = 1 THEN node END) AS keep_id,
+                   max(CASE WHEN rn = 1 THEN q END) AS keep_q
+            FROM ranked GROUP BY component ORDER BY cluster_id
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),

@@ -1,0 +1,105 @@
+"""Bigram-LM perplexity scoring + DSIR importance weights (lm_score.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.catalog import read_table
+from pydata_vector_search_spark.operators.lm_score import (
+    _SCALE, bigram_lm_score, dsir_importance)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+def _py_bigram_nll(rows, lam=0.8):
+    """Pure-Python reference: interpolated unigram/bigram NLL in
+    integer micro-nats, mirroring the operator's floor convention."""
+    toks = {i: t.lower().split() for i, t in rows}
+    uni, bi = {}, {}
+    n = 0
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+            n += 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    out = {}
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        s = 0
+        for a, b in zip(ts, ts[1:]):
+            p = lam * bi[(a, b)] / uni[a] + (1.0 - lam) * uni[b] / n
+            s += math.floor(-math.log(p) * _SCALE + 0.5)
+        out[i] = (len(ts) - 1, s)
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat sat on the cat"),
+            (3, "a dog barked"),
+            (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.nll_micro)
+           for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    assert got == _py_bigram_nll(rows)
+
+
+def test_bigram_lm_repeated_doc_scores_lower(spark):
+    """A doc following the corpus's dominant bigram pattern scores lower
+    NLL than a doc using the same vocabulary in an unusual order (note:
+    a doc of fully UNIQUE bigrams would score p(w2|w1)=1 under a
+    self-trained model — the discriminating case is common words in
+    rare contexts, which is also the realistic gibberish shape)."""
+    rows = [(i, "alpha beta alpha beta alpha beta") for i in range(5)]
+    rows += [(99, "beta beta beta beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.nll_micro / r.n_bigrams
+           for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    assert got[0] < got[99]
+
+
+def test_bigram_lm_partition_invariant(docs):
+    a = bigram_lm_score(docs.repartition(13), "text", "doc_id")
+    b = bigram_lm_score(docs.coalesce(1), "text", "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target's bigrams out-weigh docs that don't."""
+    target = spark.createDataFrame(
+        [(100 + i, "spark shuffle join broadcast") for i in range(4)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "spark shuffle join broadcast"),
+         (2, "turnip casserole recipe book"),
+         (3, "spark shuffle turnip book")],
+        "doc_id long, text string")
+    out = dsir_importance(raw, target, "text", "doc_id").collect()
+    order = [r.doc_id for r in out]
+    assert order[0] == 1 and order[-1] == 2
+    w = {r.doc_id: r.w_micro for r in out}
+    assert w[1] > w[3] > w[2]
+
+
+def test_dsir_weights_are_exact_longs_and_k_truncates(docs):
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_importance(docs, target, "text", "doc_id", k=7)
+    rows = out.collect()
+    assert len(rows) == 7
+    assert all(isinstance(r.w_micro, int) for r in rows)
+    # deterministic ordering: (w desc, id asc)
+    key = [(-r.w_micro, r.doc_id) for r in rows]
+    assert key == sorted(key)
+
+
+def test_dsir_partition_invariant(docs):
+    target = docs.filter(F.col("lang") == "en")
+    a = dsir_importance(docs.repartition(11), target, "text", "doc_id")
+    b = dsir_importance(docs.coalesce(1), target, "text", "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

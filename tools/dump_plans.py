@@ -178,6 +178,35 @@ NOTES = {
         "rows by a null-safe anti-join. Work ∝ changed groups' data; "
         "the plan shows the broadcast semi/anti pair, never a full "
         "rescan-aggregate of unchanged groups feeding the result."),
+    "span_dedup": (
+        "Substring-span dedup (r06, Lee et al. '21): the suffix array "
+        "becomes a window-hash HashAggregate (map-side-combined min "
+        "struct per gram — hot boilerplate grams collapse before the "
+        "exchange), one gram-keyed SortMergeJoin tags duplicate "
+        "occurrences, and the interval merge is a per-doc window — "
+        "partitions stay balanced because each doc's duplicate starts "
+        "are that doc's rows only. Token rebuild is a codegen'd "
+        "higher-order filter; no Python anywhere."),
+    "paragraph_dedup": (
+        "Paragraph dedup (r06): same two-shuffle shape as span_dedup "
+        "minus the interval logic — unit-key groupBy-min (partial agg "
+        "absorbs viral boilerplate paragraphs), join-back to tag "
+        "survivors, doc-keyed reassembly via sorted collect_list. "
+        "No self-join, no corpus-wide window."),
+    "lm_perplexity": (
+        "Bigram-LM scoring (r06): n-gram counting is two map-side-"
+        "combined HashAggregates (unigram + bigram keys); scoring joins "
+        "the DISTINCT-gram cost table (vocabulary-sized, not corpus-"
+        "sized) back to occurrences. Per-gram costs are floored to "
+        "integer micro-nats BEFORE the per-doc sum, so the final "
+        "aggregate is an exact long — order-independent under any "
+        "partitioning, which is what makes the result oracle-hashable."),
+    "dsir_select": (
+        "DSIR selection (r06): both hashed-bucket models are "
+        "num_buckets-row BroadcastExchange build sides — the corpus "
+        "explode joins them WITHOUT shuffling itself; the only data "
+        "exchange is the per-doc weight aggregate. Top-k is "
+        "TakeOrderedAndProject on the exact integer weight."),
 }
 
 
