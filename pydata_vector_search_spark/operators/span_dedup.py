@@ -45,9 +45,29 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pydata_vector_search_spark.functions.text import normalized_text
+
+# (doc, position) packed into ONE long for the first-occurrence min:
+# min(struct) compiles to SortAggregate (struct buffers aren't
+# HashAggregate-able), while min(long) is a map-side-combinable
+# HashAggregate — the difference between sorting and hashing the
+# dominant content-key shuffle at 100 TB. Packing is order-isomorphic
+# ((d1,p1) <lex (d2,p2)  <=>  d1*LIFT+p1 < d2*LIFT+p2) provided
+# pos < LIFT, which is raise_error-enforced at runtime (a >4M-token
+# document is pathological input, not a silent wrong answer), and ids
+# are non-negative and < 2^41 (long overflow headroom at *2^22).
+_POS_LIFT = 1 << 22
+
+
+def _pack(id_col: str, pos: Column) -> Column:
+    packed = F.col(id_col) * F.lit(_POS_LIFT) + pos
+    return (F.when(pos < _POS_LIFT, packed)
+             .otherwise(F.raise_error(F.lit(
+                 f"span_dedup: unit position >= {_POS_LIFT}; "
+                 "document too long to pack (doc, pos) keys"))
+                 .cast("long")))
 
 
 # --------------------------------------------------------------------------
@@ -74,13 +94,11 @@ def paragraph_dedup(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__u"))
     cand = units.filter(F.length("__u") >= min_chars) \
-                .withColumn("__h", F.md5("__u"))
-    firsts = cand.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"),
-                       F.col("__pos").alias("p"))).alias("__first"))
+                .withColumn("__h", F.md5("__u")) \
+                .withColumn("__dp", _pack(id_col, F.col("__pos")))
+    firsts = cand.groupBy("__h").agg(F.min("__dp").alias("__first"))
     kept_cand = (cand.join(firsts, "__h")
-                     .filter((F.col(id_col) == F.col("__first.d")) &
-                             (F.col("__pos") == F.col("__first.p")))
+                     .filter(F.col("__dp") == F.col("__first"))
                      .select(id_col, "__pos", "__u"))
     always = units.filter(F.length("__u") < min_chars) \
                   .select(id_col, "__pos", "__u")
@@ -144,13 +162,11 @@ def duplicate_span_dedup(df: DataFrame, text_col: str, id_col: str,
     occ = base.select(
         id_col,
         F.posexplode(_gram_col(F.col("__toks"), n)).alias("__start", "__g"))
-    keyed = occ.select(id_col, "__start", F.md5("__g").alias("__h"))
-    firsts = keyed.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"),
-                       F.col("__start").alias("p"))).alias("__first"))
+    keyed = occ.select(id_col, "__start", F.md5("__g").alias("__h"),
+                       _pack(id_col, F.col("__start")).alias("__dp"))
+    firsts = keyed.groupBy("__h").agg(F.min("__dp").alias("__first"))
     dup = (keyed.join(firsts, "__h")
-                .filter((F.col(id_col) != F.col("__first.d")) |
-                        (F.col("__start") != F.col("__first.p")))
+                .filter(F.col("__dp") != F.col("__first"))
                 .select(id_col, "__start",
                         (F.col("__start") + n).alias("__end")))
 

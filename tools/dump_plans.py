@@ -180,13 +180,15 @@ NOTES = {
         "rescan-aggregate of unchanged groups feeding the result."),
     "span_dedup": (
         "Substring-span dedup (r06, Lee et al. '21): the suffix array "
-        "becomes a window-hash HashAggregate (map-side-combined min "
-        "struct per gram — hot boilerplate grams collapse before the "
-        "exchange), one gram-keyed SortMergeJoin tags duplicate "
-        "occurrences, and the interval merge is a per-doc window — "
-        "partitions stay balanced because each doc's duplicate starts "
-        "are that doc's rows only. Token rebuild is a codegen'd "
-        "higher-order filter; no Python anywhere."),
+        "becomes a gram-keyed HashAggregate — (doc,pos) packs into ONE "
+        "long so first-occurrence min is partial_min in a codegen "
+        "HashAggregate, not a SortAggregate over structs; hot "
+        "boilerplate grams collapse map-side before the exchange. One "
+        "gram-keyed join tags duplicate occurrences (AQE broadcasts at "
+        "test SF, sort-merge at scale), the interval merge is a per-doc "
+        "window — partitions stay balanced because each doc's duplicate "
+        "starts are that doc's rows only — and the token rebuild is a "
+        "codegen'd higher-order filter; no Python anywhere."),
     "paragraph_dedup": (
         "Paragraph dedup (r06): same two-shuffle shape as span_dedup "
         "minus the interval logic — unit-key groupBy-min (partial agg "

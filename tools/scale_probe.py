@@ -188,6 +188,18 @@ def main() -> None:
           lambda: duplicate_span_dedup(bd, "text", "doc_id", n=8).agg(
               F.sum("n_removed"), F.sum("n_spans")).collect() and "ok")
 
+    # corpus-statistics selection at scale (r06): LM counts are
+    # vocabulary-sized aggregates; DSIR models broadcast
+    from pydata_vector_search_spark.operators.lm_score import (
+        bigram_lm_score, dsir_importance)
+    timed("bigram-LM NLL scoring (micro-nat partials)",
+          lambda: bigram_lm_score(bd, "text", "doc_id").agg(
+              F.sum("nll_micro")).collect() and "ok")
+    timed("DSIR importance top-100 (broadcast bucket models)",
+          lambda: len(dsir_importance(
+              bd, bd.filter(F.col("lang") == "en"), "text", "doc_id",
+              k=100).collect()))
+
     shutil.rmtree(out, ignore_errors=True)
 
 
