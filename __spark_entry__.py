@@ -1737,6 +1737,29 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .orderBy("cluster_id"))
 
 
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataloader shuffle+shard (operators/packing.py
+    shard_shuffle): md5-keyed pseudo-random order, 8 shards, one hash
+    exchange + in-partition sort (never a global sort). The declared
+    result pins the COMPLETE permutation per shard, not a sample: the
+    rank-weighted checksum ``sum(rn * doc_id)`` changes if any two rows
+    swap, plus the exact first/last doc of every shard — all exact
+    integers."""
+    from pydata_vector_search_spark.operators.packing import shard_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shard_shuffle(docs.select("doc_id"), "doc_id", num_shards=8)
+    w = Window.partitionBy("shard").orderBy("shard_key", "doc_id")
+    return (sh.withColumn("rn", F.row_number().over(w))
+              .groupBy("shard")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum(F.col("rn").cast("long") * F.col("doc_id"))
+                    .cast("long").alias("ord_sum"),
+                   F.expr("min_by(doc_id, rn)").alias("first_doc"),
+                   F.expr("max_by(doc_id, rn)").alias("last_doc"))
+              .orderBy("shard"))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The md5-order
     permutations make even the LSH candidate set engine-independent, so this
@@ -2747,9 +2770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-6 rotation: (a) the 11 NEW r06 queries (sub-document
+        # --- Round-6 rotation: (a) the 12 NEW r06 queries (sub-document
         # --- paragraph + substring-span dedup, bigram-LM perplexity,
-        # --- DSIR selection, quality-aware keep-best, distributed-CC
+        # --- DSIR selection, quality-aware keep-best, dataloader
+        # --- shard-shuffle, distributed-CC
         # --- pointer-jump path, IVF×PQ composition, MMR greedy oracle,
         # --- MIN/MAX group-scoped IVM, sequence packing, temperature
         # --- mixing); (b) all 20 queries whose latest
@@ -2768,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # --- declared query's latest green row is now <=2 rounds old.
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,
+        "shard_shuffle": q_shard_shuffle,
         "lm_perplexity": q_lm_perplexity,
         "dsir_select": q_dsir_select,
         "dedup_keep_best": q_dedup_keep_best,
@@ -2815,13 +2840,14 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "vector_knn_sql": q_vector_knn_sql,
         "hybrid_prefilter": q_hybrid_prefilter,
         "vector_knn_l2": q_vector_knn_l2,
-        "log_retention": q_log_retention,
         # --- beyond the window: everything re-verified in the r05 window
         # --- (CORRECTNESS_r05.json, 50/50 green) plus the remaining
         # --- r04-green queries on untouched modules (dedup_clusters is
         # --- r05-green and graph.py's r06 change is exercised in-window
-        # --- by dedup_clusters_dist). All pass tools/oracle_check.py at
-        # --- head (ORACLE_LOCAL.json).
+        # --- by dedup_clusters_dist; log_retention is r04-green and
+        # --- expire_commits itself is untouched this round). All pass
+        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        "log_retention": q_log_retention,
         "dedup_clusters": q_dedup_clusters,
         "upsert_merge": q_upsert_merge,
         "chunk_summary": q_chunk_summary,
@@ -4552,6 +4578,24 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = 1 THEN node END) AS keep_id,
                    max(CASE WHEN rn = 1 THEN q END) AS keep_q
             FROM ranked GROUP BY component ORDER BY cluster_id
+        """,
+        "shard_shuffle": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('shuf42|' || doc_id::VARCHAR),
+                                       1, 15))::BIGINT AS k
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, k, (k % 8)::INT AS shard,
+                       row_number() OVER (PARTITION BY (k % 8)
+                                          ORDER BY k, doc_id) AS rn
+                FROM keyed
+            )
+            SELECT shard, count(*)::BIGINT AS n,
+                   sum(rn * doc_id)::BIGINT AS ord_sum,
+                   arg_min(doc_id, rn) AS first_doc,
+                   arg_max(doc_id, rn) AS last_doc
+            FROM sh GROUP BY shard ORDER BY shard
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),

@@ -131,3 +131,31 @@ def temperature_mix(df: DataFrame, id_col: str, group_col: str,
         rates, df.select(group_col).schema.add(rate_col, "double"))
     return (df.join(F.broadcast(rdf), [group_col])
               .filter(_u01(id_col, seed) < F.col(rate_col)))
+
+
+def shard_shuffle(df: DataFrame, id_col: str, num_shards: int,
+                  seed: int = 42, shard_col: str = "shard",
+                  order_col: str = "shard_key") -> DataFrame:
+    """Deterministic global shuffle + sharding for training dataloaders:
+    every row gets a stable pseudo-random 64-bit order key
+    ``md5(seed||id)`` and a shard ``key-derived % num_shards``, and rows
+    are physically clustered by shard and sorted by key within it —
+    the "write a shuffled, sharded training corpus" step that follows
+    packing/mixing in every pre-training pipeline.
+
+    The layout is a pure function of the id column: re-running on any
+    partitioning (or any engine with md5) reproduces the identical
+    shard membership and in-shard order — which is what makes
+    resumable/elastic data loading possible. At 100 TB this is ONE hash
+    exchange on the shard id plus an in-partition sort
+    (repartition + sortWithinPartitions): no global sort, no
+    range-boundary sampling job, shards stream straight to their output
+    files."""
+    h = F.md5(F.concat(F.lit(f"shuf{seed}|"),
+                       F.col(id_col).cast("string")))
+    key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    out = df.withColumn(order_col, key) \
+            .withColumn(shard_col,
+                        (F.col(order_col) % num_shards).cast("int"))
+    return out.repartition(num_shards, F.col(shard_col)) \
+              .sortWithinPartitions(shard_col, order_col, id_col)

@@ -80,3 +80,37 @@ def test_temperature_mix_shares_and_determinism(spark):
                           sample_frac=0.5, seed=1)
     assert {round(r.mix_rate, 9) for r in
             uni.select("mix_rate").distinct().collect()} == {0.5}
+
+
+def test_shard_shuffle_membership_and_physical_order(spark, sf_dir):
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.operators.packing import shard_shuffle
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = shard_shuffle(docs, "doc_id", num_shards=4, seed=7)
+
+    # physical contract: each output partition holds whole shards,
+    # sorted by (shard, key, id) — checked on the actual partitions
+    def check(it):
+        prev = None
+        for r in it:
+            cur = (r.shard, r.shard_key, r.doc_id)
+            assert prev is None or prev <= cur
+            prev = cur
+        yield (1,)
+    assert out.rdd.mapPartitions(check).count() == out.rdd.getNumPartitions()
+
+    # shard membership + order key are pure functions of id: invariant
+    # under input partitioning, and a different seed permutes them
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, shard_shuffle(docs.repartition(13), "doc_id",
+                                        num_shards=4, seed=7).collect()))
+    assert a == b
+    c = sorted(map(tuple, shard_shuffle(docs, "doc_id", num_shards=4,
+                                        seed=8).collect()))
+    assert a != c
+
+    # every row lands in exactly one shard and none are lost
+    n = docs.count()
+    per = out.groupBy("shard").count().collect()
+    assert sum(r["count"] for r in per) == n and len(per) == 4

@@ -1,6 +1,7 @@
 """Sub-document dedup: paragraph-level and substring-span (Lee et al. '21)."""
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from pydata_vector_search_spark.catalog import read_table
@@ -100,6 +101,46 @@ def test_span_disjoint_spans_counted(spark):
         (2, "a b c XX YY m n o")], n=3)
     assert out[2].text == "xx yy"       # normalized_text lowercases
     assert out[2].n_spans == 2 and out[2].n_removed == 6
+
+
+def _ref_span_dedup(rows, n):
+    """Pure-Python reference for duplicate_span_dedup semantics."""
+    toks = {i: t.split(" ") for i, t in rows}
+    first = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - n + 1):
+            first.setdefault(tuple(ts[p:p + n]), (d, p))
+    out = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        starts = [p for p in range(len(ts) - n + 1)
+                  if first[tuple(ts[p:p + n])] != (d, p)]
+        spans = []
+        for p in starts:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n)
+            else:
+                spans.append([p, p + n])
+        covered = {i for s, e in spans for i in range(s, e)}
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        out[d] = (" ".join(kept), len(ts),
+                  sum(e - s for s, e in spans), len(spans))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(2, 4),
+       st.lists(st.lists(st.sampled_from("abc"), min_size=1, max_size=10),
+                min_size=2, max_size=6))
+def test_span_matches_python_reference(spark, n, token_lists):
+    """Random tiny corpora over a 3-token alphabet (dense gram
+    collisions) agree with the pure-Python reference exactly."""
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_removed, r.n_spans)
+           for r in duplicate_span_dedup(df, "text", "doc_id", n=n).collect()}
+    assert got == _ref_span_dedup(rows, n)
 
 
 def test_span_partition_invariant_on_corpus(docs):
