@@ -384,6 +384,64 @@ class Engine:
             refresh_agg
         return refresh_agg(self.catalog, source, name)
 
+    # -- training-data assembly (r06) -------------------------------------
+    def dedup_paragraphs(self, table: str | DataFrame, text_col: str,
+                         id_col: str, **kw) -> DataFrame:
+        """Sub-document paragraph dedup (Dolma/RefinedWeb/C4 rule)."""
+        from pydata_vector_search_spark.operators.span_dedup import \
+            paragraph_dedup
+        df = self.table(table) if isinstance(table, str) else table
+        return paragraph_dedup(df, text_col, id_col, **kw)
+
+    def dedup_spans(self, table: str | DataFrame, text_col: str,
+                    id_col: str, n: int = 8) -> DataFrame:
+        """Exact substring-span dedup (Lee et al. 2021)."""
+        from pydata_vector_search_spark.operators.span_dedup import \
+            duplicate_span_dedup
+        df = self.table(table) if isinstance(table, str) else table
+        return duplicate_span_dedup(df, text_col, id_col, n=n)
+
+    def lm_score(self, table: str | DataFrame, text_col: str,
+                 id_col: str, **kw) -> DataFrame:
+        """CCNet-style bigram-LM NLL scoring (integer micro-nats)."""
+        from pydata_vector_search_spark.operators.lm_score import \
+            bigram_lm_score
+        df = self.table(table) if isinstance(table, str) else table
+        return bigram_lm_score(df, text_col, id_col, **kw)
+
+    def dsir_select(self, raw: str | DataFrame, target: str | DataFrame,
+                    text_col: str, id_col: str, **kw) -> DataFrame:
+        """DSIR hashed-n-gram importance selection toward ``target``."""
+        from pydata_vector_search_spark.operators.lm_score import \
+            dsir_importance
+        r = self.table(raw) if isinstance(raw, str) else raw
+        t = self.table(target) if isinstance(target, str) else target
+        return dsir_importance(r, t, text_col, id_col, **kw)
+
+    def pack(self, table: str | DataFrame, id_col: str, len_col,
+             **kw) -> DataFrame:
+        """Greedy next-fit sequence packing into fixed-token bins."""
+        from pydata_vector_search_spark.operators.packing import \
+            pack_sequences
+        df = self.table(table) if isinstance(table, str) else table
+        return pack_sequences(df, id_col, len_col, **kw)
+
+    def mix(self, table: str | DataFrame, id_col: str, group_col: str,
+            **kw) -> DataFrame:
+        """Temperature-weighted corpus mixing (n^alpha rule)."""
+        from pydata_vector_search_spark.operators.packing import \
+            temperature_mix
+        df = self.table(table) if isinstance(table, str) else table
+        return temperature_mix(df, id_col, group_col, **kw)
+
+    def shuffle_shards(self, table: str | DataFrame, id_col: str,
+                       num_shards: int, **kw) -> DataFrame:
+        """Deterministic dataloader shuffle + shard clustering."""
+        from pydata_vector_search_spark.operators.packing import \
+            shard_shuffle
+        df = self.table(table) if isinstance(table, str) else table
+        return shard_shuffle(df, id_col, num_shards, **kw)
+
     # -- maintenance ------------------------------------------------------
     def compact(self, table: str, **kw) -> None:
         self.catalog.compact(table, **kw)

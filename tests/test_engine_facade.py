@@ -191,3 +191,36 @@ def test_engine_pq_facade(spark, tmp_path, sf_dir):
         emb, "embedding", qv, k=5, metric="cosine",
         tiebreaker="vec_id", round_to=6).collect()]
     assert got == want
+
+
+def test_engine_training_assembly_facade(spark, tmp_path, sf_dir):
+    """Round-6 facade surface: sub-document dedup, LM/DSIR scoring,
+    pack/mix/shuffle — each delegates to its oracle-checked operator."""
+    from pydata_vector_search_spark.catalog import read_table
+    from pydata_vector_search_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "r6"))
+    docs = read_table(spark, sf_dir, "documents")
+
+    spans = eng.dedup_spans(docs, "text", "doc_id", n=8)
+    assert spans.count() == docs.count()
+    assert {"text", "n_tokens", "n_removed", "n_spans"} <= set(spans.columns)
+
+    paras = eng.dedup_paragraphs(
+        docs.withColumn("text", F.regexp_replace("text", " ", "\n")),
+        "text", "doc_id")
+    assert paras.count() == docs.count()
+
+    lm = eng.lm_score(docs, "text", "doc_id")
+    assert lm.filter(F.col("nll_micro") <= 0).count() == 0
+
+    sel = eng.dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                          "text", "doc_id", k=9)
+    assert sel.count() == 9
+
+    shards = eng.shuffle_shards(docs.select("doc_id"), "doc_id", 4)
+    assert shards.select("shard").distinct().count() == 4
+
+    packed = eng.pack(docs.withColumn("nt", F.size(F.split("text", " "))),
+                      "doc_id", "nt", max_len=256)
+    assert packed.count() > 0
