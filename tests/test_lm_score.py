@@ -103,3 +103,17 @@ def test_dsir_partition_invariant(docs):
     a = dsir_importance(docs.repartition(11), target, "text", "doc_id")
     b = dsir_importance(docs.coalesce(1), target, "text", "doc_id")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dsir_plan_broadcasts_models_no_corpus_shuffle(docs):
+    """The scale contract: bucket models are broadcast; the raw-corpus
+    explode reaches the per-doc aggregate without an intermediate
+    shuffle — the only hash exchanges are the (tiny) model-building
+    aggregates and the final per-doc partial/final agg pair."""
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_importance(docs, target, "text", "doc_id", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # the occurrence->model join must be a broadcast join, never a
+    # sort-merge (which would shuffle the corpus explode)
+    assert "SortMergeJoin" not in plan

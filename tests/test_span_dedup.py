@@ -161,3 +161,35 @@ def test_span_token_conservation(docs):
                          lambda t: F.length(t) > 0)) + F.col("n_removed")
          != F.col("n_tokens"))).count()
     assert bad == 0
+
+
+def _ref_paragraph_dedup(rows, min_chars=1):
+    """Pure-Python reference for paragraph_dedup semantics."""
+    first = {}
+    for d, t in sorted(rows):
+        for p, u in enumerate(t.split("\n")):
+            if len(u) >= min_chars:
+                first.setdefault(u, (d, p))
+    out = {}
+    for d, t in sorted(rows):
+        units = t.split("\n")
+        kept = [u for p, u in enumerate(units)
+                if len(u) < min_chars or first[u] == (d, p)]
+        out[d] = ("\n".join(kept), len(units), len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", ""]), min_size=1,
+             max_size=6).map("\n".join),
+    min_size=2, max_size=6))
+def test_paragraph_matches_python_reference(spark, texts):
+    """Random tiny corpora over a 3-paragraph alphabet (+ empty lines,
+    which min_chars=1 always keeps) agree with the pure-Python
+    reference exactly."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_units, r.n_kept)
+           for r in paragraph_dedup(df, "text", "doc_id").collect()}
+    assert got == _ref_paragraph_dedup(rows)

@@ -209,6 +209,13 @@ NOTES = {
         "explode joins them WITHOUT shuffling itself; the only data "
         "exchange is the per-doc weight aggregate. Top-k is "
         "TakeOrderedAndProject on the exact integer weight."),
+    "shard_shuffle": (
+        "Dataloader shuffle+shard (r06): the operator itself is ONE "
+        "hash exchange on the shard id + an in-partition sort (no "
+        "global Sort node, no range-boundary sampling job); the "
+        "declared query's per-shard rank window re-partitions on the "
+        "same shard key, so AQE reuses the exchange. Shards stream "
+        "straight to output files at any corpus size."),
 }
 
 
