@@ -1760,6 +1760,47 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("shard"))
 
 
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning pipeline — the composition a 100 TB
+    pretraining run actually executes, as ONE Catalyst plan: (1) the
+    corpus gate (quality >= 0.5, confident language ID, >= 20 tokens —
+    all rounded-threshold scalar expressions in one scan), then (2)
+    paragraph-level dedup over the SURVIVORS (first occurrence computed
+    on the gated corpus, matching real pipeline order), then (3) a
+    per-language rollup of documents, units kept, surviving tokens, and
+    an md5-sum over every rebuilt text. Declared r06-late: sits just
+    outside the full driver window (rotates in next round); locally
+    oracle-verified at sf0.001/0.01/0.1."""
+    from pydata_vector_search_spark.operators.span_dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = (docs.select("doc_id", "lang", "text",
+                         F.round(T.quality_score("text"), 2).alias("__q"),
+                         T.lang_id("text").alias("__pl"),
+                         T.token_count("text").alias("__nt"))
+                 .filter((F.col("__q") >= 0.5) & (F.col("__pl") != "und")
+                         & (F.col("__nt") >= 20)))
+    toks = F.split(T.normalized_text("text"), " ")
+    k = 10
+    nlines = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    d = gated.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = paragraph_dedup(d, "text", "doc_id")
+    kept_toks = F.size(F.filter(F.split("text", "[\n ]"),
+                                lambda t: F.length(t) > 0))
+    h = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    return (out.join(gated.select("doc_id", "lang"), "doc_id")
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_units").cast("long").alias("units"),
+                    F.sum("n_kept").cast("long").alias("kept"),
+                    F.sum(kept_toks).cast("long").alias("kept_tokens"),
+                    F.sum(h).cast("long").alias("text_h"))
+               .orderBy("lang"))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The md5-order
     permutations make even the LSH candidate set engine-independent, so this
@@ -2847,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # --- by dedup_clusters_dist; log_retention is r04-green and
         # --- expire_commits itself is untouched this round). All pass
         # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        "clean_pipeline": q_clean_pipeline,   # r06-late, rotates into r07
         "log_retention": q_log_retention,
         "dedup_clusters": q_dedup_clusters,
         "upsert_merge": q_upsert_merge,
@@ -4596,6 +4638,75 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(doc_id, rn) AS first_doc,
                    arg_max(doc_id, rn) AS last_doc
             FROM sh GROUP BY shard ORDER BY shard
+        """,
+        "clean_pipeline": r"""
+            WITH toksrc AS (
+                SELECT doc_id, lang, text,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), hits AS (
+                SELECT doc_id, lang, text, tk,
+                       len(list_filter(tk, w -> w IN ('the','and','of'))) AS h_en,
+                       len(list_filter(tk, w -> w IN ('el','los','las'))) AS h_es,
+                       len(list_filter(tk, w -> w IN ('le','les','et'))) AS h_fr,
+                       len(list_filter(tk, w -> w IN ('der','und','die'))) AS h_de
+                FROM toksrc
+            ), gated AS (
+                SELECT doc_id, lang, tk FROM (
+                    SELECT doc_id, lang, tk,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                       round(0.4 * least(length(text) / 200.0, 1.0)
+                           + 0.3 * (CASE WHEN length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+'))
+                                              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+                           + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+                                                    / length(text), 1.0)), 2) AS q,
+                       CASE
+                         WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                         WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                         WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                         ELSE 'known'
+                       END AS pl
+                    FROM hits)
+                WHERE q >= 0.5 AND pl != 'und' AND nt >= 20
+            ), ll AS (
+                SELECT doc_id, lang,
+                       list_transform(
+                           generate_series(0, CAST(ceil(len(tk) / 10.0)
+                                                   AS INT) - 1),
+                           i -> array_to_string(tk[(i*10+1):(i*10+10)], ' '))
+                           AS ln
+                FROM gated
+            ), units AS (
+                SELECT doc_id, lang,
+                       generate_subscripts(ln, 1) - 1 AS pos,
+                       unnest(ln) AS u
+                FROM ll
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY u
+                                             ORDER BY doc_id, pos) AS rn
+                FROM units
+            ), kept AS (
+                SELECT * FROM ranked WHERE length(u) < 1 OR rn = 1
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(u, chr(10) ORDER BY pos) AS clean,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            ), perdoc AS (
+                SELECT t.doc_id, t.lang, len(t.ln)::BIGINT AS n_units,
+                       coalesce(r.n_kept, 0) AS n_kept,
+                       coalesce(r.clean, '') AS clean
+                FROM ll t LEFT JOIN reb r ON t.doc_id = r.doc_id
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_units)::BIGINT AS units,
+                   sum(n_kept)::BIGINT AS kept,
+                   sum(len(list_filter(
+                       regexp_split_to_array(clean, '[' || chr(10) || ' ]'),
+                       x -> length(x) > 0)))::BIGINT AS kept_tokens,
+                   sum(('0x' || substr(md5(clean), 1, 10))::BIGINT)::BIGINT
+                       AS text_h
+            FROM perdoc GROUP BY lang ORDER BY lang
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),

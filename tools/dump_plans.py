@@ -216,6 +216,13 @@ NOTES = {
         "declared query's per-shard rank window re-partitions on the "
         "same shard key, so AQE reuses the exchange. Shards stream "
         "straight to output files at any corpus size."),
+    "clean_pipeline": (
+        "End-to-end cleaning pipeline (r06): the quality/lang/token "
+        "gate is pure codegen scalar expressions INSIDE the first scan "
+        "stage (documents read once, filtered before the explode), and "
+        "the paragraph-dedup stages above it are the same two "
+        "map-side-combinable shuffles as paragraph_dedup — composing "
+        "the stages adds zero extra passes over the corpus."),
 }
 
 
