@@ -1801,6 +1801,36 @@ def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("lang"))
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for embedding training (the in-batch /
+    ANN-mined negatives step of contrastive pipelines, e.g. DPR /
+    Contriever): for each query vector, its top-3 most-similar vectors
+    with a DIFFERENT label. Composition of the proven batch-KNN
+    machinery (knn.knn_join, Arrow numpy scoring, round-6 discipline —
+    the same pair population the green knn_join oracle pins): one
+    knn_join per distinct query label against the label-excluded
+    corpus; the label loop is bounded by the tiny query batch (≤5),
+    and each join broadcasts its query block — the corpus never
+    shuffles. Declared r06-late, outside the full driver window
+    (rotates into r07); locally oracle-green at sf0.001/0.01/0.1."""
+    from functools import reduce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    labels = sorted(r.label for r in q.select("label").distinct().collect())
+    outs = []
+    for lbl in labels:
+        ql = q.filter(F.col("label") == lbl) \
+              .select(F.col("vec_id").alias("qid"), "embedding")
+        neg = emb.filter(F.col("label") != lbl) \
+                 .select(F.col("vec_id").alias("neg_id"), "embedding")
+        outs.append(knn.knn_join(ql, neg, "embedding", k=3, round_to=6,
+                                 left_id="qid", right_id="neg_id"))
+    return (reduce(DataFrame.unionByName, outs)
+            .select("qid", "neg_id", F.col("_distance").alias("dist"))
+            .orderBy("qid", "neg_id"))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The md5-order
     permutations make even the LSH candidate set engine-independent, so this
@@ -2889,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # --- expire_commits itself is untouched this round). All pass
         # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
         "clean_pipeline": q_clean_pipeline,   # r06-late, rotates into r07
+        "hard_negatives": q_hard_negatives,   # r06-late, rotates into r07
         "log_retention": q_log_retention,
         "dedup_clusters": q_dedup_clusters,
         "upsert_merge": q_upsert_merge,
@@ -4707,6 +4738,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(('0x' || substr(md5(clean), 1, 10))::BIGINT)::BIGINT
                        AS text_h
             FROM perdoc GROUP BY lang ORDER BY lang
+        """,
+        "hard_negatives": """
+            SELECT qid, neg_id, dist FROM (
+                SELECT q.vec_id AS qid, e.vec_id AS neg_id,
+                       round(1 - list_cosine_similarity(
+                           q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+                           AS dist,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(1 - list_cosine_similarity(
+                               q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                               6) ASC,
+                                    e.vec_id ASC) AS rn
+                FROM (SELECT vec_id, embedding, label FROM embeddings
+                      WHERE vec_id < 5) q
+                CROSS JOIN embeddings e
+                WHERE e.label != q.label
+            ) WHERE rn <= 3
+            ORDER BY qid, neg_id
         """,
         "minhash_neardup": _minhash_oracle(),
         "simhash_neardup": _simhash_oracle(),

@@ -90,9 +90,12 @@ def paragraph_dedup(df: DataFrame, text_col: str, id_col: str,
     n_units, n_kept)`` where ``text_col`` is the rebuilt text (empty
     string when every unit was removed).
     """
+    # NULL text behaves as empty text (split(NULL) explodes to zero rows,
+    # which would silently DROP the document from the output)
     units = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__u"))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+         .alias("__pos", "__u"))
     cand = units.filter(F.length("__u") >= min_chars) \
                 .withColumn("__h", F.md5("__u")) \
                 .withColumn("__dp", _pack(id_col, F.col("__pos")))
@@ -157,8 +160,12 @@ def duplicate_span_dedup(df: DataFrame, text_col: str, id_col: str,
     surviving tokens of the normalized form), total token count,
     removed token count, and the number of maximal removed spans.
     """
-    base = df.select(F.col(id_col),
-                     F.split(normalized_text(text_col), " ").alias("__toks"))
+    # NULL text behaves as empty text (NULL would propagate through the
+    # token array into NULL stats instead of the documented zeros)
+    base = df.select(
+        F.col(id_col),
+        F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))),
+                " ").alias("__toks"))
     occ = base.select(
         id_col,
         F.posexplode(_gram_col(F.col("__toks"), n)).alias("__start", "__g"))

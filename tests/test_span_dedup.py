@@ -193,3 +193,14 @@ def test_paragraph_matches_python_reference(spark, texts):
     got = {r.doc_id: (r.text, r.n_units, r.n_kept)
            for r in paragraph_dedup(df, "text", "doc_id").collect()}
     assert got == _ref_paragraph_dedup(rows)
+
+
+def test_null_text_treated_as_empty(spark):
+    """NULL text must not drop the document or poison stats with NULLs."""
+    df = spark.createDataFrame([(1, "aa\nbb"), (2, None)],
+                               "doc_id long, text string")
+    p = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id").collect()}
+    assert p[2].text == "" and p[2].n_units == 1 and p[2].n_kept == 1
+    s = {r.doc_id: r
+         for r in duplicate_span_dedup(df, "text", "doc_id", n=2).collect()}
+    assert s[2].text == "" and s[2].n_removed == 0 and s[2].n_spans == 0
