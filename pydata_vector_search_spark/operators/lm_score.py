@@ -132,6 +132,13 @@ def dsir_importance(raw: DataFrame, target: DataFrame, text_col: str,
     raw_g = grams(raw).select(id_col, bucket)
     tgt_counts = (grams(target).select(bucket)
                   .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
+    # a target with zero bigrams would make every model probability NULL
+    # and silently return NULL weights — refuse loudly instead (the
+    # count runs on the bucket-sized aggregate, not the corpus)
+    if tgt_counts.limit(1).count() == 0:
+        raise ValueError(
+            "dsir_importance: target corpus has no bigrams "
+            "(empty, or every doc under 2 tokens)")
     raw_counts = (raw_g.groupBy("__b")
                        .agg(F.count(F.lit(1)).alias("__cr")))
     nt = tgt_counts.agg(F.sum("__ct").cast("double").alias("__nt"))

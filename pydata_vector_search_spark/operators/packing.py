@@ -151,6 +151,9 @@ def shard_shuffle(df: DataFrame, id_col: str, num_shards: int,
     (repartition + sortWithinPartitions): no global sort, no
     range-boundary sampling job, shards stream straight to their output
     files."""
+    if num_shards < 1:
+        raise ValueError(f"shard_shuffle: num_shards must be >= 1, "
+                         f"got {num_shards}")
     h = F.md5(F.concat(F.lit(f"shuf{seed}|"),
                        F.col(id_col).cast("string")))
     key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")

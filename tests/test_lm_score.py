@@ -117,3 +117,8 @@ def test_dsir_plan_broadcasts_models_no_corpus_shuffle(docs):
     # the occurrence->model join must be a broadcast join, never a
     # sort-merge (which would shuffle the corpus explode)
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_empty_target_raises(spark, docs):
+    with pytest.raises(ValueError, match="no bigrams"):
+        dsir_importance(docs, docs.filter(F.lit(False)), "text", "doc_id")

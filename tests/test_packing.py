@@ -114,3 +114,10 @@ def test_shard_shuffle_membership_and_physical_order(spark, sf_dir):
     n = docs.count()
     per = out.groupBy("shard").count().collect()
     assert sum(r["count"] for r in per) == n and len(per) == 4
+
+
+def test_shard_shuffle_invalid_shards_raises(spark):
+    from pydata_vector_search_spark.operators.packing import shard_shuffle
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="num_shards"):
+        shard_shuffle(df, "doc_id", 0)
