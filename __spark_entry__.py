@@ -1712,8 +1712,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     HIGHEST-QUALITY member (quality_score round-2, ties → min doc_id)
     instead of the min id — what production pipelines actually do
     (keep the cleanest duplicate, not an arbitrary one). The
-    per-cluster argmax is a window over members — clusters are tiny,
-    so the window partitions stay balanced at any corpus size."""
+    per-cluster argmax is ``max(struct(q, -node))`` — a single
+    map-side-combinable aggregate (lexicographic struct max ≡ "max
+    quality, then min id"), NOT a window: a pathological giant cluster
+    partial-aggregates on every task instead of landing whole on one
+    window partition."""
     from pydata_vector_search_spark.operators.graph import \
         connected_components
 
@@ -1725,15 +1728,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("node"),
                     F.round(T.quality_score("text"), 2).alias("q")),
         "node")
-    w = Window.partitionBy("component").orderBy(F.col("q").desc(),
-                                                F.col("node").asc())
-    return (scored.withColumn("__rn", F.row_number().over(w))
-                  .groupBy(F.col("component").alias("cluster_id"))
+    keeper = F.max(F.struct(F.col("q"),
+                            (-F.col("node")).alias("negnode")))
+    return (scored.groupBy(F.col("component").alias("cluster_id"))
                   .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"),
-                       F.max(F.when(F.col("__rn") == 1, F.col("node")))
-                        .alias("keep_id"),
-                       F.max(F.when(F.col("__rn") == 1, F.col("q")))
-                        .alias("keep_q"))
+                       keeper.alias("__k"))
+                  .select("cluster_id", "cluster_size",
+                          (-F.col("__k.negnode")).cast("long")
+                           .alias("keep_id"),
+                          F.col("__k.q").alias("keep_q"))
                   .orderBy("cluster_id"))
 
 
