@@ -54,14 +54,23 @@ def pack_sequences(df: DataFrame, id_col: str, len_col,
     longer than ``max_len`` gets a bin of its own (callers truncate or
     split upstream — packing never drops data silently).
 
-    ``id_col`` must be integral (block identity is ``id // block_span``
-    — pure arithmetic on the key, so the layout is reproducible from the
-    data alone). The bin-id arithmetic cannot collide: a block of at
-    most ``block_span`` docs opens at most ``block_span`` bins."""
+    ``id_col`` must be integral (block identity is the FLOOR division
+    ``id // block_span`` — pure arithmetic on the key, so the layout is
+    reproducible from the data alone). The bin-id arithmetic cannot
+    collide: floor division gives every block exactly ``block_span``
+    consecutive ids (truncate-toward-zero would make the block
+    straddling 0 twice as wide and let it open more bins than the next
+    block's id range), so a block opens at most ``block_span`` bins.
+    Computed entirely in long arithmetic — ``(id - pmod(id, span)) div
+    span`` — never through a double, so 64-bit snowflake/hash ids
+    beyond 2^53 keep exact block identity."""
     lc = F.col(len_col) if isinstance(len_col, str) else len_col
+    idq = id_col.replace("`", "``")
     base = df.withColumn("__len", lc.cast("long")) \
-             .withColumn("__blk", (F.col(id_col) / block_span)
-                         .cast("long"))
+             .withColumn("__blk", F.expr(
+                 f"(cast(`{idq}` as bigint)"
+                 f" - pmod(cast(`{idq}` as bigint), {int(block_span)}))"
+                 f" div {int(block_span)}"))
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -137,8 +146,10 @@ def shard_shuffle(df: DataFrame, id_col: str, num_shards: int,
                   seed: int = 42, shard_col: str = "shard",
                   order_col: str = "shard_key") -> DataFrame:
     """Deterministic global shuffle + sharding for training dataloaders:
-    every row gets a stable pseudo-random 64-bit order key
-    ``md5(seed||id)`` and a shard ``key-derived % num_shards``, and rows
+    every row gets a stable pseudo-random 60-bit order key (the top 15
+    hex chars of ``md5(seed||id)`` — 15·4 = 60 bits, kept one nibble
+    under 16 so the long stays non-negative) and a shard
+    ``key-derived % num_shards``, and rows
     are physically clustered by shard and sorted by key within it —
     the "write a shuffled, sharded training corpus" step that follows
     packing/mixing in every pre-training pipeline.

@@ -55,18 +55,26 @@ from pydata_vector_search_spark.functions.text import normalized_text
 # HashAggregate — the difference between sorting and hashing the
 # dominant content-key shuffle at 100 TB. Packing is order-isomorphic
 # ((d1,p1) <lex (d2,p2)  <=>  d1*LIFT+p1 < d2*LIFT+p2) provided
-# pos < LIFT, which is raise_error-enforced at runtime (a >4M-token
-# document is pathological input, not a silent wrong answer), and ids
-# are non-negative and < 2^41 (long overflow headroom at *2^22).
+# pos < LIFT AND 0 <= id < 2^41 (long overflow headroom at *2^22).
+# BOTH preconditions are raise_error-enforced at runtime: a >4M-token
+# document, a negative id, or a 64-bit hash id beyond 2^41 is
+# pathological input for this packing, not a silent wrong answer —
+# unchecked, an oversized id would wrap around in non-ANSI long
+# multiplication and silently corrupt the first-occurrence min.
 _POS_LIFT = 1 << 22
+_ID_LIMIT = 1 << 41
 
 
 def _pack(id_col: str, pos: Column) -> Column:
-    packed = F.col(id_col) * F.lit(_POS_LIFT) + pos
-    return (F.when(pos < _POS_LIFT, packed)
-             .otherwise(F.raise_error(F.lit(
-                 f"span_dedup: unit position >= {_POS_LIFT}; "
-                 "document too long to pack (doc, pos) keys"))
+    idc = F.col(id_col).cast("long")
+    packed = idc * F.lit(_POS_LIFT) + pos
+    ok = (pos < _POS_LIFT) & (idc >= 0) & (idc < _ID_LIMIT)
+    return (F.when(ok, packed)
+             .otherwise(F.raise_error(F.concat(F.lit(
+                 f"span_dedup: cannot pack (doc, pos) key — need "
+                 f"pos < {_POS_LIFT} and 0 <= id < {_ID_LIMIT}, got "
+                 f"(id, pos) = ("), idc.cast("string"), F.lit(", "),
+                 pos.cast("string"), F.lit(")")))
                  .cast("long")))
 
 

@@ -58,6 +58,28 @@ def test_pack_blocks_are_independent_and_deterministic(spark):
     assert all(v <= 128 for v in fills.values())
 
 
+def test_pack_block_identity_floor_and_64bit_exact(spark):
+    """Block identity is exact long FLOOR division (ADVICE r06): negative
+    ids floor (-5 // 100 = -1, not the truncate-toward-zero 0 that would
+    double-width the block straddling 0), and ids beyond 2^53 — where
+    the old double division rounded adjacent ids together — keep exact,
+    distinct block identity."""
+    big = (1 << 60) + 3          # not representable gaps at double prec.
+    ids = [-205, -5, -1, 0, 99, big, big + 100, big + 200]
+    df = spark.createDataFrame([(i, 10) for i in ids],
+                               "doc_id long, n_tok long")
+    out = {r.doc_id: r.bin_id for r in pack_sequences(
+        df, "doc_id", "n_tok", max_len=1000, block_span=100).collect()}
+    blk = {i: out[i] // 100 for i in ids}
+    assert blk == {i: i // 100 for i in ids}        # python floor-div
+    # the three huge ids land in three DISTINCT consecutive blocks
+    # (double arithmetic would have merged them: big/100 rounds equal)
+    assert len({blk[big], blk[big + 100], blk[big + 200]}) == 3
+    # and every bin holds only docs of its own block → no collisions
+    # between the pre-0 block and block 0
+    assert out[-5] != out[0]
+
+
 def test_temperature_mix_shares_and_determinism(spark):
     """alpha flattens the source distribution; selection is a pure hash
     rule (same rows under re-partitioning); rates capped at 1."""

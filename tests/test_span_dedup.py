@@ -204,3 +204,22 @@ def test_null_text_treated_as_empty(spark):
     s = {r.doc_id: r
          for r in duplicate_span_dedup(df, "text", "doc_id", n=2).collect()}
     assert s[2].text == "" and s[2].n_removed == 0 and s[2].n_spans == 0
+
+
+def test_pack_id_out_of_range_raises(spark):
+    """The (doc,pos) long-packing guards BOTH preconditions (ADVICE r06):
+    an id >= 2^41 (e.g. a 64-bit hash id) or a negative id raises
+    instead of silently wrapping the packed long and corrupting the
+    first-occurrence min."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    for bad_id in (1 << 41, 1 << 60, -1):
+        df = spark.createDataFrame([(bad_id, "aa\naa"), (7, "aa\nbb")],
+                                   "doc_id long, text string")
+        with pytest.raises(SparkRuntimeException, match="cannot pack"):
+            paragraph_dedup(df, "text", "doc_id").collect()
+    # boundary: 2^41 - 1 still packs fine
+    ok = spark.createDataFrame([((1 << 41) - 1, "aa\nbb")],
+                               "doc_id long, text string")
+    assert paragraph_dedup(ok, "text", "doc_id").count() == 1

@@ -8,7 +8,8 @@ measuring in a brand-new process/session with only the standard cheap
 warmups applied (table footers, one Arrow round-trip, one codegen
 expression). The last run of ``n`` is the steady-state number.
 
-Usage: python tools/isolated_warm.py QUERY [QUERY ...] [--sf SF_DIR]
+Usage: python tools/isolated_warm.py QUERY [QUERY ...] [--sf=SF_DIR]
+(both ``--sf=SF_DIR`` and the two-token ``--sf SF_DIR`` are accepted)
 Prints one JSON line per query: {"query", "runs", "warm"}.
 Invoked automatically by bench.py for any query >1.5x its prior-round
 time (r05 verdict #2 protocol); also usable by hand.
@@ -25,11 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for a in sys.argv[1:]:
-        if a.startswith("--sf="):
+    args, it = [], iter(sys.argv[1:])
+    for a in it:
+        if a == "--sf":                     # two-token form: --sf SF_DIR
+            sf_dir = next(it, sf_dir)
+        elif a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        else:
+            args.append(a)
     n_runs = int(os.environ.get("ISOLATED_RUNS", "2"))
 
     import __spark_entry__ as entry
