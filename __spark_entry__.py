@@ -1834,6 +1834,125 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("qid", "neg_id"))
 
 
+def q_dataloader_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSEMBLE A TRAINING EPOCH end-to-end — the dataloader-side
+    composition a pretraining run executes after the corpus is clean,
+    chained as one lineage (r06 verdict #6): (1) temperature-weighted
+    corpus mixing (n^0.5 source flattening, md5 hash-rule membership),
+    (2) token-budget selection of the best 8k tokens by the
+    percent-distinct quality bucket (bucket histogram + boundary-only
+    window — no global-order window), (3) greedy next-fit SEQUENCE
+    PACKING into 256-token bins blocked by 100-id ranges, (4)
+    deterministic shard SHUFFLE of the packed bins into 4 shards
+    (md5-keyed order, one hash exchange + in-partition sort). Every
+    stage is the identical operator its standalone green oracle pins
+    (temperature_mix / token_budget_select / sequence_pack /
+    shard_shuffle); here the oracle replays all four chained, so the
+    hash also pins the STAGE BOUNDARIES — mix membership feeds the
+    budget ranking, survivors feed block packing, bins feed the shard
+    permutation (rank-weighted checksum + first/last bin per shard).
+    Extends the reference's ingest→query zero-copy thesis
+    (README.md:9-21) to the training-data product: corpus to epoch
+    shards without leaving the engine."""
+    from pydata_vector_search_spark.operators.packing import (
+        pack_sequences, shard_shuffle, temperature_mix)
+    from pydata_vector_search_spark.operators.text_ops import \
+        select_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = temperature_mix(docs, "doc_id", "lang", alpha=0.5,
+                            sample_frac=0.5, seed=42)
+
+    def pct_distinct() -> F.Column:
+        # integer percent-distinct bucket (exact div — the engine-exact
+        # arithmetic the token_budget_select oracle established)
+        toks = F.split(T.normalized_text("text"), " ")
+        d100 = F.size(F.array_distinct(toks)).cast("long") * 100
+        n = F.size(toks).cast("long")
+        return ((d100 - F.pmod(d100, n)) / n).cast("long")
+
+    sel = select_token_budget(mixed, "text", "doc_id", budget_tokens=8000,
+                              quality_col=pct_distinct(),
+                              bucket_decimals=0)
+    sized = sel.select("doc_id",
+                       T.token_count("text").cast("long").alias("n_tok"))
+    packed = pack_sequences(sized, "doc_id", "n_tok", max_len=256,
+                            block_span=100)
+    bins = (packed.groupBy("bin_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("bin_tokens")))
+    sh = shard_shuffle(bins, "bin_id", num_shards=4, seed=7)
+    w = Window.partitionBy("shard").orderBy("shard_key", "bin_id")
+    return (sh.withColumn("rn", F.row_number().over(w))
+              .groupBy("shard")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                   F.sum("bin_tokens").cast("long").alias("shard_tokens"),
+                   F.sum(F.col("rn").cast("long") * F.col("bin_id"))
+                    .cast("long").alias("ord_sum"),
+                   F.expr("min_by(bin_id, rn)").alias("first_bin"),
+                   F.expr("max_by(bin_id, rn)").alias("last_bin"))
+              .orderBy("shard"))
+
+
+def q_stream_index_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM → INDEX composition (r06 verdict #7): the index-staleness
+    contract under a STREAMING writer. Ingest embeddings, pin a
+    table-scoped IVF index to the commit (the reference's table-scoped
+    index, demo.ipynb c14:1) — then a structured STREAM of mutations
+    (every vec_id % 10 == 0 row relabeled AND its vector negated) flows
+    through ``stream_upsert_sink`` (foreachBatch keyed upsert) into the
+    same table, advancing it past the pinned commit. The next search
+    REFUSES (StaleIndexError — asserted), and ``on_stale='patch'``
+    repairs the index incrementally from the commit log the stream
+    wrote (``read_incremental`` → ``ivf_patch``: pruned partition
+    rewrite + append under the EXISTING centroids — work ∝ changed
+    keys, never a rebuild scan). Probed at nprobe=all so the served
+    top-k equals exact KNN over the POST-STREAM state; the oracle
+    replays the streamed mutation as a CASE (label AND negated vector)
+    over the base table — hash equality proves the patched index
+    serves every streamed change, including moved vectors."""
+    import tempfile
+    import uuid as _uuid
+
+    from pydata_vector_search_spark import streaming as S
+    from pydata_vector_search_spark.engine import Engine
+    from pydata_vector_search_spark.operators.ann import StaleIndexError
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="pvss_sidx_"))
+    emb = _t(spark, sf_dir, "embeddings")
+    eng.ingest(emb, "emb", key="vec_id")
+    eng.ann_index_create("emb", "embedding", num_centroids=8, seed=42)
+    qv = _query_vec(spark, sf_dir)
+
+    # the parquet file-stream source monitors a DIRECTORY; the sf
+    # fixture is a single file — adapt via a symlink dir (the
+    # read_events_stream pattern, streaming/events.py)
+    src = tempfile.mkdtemp(prefix="pvss_sidx_src_")
+    os.symlink(os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")),
+               os.path.join(src, "embeddings.parquet"))
+    stream = (spark.readStream.schema(emb.schema)
+              .parquet(src)
+              .filter(F.col("vec_id") % 10 == 0)
+              .withColumn("label", F.lit(99))
+              .withColumn("embedding",
+                          F.transform("embedding", lambda x: -x)))
+    name = f"q_stream_index_{_uuid.uuid4().hex[:8]}"
+    q = S.stream_upsert_sink(stream, eng.catalog, "emb", key="vec_id",
+                             checkpoint=f"/tmp/pvss_ckpt_{name}",
+                             order_by="vec_id")
+    _await_stream(q)
+
+    try:
+        eng.ann_search("emb", qv, k=10, nprobe=8)
+        raise RuntimeError("stale index served after streamed mutation")
+    except StaleIndexError:
+        pass
+    hits = eng.ann_search("emb", qv, k=10, nprobe=8, on_stale="patch",
+                          round_to=2, tiebreaker="vec_id")
+    return (hits.withColumn("score", F.round(1 - F.col("_distance"), 2))
+                .select("vec_id", "label", "score"))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The md5-order
     permutations make even the LSH candidate set engine-independent, so this
@@ -2876,6 +2995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "incremental_agg_minmax": q_incremental_agg_minmax,
         "sequence_pack": q_sequence_pack,
         "temperature_mix": q_temperature_mix,
+        "dataloader_epoch": q_dataloader_epoch,
+        "stream_index_patch": q_stream_index_patch,
         "hybrid_postfilter": q_hybrid_postfilter,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -5249,5 +5370,117 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_kept,
                    sum(doc_id)::BIGINT AS id_sum
             FROM kept GROUP BY lang, rate ORDER BY lang
+        """
+    # the four dataloader stages chained: mix membership (md5 rule) →
+    # naive global-window budget spelling → packing recursion → shard
+    # permutation — each fragment is the proven standalone oracle body,
+    # re-rooted on the previous stage's output
+    d["dataloader_epoch"] = r"""
+            WITH RECURSIVE mixc AS (
+                SELECT lang, count(*)::DOUBLE AS n
+                FROM documents GROUP BY lang
+            ), mixs AS (
+                SELECT sum(pow(n, 0.5)) AS dn, sum(n) AS tot FROM mixc
+            ), mixr AS (
+                SELECT lang,
+                       round(least(1.0, pow(n, 0.5) / dn * (0.5 * tot)
+                                        / n), 9) AS rate
+                FROM mixc, mixs
+            ), mixed AS (
+                SELECT dd.doc_id, dd.text
+                FROM documents dd JOIN mixr USING (lang)
+                WHERE ('0x' || substr(md5('mix42|' || dd.doc_id::VARCHAR),
+                                      1, 5))::BIGINT / 1048576.0
+                      < mixr.rate
+            ), toks AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                        END)::BIGINT AS nt,
+                       regexp_split_to_array(trim(regexp_replace(
+                           lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM mixed
+            ), feats AS (
+                SELECT doc_id, nt,
+                       (len(list_distinct(tk))::BIGINT * 100)
+                           // len(tk) AS qb
+                FROM toks
+            ), sel AS (
+                SELECT doc_id, nt FROM (
+                    SELECT doc_id, nt,
+                           sum(nt) OVER (ORDER BY qb DESC, doc_id ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+                    FROM feats)
+                WHERE cum <= 8000
+            ), d AS (
+                SELECT doc_id, nt AS ln, (doc_id // 100)::BIGINT AS blk,
+                       row_number() OVER (PARTITION BY doc_id // 100
+                                          ORDER BY doc_id) AS pos
+                FROM sel
+            ), pack AS (
+                SELECT blk, 0::BIGINT AS pos, -1::BIGINT AS bin,
+                       0::BIGINT AS fill, NULL::BIGINT AS doc_id
+                FROM (SELECT DISTINCT blk FROM d)
+                UNION ALL
+                SELECT p.blk, p.pos + 1,
+                       CASE WHEN p.bin < 0 OR p.fill + n.ln > 256
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.bin < 0 OR p.fill + n.ln > 256
+                            THEN n.ln ELSE p.fill + n.ln END,
+                       n.doc_id
+                FROM pack p JOIN d n
+                  ON n.blk = p.blk AND n.pos = p.pos + 1
+            ), asg AS (
+                SELECT p.blk * 100 + p.bin AS bin_id, p.doc_id, d2.ln
+                FROM pack p JOIN d d2 ON d2.doc_id = p.doc_id
+                WHERE p.pos >= 1
+            ), bins AS (
+                SELECT bin_id, count(*)::BIGINT AS n_docs,
+                       sum(ln)::BIGINT AS bin_tokens
+                FROM asg GROUP BY bin_id
+            ), keyed AS (
+                SELECT bin_id, bin_tokens,
+                       ('0x' || substr(md5('shuf7|' || bin_id::VARCHAR),
+                                       1, 15))::BIGINT AS k
+                FROM bins
+            ), sh AS (
+                SELECT bin_id, bin_tokens, k, (k % 4)::INT AS shard,
+                       row_number() OVER (PARTITION BY (k % 4)
+                                          ORDER BY k, bin_id) AS rn
+                FROM keyed
+            )
+            SELECT shard, count(*)::BIGINT AS n_bins,
+                   sum(bin_tokens)::BIGINT AS shard_tokens,
+                   sum(rn * bin_id)::BIGINT AS ord_sum,
+                   arg_min(bin_id, rn) AS first_bin,
+                   arg_max(bin_id, rn) AS last_bin
+            FROM sh GROUP BY shard ORDER BY shard
+        """
+    # post-STREAM exact KNN: the streamed upsert batch replayed as a
+    # CASE (relabel + negated vector) over the base table; negation is
+    # floating-point-exact, so no new drift source enters the cosine
+    d["stream_index_patch"] = """
+            WITH m AS (
+                SELECT e.vec_id,
+                       CASE WHEN e.vec_id % 10 = 0 THEN 99
+                            ELSE e.label END AS label,
+                       CASE WHEN e.vec_id % 10 = 0
+                            THEN list_transform(e.embedding, x -> -x)
+                            ELSE e.embedding END AS embedding
+                FROM embeddings e
+            ), d AS (
+                SELECT vec_id, label,
+                       round(1 - list_cosine_similarity(
+                           embedding::DOUBLE[],
+                           (SELECT embedding::DOUBLE[] FROM embeddings
+                            WHERE vec_id = 0)), 2) AS dist
+                FROM m
+            )
+            SELECT vec_id, label, round(1 - dist, 2) AS score
+            FROM d
+            ORDER BY dist ASC, vec_id ASC
+            LIMIT 10
         """
     return d

@@ -30,9 +30,13 @@ Scale notes (100 TB):
 * `bigram_lm_score` is two corpus scans (count n-grams, score) with
   groupBy/join keyed on tokens and token pairs — map-side combinable
   counts, AQE handles hot-token skew.  The count tables are
-  vocabulary-sized, not corpus-sized; at web scale a vocabulary cap
-  with an OOV bucket (CCNet does the same via its fixed KenLM vocab)
-  bounds them — callers pre-normalize rare tokens if needed.
+  vocabulary-sized, not corpus-sized; at web scale pass ``max_vocab``
+  to hash the vocabulary into a bounded bucket space (CCNet bounds the
+  same way via its fixed KenLM vocab — rare tokens share buckets, the
+  hashed analog of an OOV symbol), making the unigram table provably
+  <= max_vocab rows and the bigram table <= max_vocab^2 (in practice
+  ~observed-bigram-sized).  Same md5 bucket trick as
+  ``dsir_importance`` — deterministic on every engine.
 * `dsir_importance` hashes grams into ``num_buckets`` (1e4 default)
   buckets, so BOTH models are fixed-size tables broadcast to every
   executor: one explode + broadcast join + per-doc sum — the corpus
@@ -58,8 +62,16 @@ def _bigrams_col(toks):
     return F.when(m >= 1, pairs).otherwise(F.array().cast("array<string>"))
 
 
+def _vocab_bucket(tok):
+    """Deterministic md5 hash-bucket label for one token (string form so
+    the bucketed 'vocabulary' flows through the unchanged token-keyed
+    pipeline). Mirrors dsir_importance's bucket expression."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
 def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
-                    lam: float = 0.8) -> DataFrame:
+                    lam: float = 0.8,
+                    max_vocab: int | None = None) -> DataFrame:
     """Per-document average negative log-likelihood (nats/bigram) under
     an interpolated unigram/bigram LM trained on the corpus itself:
 
@@ -72,8 +84,29 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     The interpolation backs off to the unigram model, so p > 0 for any
     pair of in-corpus tokens and no extra smoothing is needed (every
     scored token is in-corpus here because the model trains on the same
-    corpus it scores)."""
+    corpus it scores).
+
+    ``max_vocab`` (default off) hashes every token into a bounded
+    bucket space before training AND scoring — the web-scale guard that
+    makes the unigram count table provably <= max_vocab rows no matter
+    how large the real vocabulary grows (KenLM's fixed vocab plays this
+    role in CCNet; hashing is its deterministic, shuffle-free analog —
+    rare tokens collide into shared buckets, which is exactly an OOV
+    bucket smeared across the hash space). With no bucket collisions
+    the capped score equals the uncapped score bit-for-bit (the
+    bucketing is then a bijective token relabeling and every count is
+    unchanged); collisions only ever merge counts, which is the same
+    information loss an explicit OOV symbol accepts."""
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    if max_vocab is not None:
+        if max_vocab < 1:
+            raise ValueError(f"bigram_lm_score: max_vocab must be >= 1, "
+                             f"got {max_vocab}")
+        toks = toks.withColumn(
+            "__toks",
+            F.transform("__toks",
+                        lambda t: (_vocab_bucket(t) % max_vocab)
+                        .cast("string")))
 
     uni = (toks.select(F.explode("__toks").alias("__w"))
                .groupBy("__w").agg(F.count(F.lit(1)).alias("__c1")))

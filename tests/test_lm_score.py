@@ -122,3 +122,62 @@ def test_dsir_plan_broadcasts_models_no_corpus_shuffle(docs):
 def test_dsir_empty_target_raises(spark, docs):
     with pytest.raises(ValueError, match="no bigrams"):
         dsir_importance(docs, docs.filter(F.lit(False)), "text", "doc_id")
+
+
+def test_bigram_lm_max_vocab_collision_free_equals_uncapped(spark):
+    """With a bucket space vastly larger than the vocabulary the hash
+    bucketing is (whp, and deterministically for this fixed corpus) a
+    bijective relabeling — every count, probability, and floored
+    micro-nat is identical to the uncapped model."""
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat sat on the cat"),
+            (3, "a dog barked at the cat"),
+            (4, "a dog sat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.doc_id: (r.n_bigrams, r.nll_micro)
+            for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    capped = {r.doc_id: (r.n_bigrams, r.nll_micro)
+              for r in bigram_lm_score(df, "text", "doc_id",
+                                       max_vocab=1 << 30).collect()}
+    assert base == capped
+
+
+def test_bigram_lm_max_vocab_one_bucket_analytic(spark):
+    """max_vocab=1 collapses every token into one symbol: every bigram
+    has identical probability lam*B/N + (1-lam), so nll_micro must be
+    exactly n_bigrams * floor(-ln(p)*1e6 + 0.5) — the count tables are
+    one row each (the provable bound, at its degenerate extreme)."""
+    rows = [(1, "u v w x"), (2, "y z u"), (3, "p q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_tok, n_bi = 9, 6            # 4+3+2 tokens; 3+2+1 bigrams
+    p = 0.8 * n_bi / n_tok + 0.2 * n_tok / n_tok
+    q = math.floor(-math.log(p) * _SCALE + 0.5)
+    got = {r.doc_id: (r.n_bigrams, r.nll_micro)
+           for r in bigram_lm_score(df, "text", "doc_id",
+                                    max_vocab=1).collect()}
+    assert got == {1: (3, 3 * q), 2: (2, 2 * q), 3: (1, 1 * q)}
+
+
+def test_bigram_lm_max_vocab_bounds_model_and_stays_invariant(docs):
+    """A small cap over the real corpus: result is deterministic under
+    re-partitioning, and the training table row counts respect the cap
+    (unigram <= max_vocab, bigram <= max_vocab^2)."""
+    df = docs.select("doc_id", "text")
+    a = sorted(map(tuple, bigram_lm_score(df, "text", "doc_id",
+                                          max_vocab=16).collect()))
+    b = sorted(map(tuple, bigram_lm_score(df.repartition(13), "text",
+                                          "doc_id", max_vocab=16).collect()))
+    assert a == b and len(a) > 0
+    # recompute the bucketed vocab exactly as the operator does
+    from pydata_vector_search_spark.operators.dedup import tokens_col
+    from pydata_vector_search_spark.operators.lm_score import _vocab_bucket
+    n_uni = (df.select(F.explode(tokens_col("text")).alias("t"))
+               .select((_vocab_bucket(F.col("t")) % 16).alias("b"))
+               .distinct().count())
+    assert n_uni <= 16
+
+
+def test_bigram_lm_max_vocab_invalid_raises(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_vocab"):
+        bigram_lm_score(df, "text", "doc_id", max_vocab=0)
