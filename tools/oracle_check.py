@@ -5,6 +5,14 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column names/order-insensitive value multiset.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+                                    [--out=FILE] [--skip=q1,q2,...]
+
+``--out`` redirects the full-run artifact (default ORACLE_LOCAL.json —
+use e.g. ORACLE_SF01.json for an sf0.1 sweep so the canonical sf0.01
+artifact is not clobbered). ``--skip`` excludes named queries from a
+full run while still writing the artifact, with the skip list recorded
+in it (the documented carve-out path for the hours-long recursive-CTE
+CC oracles at sf0.1).
 """
 
 from __future__ import annotations
@@ -40,8 +48,17 @@ def _norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    out_name, skip = "ORACLE_LOCAL.json", set()
+    pos = []
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_name = a.split("=", 1)[1]
+        elif a.startswith("--skip="):
+            skip = {s for s in a.split("=", 1)[1].split(",") if s}
+        else:
+            pos.append(a)
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
+    only = set(pos[1:])
 
     import duckdb
     import __spark_entry__ as entry
@@ -59,6 +76,10 @@ def main():
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP {name} (--skip)")
+            results[name] = {"status": "skipped"}
             continue
         t0 = time.time()
         try:
@@ -127,10 +148,11 @@ def main():
         except Exception:
             sha = "unknown"
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(here, "ORACLE_LOCAL.json"), "w") as f:
+        with open(os.path.join(here, out_name), "w") as f:
             json.dump({"sf_dir": sf_dir, "git_head": sha,
                        "n_queries": len(qs),
-                       "n_pass": len(qs) - len(failures),
+                       "n_pass": len(qs) - len(failures) - len(skip),
+                       "skipped": sorted(skip),
                        "failures": failures,
                        "queries": results}, f, indent=2, sort_keys=True)
 

@@ -1,7 +1,11 @@
 """Repeatable scale-up probe: duplicate the sf0.1 tables N× into /tmp and
 time the scale-sensitive operators. Validates the 100 TB design claims
 empirically (no stage should degrade super-linearly beyond inherent
-output growth). Usage: python tools/scale_probe.py [N] — default 10.
+output growth). Usage: python tools/scale_probe.py [N] [opkey ...] —
+default N=10, all ops. Op keys (pass any subset to probe just those,
+skipping unneeded table builds): knn minhash simhash matmul jaccard
+ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
+paragraph span lm lm_capped dsir.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -17,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = set(sys.argv[2:])
+    want = lambda *ks: not ops or bool(ops & set(ks))  # noqa: E731
     base = "/root/testdata/sf0.1"
     out = f"/tmp/pvss_scale{n_copies}"
 
@@ -28,177 +34,218 @@ def main() -> None:
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(f"{base}/documents.parquet")
-    n = docs.count()
-    big = None
-    for i in range(n_copies):
-        d = (docs.withColumn("doc_id", (F.col("doc_id") + F.lit(i * n))
-                             .cast("long"))
-                 .withColumn("text", F.when(F.lit(i) == 0, F.col("text"))
-                             .otherwise(F.concat(F.col("text"),
-                                                 F.lit(f" v{i}")))))
-        big = d if big is None else big.unionByName(d)
-    big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-
-    emb = spark.read.parquet(f"{base}/embeddings.parquet")
-    m = emb.count()
-    bige = None
-    for i in range(n_copies):
-        e = emb.withColumn("vec_id", (F.col("vec_id") + F.lit(i * m))
-                           .cast("long"))
-        bige = e if bige is None else bige.unionByName(e)
-    bige.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-
-    bd = spark.read.parquet(f"{out}/documents.parquet")
-    be = spark.read.parquet(f"{out}/embeddings.parquet")
-    print(f"scale {n_copies}x: {bd.count()} docs, {be.count()} vectors")
+    need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
+                     "cc", "bm25", "cross", "paragraph", "span", "lm",
+                     "lm_capped", "dsir")
+    need_emb = want("knn", "matmul", "semantic", "ivfpq")
+    bd = be = None
+    if need_docs:
+        docs = spark.read.parquet(f"{base}/documents.parquet")
+        n = docs.count()
+        big = None
+        for i in range(n_copies):
+            d = (docs.withColumn("doc_id", (F.col("doc_id") + F.lit(i * n))
+                                 .cast("long"))
+                     .withColumn("text",
+                                 F.when(F.lit(i) == 0, F.col("text"))
+                                 .otherwise(F.concat(F.col("text"),
+                                                     F.lit(f" v{i}")))))
+            big = d if big is None else big.unionByName(d)
+        big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        bd = spark.read.parquet(f"{out}/documents.parquet")
+    if need_emb:
+        emb = spark.read.parquet(f"{base}/embeddings.parquet")
+        m = emb.count()
+        bige = None
+        for i in range(n_copies):
+            e = emb.withColumn("vec_id", (F.col("vec_id") + F.lit(i * m))
+                               .cast("long"))
+            bige = e if bige is None else bige.unionByName(e)
+        bige.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        be = spark.read.parquet(f"{out}/embeddings.parquet")
+    print(f"scale {n_copies}x: "
+          f"{bd.count() if bd is not None else 0} docs, "
+          f"{be.count() if be is not None else 0} vectors")
 
     def timed(label, fn):
         t0 = time.perf_counter()
         result = fn()
         print(f"{label}: {result} in {time.perf_counter() - t0:.1f}s")
 
-    qv = [float(x) for x in be.head().embedding]
-    timed("exact KNN", lambda: len(knn.vector_search(
-        be, "embedding", qv, k=10, tiebreaker="vec_id").collect()))
-    timed("minhash near-dup pairs", lambda: dedup.minhash_neardup_pairs(
-        bd, "text", "doc_id").count())
-    timed("simhash near-dup pairs", lambda: dedup.simhash_neardup_pairs(
-        bd, "text", "doc_id", max_hamming=2).count())
+    qv = [float(x) for x in be.head().embedding] if be is not None else None
+    if want("knn"):
+        timed("exact KNN", lambda: len(knn.vector_search(
+            be, "embedding", qv, k=10, tiebreaker="vec_id").collect()))
+    if want("minhash"):
+        timed("minhash near-dup pairs", lambda: dedup.minhash_neardup_pairs(
+            bd, "text", "doc_id").count())
+    if want("simhash"):
+        timed("simhash near-dup pairs", lambda: dedup.simhash_neardup_pairs(
+            bd, "text", "doc_id", max_hamming=2).count())
     # note: per-row replication factor IS num_blocks — raise it for memory,
     # not parallelism (group count B(B+1)/2 already exceeds cores at 16)
-    timed("blocked-matmul topk pairs", lambda: dedup.cosine_topk_pairs(
-        be, "embedding", "vec_id", k=20, num_blocks=16).count())
-    timed("jaccard join pairs", lambda: dedup.jaccard_similarity_join(
-        bd, "text", "doc_id", max_shingle_df=1000).count())
-    timed("jaccard PREFIX join pairs (PPJoin)",
-          lambda: dedup.jaccard_similarity_join_prefix(
-              bd, "text", "doc_id", max_shingle_df=1000).count())
+    if want("matmul"):
+        timed("blocked-matmul topk pairs", lambda: dedup.cosine_topk_pairs(
+            be, "embedding", "vec_id", k=20, num_blocks=16).count())
+    if want("jaccard"):
+        timed("jaccard join pairs", lambda: dedup.jaccard_similarity_join(
+            bd, "text", "doc_id", max_shingle_df=1000).count())
+    if want("ppjoin"):
+        timed("jaccard PREFIX join pairs (PPJoin)",
+              lambda: dedup.jaccard_similarity_join_prefix(
+                  bd, "text", "doc_id", max_shingle_df=1000).count())
 
     # lakehouse mutations at scale: z-order rewrite and conditional merge
     from pydata_vector_search_spark.catalog import Catalog
     from pydata_vector_search_spark.operators.layout import write_zordered
     from pydata_vector_search_spark.operators.upsert import merge_into
 
-    li = spark.read.parquet(f"{base}/lineitem.parquet")
-    bl = None
-    for i in range(n_copies):
-        l = li.withColumn("l_orderkey", F.col("l_orderkey")
-                          + F.lit(i * 10_000_000).cast("bigint"))
-        bl = l if bl is None else bl.unionByName(l)
-    bl = bl.select("l_orderkey", "l_partkey", "l_extendedprice") \
-           .localCheckpoint(eager=True)
-    print(f"lineitem {n_copies}x: {bl.count()} rows")
-    timed("z-order rewrite (Morton, range-part + sort)",
-          lambda: write_zordered(bl, f"{out}/zli",
-                                 ["l_orderkey", "l_partkey"],
-                                 num_files=32) or "written")
+    if want("zorder"):
+        li = spark.read.parquet(f"{base}/lineitem.parquet")
+        bl = None
+        for i in range(n_copies):
+            l = li.withColumn("l_orderkey", F.col("l_orderkey")
+                              + F.lit(i * 10_000_000).cast("bigint"))
+            bl = l if bl is None else bl.unionByName(l)
+        bl = bl.select("l_orderkey", "l_partkey", "l_extendedprice") \
+               .localCheckpoint(eager=True)
+        print(f"lineitem {n_copies}x: {bl.count()} rows")
+        timed("z-order rewrite (Morton, range-part + sort)",
+              lambda: write_zordered(bl, f"{out}/zli",
+                                     ["l_orderkey", "l_partkey"],
+                                     num_files=32) or "written")
 
-    cat = Catalog(spark, f"{out}/cat")
-    ok = bd.select("doc_id", "text")
-    cat.write("docs", ok, key="doc_id")
-    src = (ok.filter(F.col("doc_id") % 4 == 0)
-             .withColumn("text", F.concat(F.col("text"), F.lit(" MERGED"))))
-    timed("conditional MERGE (outer join + COW rewrite)",
-          lambda: merge_into(cat, "docs", src,
-                             matched_update="doc_id % 8 = 0",
-                             matched_delete="doc_id % 20 = 0"))
+    if want("merge"):
+        cat = Catalog(spark, f"{out}/cat")
+        ok = bd.select("doc_id", "text")
+        cat.write("docs", ok, key="doc_id")
+        src = (ok.filter(F.col("doc_id") % 4 == 0)
+                 .withColumn("text",
+                             F.concat(F.col("text"), F.lit(" MERGED"))))
+        timed("conditional MERGE (outer join + COW rewrite)",
+              lambda: merge_into(cat, "docs", src,
+                                 matched_update="doc_id % 8 = 0",
+                                 matched_delete="doc_id % 20 = 0"))
 
     from pydata_vector_search_spark.operators.graph import \
         connected_components
-    timed("dedup clusters (CC + pointer jump)", lambda: connected_components(
-        dedup.jaccard_similarity_join(bd, "text", "doc_id",
-                                      max_shingle_df=1000),
-        src="id_1", dst="id_2").count())
+    if want("cc"):
+        timed("dedup clusters (CC + pointer jump)",
+              lambda: connected_components(
+                  dedup.jaccard_similarity_join(bd, "text", "doc_id",
+                                                max_shingle_df=1000),
+                  src="id_1", dst="id_2").count())
 
     # round-5 operators at scale
     from pydata_vector_search_spark.operators.retrieval import bm25_search
-    timed("BM25 top-15 (broadcast terms, int-exact partials)",
-          lambda: len(bm25_search(bd, "text", "doc_id",
-                                  ("vector", "hash", "join", "stream"),
-                                  k=15).collect()))
-    timed("semantic dedup survivors (LSH + cosine + CC)",
-          lambda: dedup.semantic_dedup(be, "embedding", "vec_id", dim=64,
-                                       threshold=0.95,
-                                       num_planes=8).count())
-    half_ref = bd.filter(F.col("doc_id") % 3 == 0)
-    half_cor = bd.filter(F.col("doc_id") % 3 != 0)
-    timed("cross-corpus minhash dedup survivors",
-          lambda: dedup.cross_dedup_minhash(half_cor, half_ref, "text",
-                                            "doc_id").count())
+    if want("bm25"):
+        timed("BM25 top-15 (broadcast terms, int-exact partials)",
+              lambda: len(bm25_search(bd, "text", "doc_id",
+                                      ("vector", "hash", "join", "stream"),
+                                      k=15).collect()))
+    if want("semantic"):
+        timed("semantic dedup survivors (LSH + cosine + CC)",
+              lambda: dedup.semantic_dedup(be, "embedding", "vec_id",
+                                           dim=64, threshold=0.95,
+                                           num_planes=8).count())
+    if want("cross"):
+        half_ref = bd.filter(F.col("doc_id") % 3 == 0)
+        half_cor = bd.filter(F.col("doc_id") % 3 != 0)
+        timed("cross-corpus minhash dedup survivors",
+              lambda: dedup.cross_dedup_minhash(half_cor, half_ref, "text",
+                                                "doc_id").count())
 
     from pydata_vector_search_spark.operators.incremental_agg import (
         create_agg, refresh_agg)
     from pydata_vector_search_spark.operators.upsert import upsert_table
-    cat2 = Catalog(spark, f"{out}/cat2")
-    ev = spark.read.parquet(f"{base}/events.parquet") \
-              .select("event_id", "event_type", "value")
-    bev = None
-    for i in range(n_copies):
-        e = ev.withColumn("event_id", F.col("event_id")
-                          + F.lit(i * 10_000_000).cast("bigint"))
-        bev = e if bev is None else bev.unionByName(e)
-    cat2.write("ev", bev.localCheckpoint(eager=True), key="event_id")
-    create_agg(cat2, "ev", "ev_agg", ["event_type"], {"sv": "value"})
-    upsert_table(cat2, "ev", bev.filter(F.col("event_id") % 97 == 0)
-                 .withColumn("value", F.col("value") + 1.0))
-    timed("IVM refresh (1/97 keys changed)",
-          lambda: refresh_agg(cat2, "ev", "ev_agg"))
-    timed("GDPR purge (1k keys, snapshot+log+index)",
-          lambda: cat2.purge_keys("ev", list(range(0, 97_000, 97))))
+    cat2 = bev = None
+    if want("ivm", "purge", "ivm_mm"):
+        cat2 = Catalog(spark, f"{out}/cat2")
+        ev = spark.read.parquet(f"{base}/events.parquet") \
+                  .select("event_id", "event_type", "value")
+        bev = None
+        for i in range(n_copies):
+            e = ev.withColumn("event_id", F.col("event_id")
+                              + F.lit(i * 10_000_000).cast("bigint"))
+            bev = e if bev is None else bev.unionByName(e)
+        cat2.write("ev", bev.localCheckpoint(eager=True), key="event_id")
+    if want("ivm", "purge"):
+        create_agg(cat2, "ev", "ev_agg", ["event_type"], {"sv": "value"})
+        upsert_table(cat2, "ev", bev.filter(F.col("event_id") % 97 == 0)
+                     .withColumn("value", F.col("value") + 1.0))
+        if want("ivm"):
+            timed("IVM refresh (1/97 keys changed)",
+                  lambda: refresh_agg(cat2, "ev", "ev_agg"))
+        if want("purge"):
+            timed("GDPR purge (1k keys, snapshot+log+index)",
+                  lambda: cat2.purge_keys("ev",
+                                          list(range(0, 97_000, 97))))
 
     # round-6 tiers at scale: the composed IVF×PQ probe and the MIN/MAX
     # group-scoped IVM recompute
     from pydata_vector_search_spark.operators import ann, pq
-    cb = pq.pq_train(be, "embedding", m=8, k_codes=64, seed=42,
-                     metric="cosine")
-    idx = ann.ivf_build(pq.pq_encode(be, "embedding", cb), "embedding",
-                        f"{out}/ivfpq", num_centroids=16, seed=42,
-                        quantize=False)
-    timed("IVF×PQ pruned probe (nprobe=4, ADC shortlist + re-rank)",
-          lambda: len(pq.ivfpq_search(spark, idx, cb, qv, k=10, nprobe=4,
-                                      shortlist=256,
-                                      tiebreaker="vec_id").collect()))
-    create_agg(cat2, "ev", "ev_mm", ["event_type"], {"sv": "value"},
-               maxs={"mx": "value"})
-    upsert_table(cat2, "ev", bev.filter(F.col("event_id") % 193 == 0)
-                 .withColumn("value", F.col("value") + 2.0))
-    timed("IVM MIN/MAX refresh (group-scoped recompute)",
-          lambda: refresh_agg(cat2, "ev", "ev_mm"))
+    if want("ivfpq"):
+        cb = pq.pq_train(be, "embedding", m=8, k_codes=64, seed=42,
+                         metric="cosine")
+        idx = ann.ivf_build(pq.pq_encode(be, "embedding", cb), "embedding",
+                            f"{out}/ivfpq", num_centroids=16, seed=42,
+                            quantize=False)
+        timed("IVF×PQ pruned probe (nprobe=4, ADC shortlist + re-rank)",
+              lambda: len(pq.ivfpq_search(spark, idx, cb, qv, k=10,
+                                          nprobe=4, shortlist=256,
+                                          tiebreaker="vec_id").collect()))
+    if want("ivm_mm"):
+        create_agg(cat2, "ev", "ev_mm", ["event_type"], {"sv": "value"},
+                   maxs={"mx": "value"})
+        upsert_table(cat2, "ev", bev.filter(F.col("event_id") % 193 == 0)
+                     .withColumn("value", F.col("value") + 2.0))
+        timed("IVM MIN/MAX refresh (group-scoped recompute)",
+              lambda: refresh_agg(cat2, "ev", "ev_mm"))
 
     # sub-document dedup at scale (r06): the replicated corpus makes
     # every base paragraph/span appear n_copies times — removal volume
     # is inherent output growth, the plans stay two-shuffle linear
     from pydata_vector_search_spark.operators.span_dedup import (
         duplicate_span_dedup, paragraph_dedup)
-    lines10 = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0),
-                       F.ceil(F.size(F.split("text", " ")) / F.lit(10))
-                        .cast("int") - 1),
-            lambda i: F.array_join(
-                F.slice(F.split("text", " "), i * 10 + 1, 10), " ")),
-        "\n")
-    timed("paragraph dedup (10-token lines, rebuild)",
-          lambda: paragraph_dedup(
-              bd.select("doc_id", lines10.alias("text")),
-              "text", "doc_id").agg(
-                  F.sum("n_units"), F.sum("n_kept")).collect() and "ok")
-    timed("substring-span dedup (n=8, interval merge + rebuild)",
-          lambda: duplicate_span_dedup(bd, "text", "doc_id", n=8).agg(
-              F.sum("n_removed"), F.sum("n_spans")).collect() and "ok")
+    if want("paragraph"):
+        lines10 = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.ceil(F.size(F.split("text", " ")) / F.lit(10))
+                            .cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.split("text", " "), i * 10 + 1, 10), " ")),
+            "\n")
+        timed("paragraph dedup (10-token lines, rebuild)",
+              lambda: paragraph_dedup(
+                  bd.select("doc_id", lines10.alias("text")),
+                  "text", "doc_id").agg(
+                      F.sum("n_units"), F.sum("n_kept")).collect() and "ok")
+    if want("span"):
+        timed("substring-span dedup (n=8, interval merge + rebuild)",
+              lambda: duplicate_span_dedup(bd, "text", "doc_id", n=8).agg(
+                  F.sum("n_removed"), F.sum("n_spans")).collect() and "ok")
 
     # corpus-statistics selection at scale (r06): LM counts are
     # vocabulary-sized aggregates; DSIR models broadcast
     from pydata_vector_search_spark.operators.lm_score import (
         bigram_lm_score, dsir_importance)
-    timed("bigram-LM NLL scoring (micro-nat partials)",
-          lambda: bigram_lm_score(bd, "text", "doc_id").agg(
-              F.sum("nll_micro")).collect() and "ok")
-    timed("DSIR importance top-100 (broadcast bucket models)",
-          lambda: len(dsir_importance(
-              bd, bd.filter(F.col("lang") == "en"), "text", "doc_id",
-              k=100).collect()))
+    if want("lm"):
+        timed("bigram-LM NLL scoring (micro-nat partials)",
+              lambda: bigram_lm_score(bd, "text", "doc_id").agg(
+                  F.sum("nll_micro")).collect() and "ok")
+    if want("lm_capped"):
+        # r07: the bounded-vocabulary path — count tables provably
+        # <= max_vocab rows however large the replicated vocab grows
+        timed("bigram-LM NLL scoring (max_vocab=65536 hash cap)",
+              lambda: bigram_lm_score(bd, "text", "doc_id",
+                                      max_vocab=65536).agg(
+                  F.sum("nll_micro")).collect() and "ok")
+    if want("dsir"):
+        timed("DSIR importance top-100 (broadcast bucket models)",
+              lambda: len(dsir_importance(
+                  bd, bd.filter(F.col("lang") == "en"), "text", "doc_id",
+                  k=100).collect()))
 
     shutil.rmtree(out, ignore_errors=True)
 
