@@ -2963,40 +2963,79 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-6 rotation: (a) the 12 NEW r06 queries (sub-document
-        # --- paragraph + substring-span dedup, bigram-LM perplexity,
-        # --- DSIR selection, quality-aware keep-best, dataloader
-        # --- shard-shuffle, distributed-CC
-        # --- pointer-jump path, IVF×PQ composition, MMR greedy oracle,
-        # --- MIN/MAX group-scoped IVM, sequence packing, temperature
-        # --- mixing); (b) all 20 queries whose latest
-        # --- driver-green row predates r04 (r05 verdict #3); (c) the 12
-        # --- queries sitting on modules round 6 changed (quality.py
-        # --- explode-struct pivot, pq/ann content-hash sampling +
-        # --- probe_cids, catalog partition-scoped purge, graph
-        # --- local_threshold, retrieval mmr/bm25 module,
-        # --- incremental_agg min/max); (d) the 7 oldest r04-verified
-        # --- catalog/knn-adjacent queries (displaced to make room:
-        # --- multimodal_audio, salted_agg, stream_dedup,
-        # --- multimodal_meta, upsert_merge, chunk_summary — r04-green
-        # --- on modules r06 did not touch, so still <=2 rounds old —
-        # --- and dedup_clusters, r05-green with graph.py's r06 change
-        # --- exercised in-window by dedup_clusters_dist). Every other
-        # --- declared query's latest green row is now <=2 rounds old.
+        # --- Round-7 rotation (the r06 verdict's forward constraint):
+        # --- (a) the 2 r07-NEW compositions (dataloader epoch,
+        # --- stream->index patch); (b) clean_pipeline + hard_negatives —
+        # --- the only queries never driver-hash-checked (r06-late);
+        # --- (c) the 4 queries on modules r07 changed (packing block-id
+        # --- floor fix -> sequence_pack; span_dedup id-range guard ->
+        # --- paragraph_dedup + span_dedup; lm_score max_vocab ->
+        # --- lm_perplexity + dsir_select) plus incremental_read (the
+        # --- r06 isolated-warm watch item, re-verified under the
+        # --- driver); (d) ALL 40 queries whose latest driver-green row
+        # --- is r04 — they reach the 2-round staleness limit this round
+        # --- (tools/window_audit.py). The 38 r05-green queries rotate
+        # --- in r08; every r06-green query is <= 2 rounds old.
+        "dataloader_epoch": q_dataloader_epoch,
+        "stream_index_patch": q_stream_index_patch,
+        "clean_pipeline": q_clean_pipeline,
+        "hard_negatives": q_hard_negatives,
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,
-        "shard_shuffle": q_shard_shuffle,
+        "sequence_pack": q_sequence_pack,
         "lm_perplexity": q_lm_perplexity,
         "dsir_select": q_dsir_select,
+        "incremental_read": q_incremental_read,
+        "log_retention": q_log_retention,
+        "upsert_merge": q_upsert_merge,
+        "chunk_summary": q_chunk_summary,
+        "stream_dedup": q_stream_dedup,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_audio": q_multimodal_audio,
+        "salted_agg": q_salted_agg,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "session_windows": q_session_windows,
+        "sliding_windows": q_sliding_windows,
+        "events_json_window": q_events_json_window,
+        "group_topk": q_group_topk,
+        "percentiles": q_percentiles,
+        "filter_like_project": q_filter_like_project,
+        "join_agg": q_join_agg,
+        "join_multiway": q_join_multiway,
+        "semi_anti_join": q_semi_anti_join,
+        "window_topk_per_group": q_window_topk_per_group,
+        "window_ranks": q_window_ranks,
+        "set_ops": q_set_ops,
+        "intersect_except": q_intersect_except,
+        "distinct_agg": q_distinct_agg,
+        "pivot": q_pivot,
+        "exists_subquery": q_exists_subquery,
+        "having": q_having,
+        "date_functions": q_date_functions,
+        "rollup_agg": q_rollup_agg,
+        "window_running": q_window_running,
+        "promo_revenue": q_promo_revenue,
+        "from_json_stats": q_from_json_stats,
+        "outer_join_agg": q_outer_join_agg,
+        "array_functions": q_array_functions,
+        "string_functions": q_string_functions,
+        "cube_agg": q_cube_agg,
+        "stream_stream_join": q_stream_stream_join,
+        "unpivot": q_unpivot,
+        # --- beyond the window: the r06 driver window (50/50 green,
+        # --- CORRECTNESS_r06.json) and the r05-green cohort — all pass
+        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        "shard_shuffle": q_shard_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "ivfpq_knn": q_ivfpq_knn,
         "mmr_rerank": q_mmr_rerank,
         "incremental_agg_minmax": q_incremental_agg_minmax,
-        "sequence_pack": q_sequence_pack,
         "temperature_mix": q_temperature_mix,
-        "dataloader_epoch": q_dataloader_epoch,
-        "stream_index_patch": q_stream_index_patch,
         "hybrid_postfilter": q_hybrid_postfilter,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -3030,28 +3069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
         "zorder_scan": q_zorder_scan,
-        "incremental_read": q_incremental_read,
         "keyed_delete": q_keyed_delete,
         "vector_knn_sql": q_vector_knn_sql,
         "hybrid_prefilter": q_hybrid_prefilter,
         "vector_knn_l2": q_vector_knn_l2,
-        # --- beyond the window: everything re-verified in the r05 window
-        # --- (CORRECTNESS_r05.json, 50/50 green) plus the remaining
-        # --- r04-green queries on untouched modules (dedup_clusters is
-        # --- r05-green and graph.py's r06 change is exercised in-window
-        # --- by dedup_clusters_dist; log_retention is r04-green and
-        # --- expire_commits itself is untouched this round). All pass
-        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
-        "clean_pipeline": q_clean_pipeline,   # r06-late, rotates into r07
-        "hard_negatives": q_hard_negatives,   # r06-late, rotates into r07
-        "log_retention": q_log_retention,
         "dedup_clusters": q_dedup_clusters,
-        "upsert_merge": q_upsert_merge,
-        "chunk_summary": q_chunk_summary,
-        "stream_dedup": q_stream_dedup,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_audio": q_multimodal_audio,
-        "salted_agg": q_salted_agg,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "token_budget_select": q_token_budget_select,
@@ -3089,39 +3111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "jaccard_join": q_jaccard_join,
         "dedup_exact": q_dedup_exact,
         "embed_hash": q_embed_hash,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "session_windows": q_session_windows,
-        "sliding_windows": q_sliding_windows,
-        "events_json_window": q_events_json_window,
-        "group_topk": q_group_topk,
-        "percentiles": q_percentiles,
-        "filter_like_project": q_filter_like_project,
-        "join_agg": q_join_agg,
-        "join_multiway": q_join_multiway,
-        "semi_anti_join": q_semi_anti_join,
-        "window_topk_per_group": q_window_topk_per_group,
-        "window_ranks": q_window_ranks,
-        "set_ops": q_set_ops,
-        "intersect_except": q_intersect_except,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "exists_subquery": q_exists_subquery,
-        "having": q_having,
-        "date_functions": q_date_functions,
-        "rollup_agg": q_rollup_agg,
-        "window_running": q_window_running,
-        "promo_revenue": q_promo_revenue,
-        "from_json_stats": q_from_json_stats,
-        "outer_join_agg": q_outer_join_agg,
-        "array_functions": q_array_functions,
-        "string_functions": q_string_functions,
-        "cube_agg": q_cube_agg,
-        "stream_stream_join": q_stream_stream_join,
-        "unpivot": q_unpivot,
     }
 
 
