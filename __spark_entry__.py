@@ -569,6 +569,52 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.unionByName(corrupt).orderBy("lang")
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange (the Hive/Trino warehouse handoff format,
+    sources/columnar.py): documents AND embeddings round-trip through
+    Spark's native vectorized ORC writer/reader (zstd), with the
+    expected schema VERIFIED against the files' own footer schema at
+    the boundary. Fidelity is oracle-pinned on the ORIGINAL parquet:
+    per-lang text md5-sums for documents, and for embeddings a
+    per-label, per-element integer checksum (floor(x*1e6 + 0.5) summed
+    over every component of every vector) proving array<float> columns
+    survive bit-for-bit — the property the reference gets from Lance
+    (demo.ipynb c8:22) re-established on warehouse ORC."""
+    import tempfile
+
+    from pydata_vector_search_spark.sources import read_orc, write_orc
+
+    root = tempfile.mkdtemp(prefix="pvss_orc_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    emb = _t(spark, sf_dir, "embeddings")
+    write_orc(docs.coalesce(4), os.path.join(root, "docs"))
+    write_orc(emb.coalesce(4), os.path.join(root, "emb"))
+    rd = read_orc(spark, os.path.join(root, "docs"),
+                  "doc_id bigint, text string, lang string")
+    re_ = read_orc(spark, os.path.join(root, "emb"),
+                   "vec_id bigint, embedding array<float>, label int")
+
+    th = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    d_leg = (rd.groupBy(F.col("lang").alias("grp"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("doc_id").cast("long").alias("id_sum"),
+                    F.sum(th).cast("long").alias("checksum"))
+               .select(F.lit("documents").alias("part"), "grp", "n",
+                       "id_sum", "checksum"))
+    vh = F.aggregate(
+        F.transform("embedding",
+                    lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5))
+                    .cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    e_leg = (re_.groupBy(F.col("label").cast("string").alias("grp"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum("vec_id").cast("long").alias("id_sum"),
+                     F.sum(vh).cast("long").alias("checksum"))
+                .select(F.lit("embeddings").alias("part"), "grp", "n",
+                        "id_sum", "checksum"))
+    return d_leg.unionByName(e_leg).orderBy("part", "grp")
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup removal ("dedup the new crawl against the
     trained corpus"): documents split doc_id%3 into reference (==0) and
@@ -2985,7 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "sequence_pack": q_sequence_pack,
         "lm_perplexity": q_lm_perplexity,
         "dsir_select": q_dsir_select,
-        "incremental_read": q_incremental_read,
+        "orc_roundtrip": q_orc_roundtrip,
         "log_retention": q_log_retention,
         "upsert_merge": q_upsert_merge,
         "chunk_summary": q_chunk_summary,
@@ -3029,6 +3075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # --- beyond the window: the r06 driver window (50/50 green,
         # --- CORRECTNESS_r06.json) and the r05-green cohort — all pass
         # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
+        # --- incremental_read (r06-green, the isolated-warm watch item)
+        # --- sits first in line for r08; its module is unchanged in r07
+        # --- and the fresh isolated-warm measurement is in CHANGES_r07.
+        "incremental_read": q_incremental_read,
         "shard_shuffle": q_shard_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_dist": q_dedup_clusters_dist,
@@ -5471,5 +5521,27 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             ORDER BY dist ASC, vec_id ASC
             LIMIT 10
+        """
+    # ORC roundtrip is an identity transport: the oracle computes the
+    # same per-group checksums straight from the original parquet
+    d["orc_roundtrip"] = """
+            WITH dl AS (
+                SELECT 'documents' AS part, lang AS grp,
+                       count(*)::BIGINT AS n,
+                       sum(doc_id)::BIGINT AS id_sum,
+                       sum(('0x' || substr(md5(text), 1, 10))::BIGINT
+                           )::BIGINT AS checksum
+                FROM documents GROUP BY lang
+            ), el AS (
+                SELECT 'embeddings' AS part, label::VARCHAR AS grp,
+                       count(*)::BIGINT AS n,
+                       sum(vec_id)::BIGINT AS id_sum,
+                       sum(list_sum(list_transform(embedding,
+                           x -> floor(x::DOUBLE * 1000000.0 + 0.5)
+                                ::BIGINT)))::BIGINT AS checksum
+                FROM embeddings GROUP BY label
+            )
+            SELECT * FROM dl UNION ALL SELECT * FROM el
+            ORDER BY part, grp
         """
     return d

@@ -46,3 +46,45 @@ def test_external_source_lands_into_managed_parquet(spark, tmp_path):
     cat.write("t", cat.load("t_raw"), key="k")
     assert cat.info("t").format == "parquet"
     assert [(r.k, r.v) for r in cat.load("t").collect()] == [(1, "a")]
+
+
+def test_orc_roundtrip_and_schema_guard(spark, tmp_path):
+    """ORC write/read round-trips scalars and array<float> exactly; the
+    expected-schema check verifies the files' own footer schema and
+    raises on upstream type drift instead of silently reconciling."""
+    import pytest
+
+    from pydata_vector_search_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.5, -2.25]), (2, "b", [0.0, 3.75])],
+        "id bigint, s string, v array<float>")
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p, "id bigint, s string, v array<float>")
+    assert sorted(map(tuple, back.collect())) == \
+           sorted(map(tuple, df.collect()))
+    # projection/order comes from the expected schema
+    assert back.columns == ["id", "s", "v"]
+    with pytest.raises(ValueError, match="missing"):
+        read_orc(spark, p, "id bigint, nope string")
+    with pytest.raises(ValueError, match="expected"):
+        read_orc(spark, p, "id int, s string")
+
+
+def test_orc_partitioned_layout(spark, tmp_path):
+    """partition_by produces Hive-style dirs that Spark reads back with
+    partition pruning available."""
+    import os
+
+    from pydata_vector_search_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame([(i, "x" * i, "en" if i % 2 else "de")
+                                for i in range(10)],
+                               "id bigint, t string, lang string")
+    p = str(tmp_path / "part_orc")
+    write_orc(df, p, partition_by=["lang"])
+    assert sorted(d for d in os.listdir(p) if d.startswith("lang=")) == \
+           ["lang=de", "lang=en"]
+    back = read_orc(spark, p)
+    assert back.filter("lang = 'en'").count() == 5
