@@ -237,7 +237,9 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
     Cost is Σ_s df(s)² over shingle document frequencies. On Zipfian or
     duplicate-heavy corpora prefer ``jaccard_similarity_join_prefix``
     (same results, candidates bounded by rare-shingle prefixes + PPJoin
-    size/positional pruning); measured: count-based wins on the plain
+    size/positional pruning) — or let
+    ``jaccard_similarity_join_auto`` pick from the measured
+    duplicate-heaviness ratio; measured: count-based wins on the plain
     synthetic corpus (2.1 s vs 3.1 s at sf0.1 — no hot shingles to
     defuse), prefix wins 1.8× once duplicates inflate df(s)² (30.3 s vs
     16.7 s at 10×-duplicated sf0.1, 50k docs / 250k true pairs)."""
@@ -271,6 +273,60 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
                 / (F.col("n1") + F.col("n2") - F.col("inter")))
                  .filter(F.col("jaccard") >= threshold)
                  .select("id_1", "id_2", "jaccard"))
+
+
+def jaccard_similarity_join_auto(df: DataFrame, text_col: str, id_col: str,
+                                 n: int = 3, threshold: float = 0.5,
+                                 max_shingle_df: int | None = None,
+                                 dup_ratio_threshold: float = 8.0
+                                 ) -> DataFrame:
+    """Exact Jaccard join with AUTOMATIC physical-strategy selection —
+    the documented default-selection rule between the count-based
+    co-occurrence join and the PPJoin prefix-filtered join (both
+    output-identical; equality-pinned in tests).
+
+    The decider is the corpus's duplicate-heaviness ratio
+
+        R = Σ_s C(df(s), 2) / Σ_s df(s)
+
+    — candidate co-occurrence pairs per shingle occurrence, i.e. the
+    count-based join's work amplification, from ONE explode+aggregate
+    (the same Σ C(df,2) estimate the prefix join's broadcast gate
+    runs; cost ≈ one corpus scan, negligible next to either join).
+    ``R <= dup_ratio_threshold`` → count-based (wins on near-unique
+    corpora where the self-join is output-bounded and prefix ranking
+    overhead dominates); above it → PPJoin (wins once hot/duplicated
+    shingles inflate Σ df² super-linearly).
+
+    Calibration (tools/scale_probe.py on sf0.1 and its ×N-replicated
+    variants; full table in CHANGES_r07.md): R≈4.9 plain → count-based
+    faster (2.1 s vs 3.1 s); R≈10 at 2× → PPJoin edges ahead (7.5 s vs
+    8.7 s); R≈15 at 3× → wash; R≈26 at 5× → PPJoin 1.5× (8.8 s vs
+    13.4 s); R≈52 at 10× → 1.8×; R≈105 at 20× → 1.5× (89.8 s vs
+    136.5 s); R≈260 at 50× → 1.6× (547 s vs 885 s — and count-based
+    needs a 48 g heap there; it OOMs at the default 8 g materializing
+    ~R·T ≈ 3.4 B co-occurrence rows). The default threshold 8 sits in
+    the measured crossover gap (4.9, 10.2); margins near it are small,
+    so any misrouting there costs ~15%, while routing the
+    duplicate-heavy regimes right is worth 1.5–1.8× and avoids the
+    memory cliff. At 100 TB the ratio aggregate is map-side combinable
+    and the decision costs one scan — or pass the strategy explicitly
+    via the underlying functions to skip the probe scan entirely."""
+    ex = (_fan_out(df, id_col)
+          .select(F.explode(shingles_col(text_col, n)).alias("__s0"))
+          .select(F.xxhash64("__s0").alias("__s")))
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_shingle_df)
+    r = dfreq.agg(
+        F.sum("__df").alias("t"),
+        F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("p")
+    ).collect()[0]
+    ratio = (r["p"] or 0.0) / max(r["t"] or 0, 1)
+    fn = (jaccard_similarity_join_prefix
+          if ratio > dup_ratio_threshold else jaccard_similarity_join)
+    return fn(df, text_col, id_col, n=n, threshold=threshold,
+              max_shingle_df=max_shingle_df)
 
 
 def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,

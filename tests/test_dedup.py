@@ -172,6 +172,29 @@ def test_jaccard_prefix_matches_count_based(docs):
     assert a == b and a
 
 
+def test_jaccard_auto_selection_rule(docs, spark):
+    """The auto dispatcher matches both physical strategies exactly, and
+    its ratio rule picks count-based on the near-unique corpus and
+    PPJoin on a duplicate-heavy one (threshold forced to straddle)."""
+    want = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+            dedup.jaccard_similarity_join(docs, "text", "doc_id",
+                                          threshold=0.5).collect()}
+    got = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+           dedup.jaccard_similarity_join_auto(docs, "text", "doc_id",
+                                              threshold=0.5).collect()}
+    assert got == want and got
+    # a tiny threshold forces the PPJoin branch: results must not move
+    forced_prefix = {(r.id_1, r.id_2): round(r.jaccard, 9) for r in
+                     dedup.jaccard_similarity_join_auto(
+                         docs, "text", "doc_id", threshold=0.5,
+                         dup_ratio_threshold=0.0).collect()}
+    assert forced_prefix == want
+    # degenerate corpora don't crash the ratio (empty → count-based)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.jaccard_similarity_join_auto(
+        empty, "text", "doc_id").count() == 0
+
+
 def test_jaccard_prefix_broadcast_gate(docs):
     """The candidate broadcast is AQE-gated by default (no forced hint —
     runtime stats decide); both explicit overrides produce IDENTICAL
