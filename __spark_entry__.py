@@ -1940,6 +1940,31 @@ def q_dataloader_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("shard"))
 
 
+def q_temperature_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET temperature mixing (r07): the mixing mass is token
+    count, not document count — what pretraining recipes actually
+    specify (the Pile/ROOTS shares are token shares). Group mass
+    n_g = Σ token_count; rate_g = min(1, n_g^0.5/Σn^0.5 · 0.4·N_tok /
+    n_g); membership stays the per-doc md5 hash rule, so expected kept
+    TOKEN mass ∝ n_g^α while selection remains row-reproducible with
+    no RNG state. Declared result pins rates (9 dp), kept-doc counts,
+    kept-token sums, and id sums per source group."""
+    from pydata_vector_search_spark.operators.packing import temperature_mix
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("n_tok", T.token_count("text").cast("long")))
+    mixed = temperature_mix(docs, "doc_id", "source", alpha=0.5,
+                            sample_frac=0.4, seed=11,
+                            weight_col="n_tok")
+    return (mixed.groupBy("source", "mix_rate")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("n_tok").cast("long").alias("kept_tokens"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .select("source", F.round("mix_rate", 9).alias("mix_rate"),
+                    "n_kept", "kept_tokens", "id_sum")
+            .orderBy("source"))
+
+
 def q_stream_index_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM → INDEX composition (r06 verdict #7): the index-staleness
     contract under a STREAMING writer. Ingest embeddings, pin a
@@ -3010,16 +3035,19 @@ def queries() -> dict[str, Callable[[SparkSession, str],
     return {
         # --- first-50 driver window (hash-checked in declaration order).
         # --- Round-7 rotation (the r06 verdict's forward constraint):
-        # --- (a) the 2 r07-NEW compositions (dataloader epoch,
-        # --- stream->index patch); (b) clean_pipeline + hard_negatives —
-        # --- the only queries never driver-hash-checked (r06-late);
-        # --- (c) the 4 queries on modules r07 changed (packing block-id
-        # --- floor fix -> sequence_pack; span_dedup id-range guard ->
-        # --- paragraph_dedup + span_dedup; lm_score max_vocab ->
-        # --- lm_perplexity + dsir_select) plus incremental_read (the
-        # --- r06 isolated-warm watch item, re-verified under the
-        # --- driver); (d) ALL 40 queries whose latest driver-green row
-        # --- is r04 — they reach the 2-round staleness limit this round
+        # --- (a) the 5 r07-NEW queries (dataloader epoch, stream->index
+        # --- patch, token-weighted temperature mix, ORC roundtrip — and
+        # --- see (c) for the touched-path coverage); (b) clean_pipeline
+        # --- + hard_negatives — the only queries never
+        # --- driver-hash-checked (r06-late); (c) the queries on code
+        # --- paths r07 changed (packing block-id floor fix ->
+        # --- sequence_pack; span_dedup id-range guard -> paragraph_dedup
+        # --- + span_dedup; lm_score max_vocab -> lm_perplexity;
+        # --- temperature_mix weight_col -> temperature_mix_tokens
+        # --- exercises the new path, dsir_importance itself is
+        # --- untouched so dsir_select waits just outside); (d) ALL 40
+        # --- queries whose latest driver-green row is r04 — they reach
+        # --- the 2-round staleness limit this round
         # --- (tools/window_audit.py). The 38 r05-green queries rotate
         # --- in r08; every r06-green query is <= 2 rounds old.
         "dataloader_epoch": q_dataloader_epoch,
@@ -3030,7 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "span_dedup": q_span_dedup,
         "sequence_pack": q_sequence_pack,
         "lm_perplexity": q_lm_perplexity,
-        "dsir_select": q_dsir_select,
+        "temperature_mix_tokens": q_temperature_mix_tokens,
         "orc_roundtrip": q_orc_roundtrip,
         "log_retention": q_log_retention,
         "upsert_merge": q_upsert_merge,
@@ -3079,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # --- sits first in line for r08; its module is unchanged in r07
         # --- and the fresh isolated-warm measurement is in CHANGES_r07.
         "incremental_read": q_incremental_read,
+        "dsir_select": q_dsir_select,
         "shard_shuffle": q_shard_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_dist": q_dedup_clusters_dist,
@@ -5521,6 +5550,42 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             ORDER BY dist ASC, vec_id ASC
             LIMIT 10
+        """
+    # token-weighted mixing: same md5 rule + 9-dp rates as
+    # temperature_mix, with the group mass = sum of whitespace token
+    # counts (the CASE-guarded empty-string form, matching
+    # functions/text.token_count exactly)
+    d["temperature_mix_tokens"] = r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                        END)::BIGINT AS nt
+                FROM documents
+            ), c AS (
+                SELECT source, sum(nt)::DOUBLE AS n
+                FROM t GROUP BY source
+            ), s AS (
+                SELECT sum(pow(n, 0.5)) AS dn, sum(n) AS tot FROM c
+            ), r AS (
+                SELECT source,
+                       CASE WHEN n = 0 THEN 1.0
+                            ELSE round(least(1.0, pow(n, 0.5) / dn
+                                             * (0.4 * tot) / n), 9)
+                       END AS rate
+                FROM c, s
+            ), kept AS (
+                SELECT t.doc_id, t.source, t.nt, r.rate
+                FROM t JOIN r USING (source)
+                WHERE ('0x' || substr(md5('mix11|' || t.doc_id::VARCHAR),
+                                      1, 5))::BIGINT / 1048576.0 < r.rate
+            )
+            SELECT source, round(rate, 9) AS mix_rate,
+                   count(*)::BIGINT AS n_kept,
+                   sum(nt)::BIGINT AS kept_tokens,
+                   sum(doc_id)::BIGINT AS id_sum
+            FROM kept GROUP BY source, rate ORDER BY source
         """
     # ORC roundtrip is an identity transport: the oracle computes the
     # same per-group checksums straight from the original parquet

@@ -115,10 +115,20 @@ def _u01(id_col: str, seed: int) -> F.Column:
 def temperature_mix(df: DataFrame, id_col: str, group_col: str,
                     alpha: float = 0.5, sample_frac: float = 0.5,
                     seed: int = 42,
-                    rate_col: str = "mix_rate") -> DataFrame:
+                    rate_col: str = "mix_rate",
+                    weight_col=None) -> DataFrame:
     """Temperature-weighted corpus mix: keep a deterministic subset where
     group ``g`` receives target share ``n_g^alpha / Σ n^alpha`` of
-    ``sample_frac · N`` total rows (capped at keeping the whole group).
+    ``sample_frac · N`` total mass (capped at keeping the whole group).
+
+    ``weight_col`` (column or name, default None) switches the mass
+    from document COUNT to a per-row weight — pass a token count to
+    mix by TOKEN BUDGET, which is what pretraining recipes actually
+    specify (the Pile/ROOTS shares are token shares, not document
+    shares): group mass n_g = Σ w, and the expected KEPT token mass is
+    ``rate_g · n_g ∝ n_g^alpha`` since the per-doc hash keep-rule is
+    independent of document length. With weights the group aggregate
+    is still one map-side-combinable sum — nothing else changes.
 
     Returns the surviving rows plus ``rate_col`` — the group's keep rate
     rounded to 9 decimals (rounded IDENTICALLY in the oracle, so the
@@ -126,14 +136,20 @@ def temperature_mix(df: DataFrame, id_col: str, group_col: str,
     ``pow``). alpha=1 reduces to uniform ``sample_frac`` sampling;
     alpha=0 equalizes sources. Selection is the pure md5 hash rule of
     ``_u01`` — reproducible under any partitioning, no RNG state."""
-    counts = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__n")).collect()
+    if weight_col is None:
+        mass = F.count(F.lit(1)).cast("long")
+    else:
+        wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        mass = F.sum(wc.cast("long"))
+    counts = df.groupBy(group_col).agg(mass.alias("__n")).collect()
     total = sum(r["__n"] for r in counts)
     denom = sum(r["__n"] ** alpha for r in counts) or 1.0
     target = sample_frac * total
+    # a zero-mass group (all-zero weights) contributes nothing to the
+    # budget — keep it outright rather than divide by zero
     rates = [(r[group_col],
               round(min(1.0, (r["__n"] ** alpha / denom) * target
-                        / r["__n"]), 9))
+                        / r["__n"]), 9) if r["__n"] else 1.0)
              for r in counts]
     spark = df.sparkSession
     rdf = spark.createDataFrame(

@@ -143,3 +143,35 @@ def test_shard_shuffle_invalid_shards_raises(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="num_shards"):
         shard_shuffle(df, "doc_id", 0)
+
+
+def test_temperature_mix_token_weighted(spark):
+    """weight_col switches the mixing mass to token counts: a group of
+    few huge docs and a group of many tiny docs with equal token mass
+    get EQUAL rates at alpha=0 (count-based mixing would skew); the
+    default count path is unchanged by the refactor; zero-mass groups
+    keep rate 1.0 instead of dividing by zero."""
+    rows = ([(i, "big", 100) for i in range(10)]          # 1000 tokens
+            + [(100 + i, "small", 1) for i in range(1000)]  # 1000 tokens
+            + [(5000 + i, "empty", 0) for i in range(5)])   # 0 tokens
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    out = temperature_mix(df, "doc_id", "src", alpha=0.0,
+                          sample_frac=0.5, seed=3, weight_col="w")
+    rates = {r.src: r.mix_rate for r in
+             out.select("src", "mix_rate").distinct().collect()}
+    # equal token mass -> equal rates for big/small; zero-mass kept
+    assert rates["big"] == rates["small"]
+    assert rates["empty"] == 1.0
+    # kept token mass tracks the rate (hash rule is doc-independent of
+    # length, so expectation holds; allow sampling slack)
+    kept = {r.src: r.kw or 0 for r in
+            out.groupBy("src").agg(F.sum("w").alias("kw")).collect()}
+    expect = 1000 * rates["big"]
+    assert 0.6 * expect <= kept["big"] <= 1.4 * expect
+    assert 0.6 * expect <= kept["small"] <= 1.4 * expect
+    # default path (weight_col=None) is bit-identical to before the
+    # refactor: alpha=1 uniform rates
+    uni = temperature_mix(df, "doc_id", "src", alpha=1.0,
+                          sample_frac=0.5, seed=3)
+    assert {r.mix_rate for r in
+            uni.select("mix_rate").distinct().collect()} == {0.5}
