@@ -223,6 +223,38 @@ NOTES = {
         "the paragraph-dedup stages above it are the same two "
         "map-side-combinable shuffles as paragraph_dedup — composing "
         "the stages adds zero extra passes over the corpus."),
+    "dataloader_epoch": (
+        "Assemble-a-training-epoch composition (r07) as ONE Catalyst "
+        "plan: each union leg scans documents once with the broadcast "
+        "mix-rate join and hash keep-rule pushed into the scan stage; "
+        "the only unpartitioned Window runs over the BOUNDARY quality "
+        "bucket alone (~1/buckets of the corpus — the "
+        "select_token_budget design), never the whole corpus. "
+        "Everything after selection is budget-bounded: one exchange to "
+        "block-group for the packing Arrow batches "
+        "(FlatMapGroupsInPandas), one map-side-combinable bin "
+        "aggregate, one shard exchange + in-partition sort. The 100 TB "
+        "corpus is touched only by the two gated scans; every later "
+        "stage works on the selected token budget."),
+    "temperature_mix_tokens": (
+        "Token-weighted mixing (r07): one map-side-combinable "
+        "sum(token_count) per source (group-cardinality-sized "
+        "collect), rates broadcast back, md5 keep-rule evaluated "
+        "inside the scan stage — the corpus itself never shuffles; "
+        "the declared rollup adds the single group-key exchange."),
+    "orc_roundtrip": (
+        "ORC interchange (r07): both legs are vectorized ORC scans "
+        "(Spark's native reader — same columnar batches and pushdown "
+        "machinery as parquet) feeding partial+final hash aggregates; "
+        "the md5/checksum expressions are codegen scalars, one "
+        "exchange per leg on the group key."),
+    "stream_index_patch": (
+        "Stream-maintained index (r07): the displayed plan is the "
+        "POST-PATCH probe — identical in shape to ann_ivf_knn "
+        "(PartitionFilters-pruned scan + TakeOrderedAndProject); the "
+        "streamed upsert and the ivf_patch partition rewrite happen "
+        "during construction, each costing work proportional to the "
+        "changed keys, never a rebuild scan."),
 }
 
 
