@@ -1,0 +1,135 @@
+"""Close the sf0.1 carve-out for the CC-family oracles.
+
+The four declared queries whose DuckDB oracles contain the recursive
+transitive-closure idiom (dedup_clusters, dedup_clusters_dist,
+dedup_keep_best, semantic_dedup) are hours-long at sf0.1 because the
+``reach`` recursion materializes every (node, reachable-node) tuple —
+quadratic in clique size. This tool checks them at sf0.1 anyway, by
+replacing ONLY that idiom with an INDEPENDENT implementation:
+
+1. run the oracle's own prefix CTEs (shingling/LSH/similarity → the
+   ``edges`` list) in DuckDB, unchanged;
+2. compute connected components with a Python union-find over the
+   edge list (a different algorithm than both the recursive CTE and
+   Spark's pointer-jumping — three-way independence);
+3. register the (node, min-label) table back into DuckDB and run the
+   oracle's UNCHANGED tail aggregation over it;
+4. hash-compare against the Spark query exactly like oracle_check.
+
+Writes CC_SF01.json. Usage: python tools/cc_check_sf01.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CC_QUERIES = ("dedup_clusters", "dedup_clusters_dist",
+              "dedup_keep_best", "semantic_dedup")
+
+# the shared closure idiom every CC oracle embeds, verbatim shape:
+#   ), reach AS ( ... recursive ... ), comp AS (
+#       SELECT n, min(m) AS <label> FROM reach GROUP BY n
+#   )
+_IDIOM = re.compile(
+    r"\),\s*reach\s+AS\s+\(.*?\),\s*comp\s+AS\s+\(\s*"
+    r"SELECT\s+n(?:\s+AS\s+(\w+))?,\s*min\(m\)\s+AS\s+(\w+)"
+    r"\s+FROM\s+reach\s+GROUP\s+BY\s+n\s*\)",
+    re.S | re.I)
+
+
+def _split(sql: str):
+    m = _IDIOM.search(sql)
+    if not m:
+        raise ValueError("closure idiom not found")
+    ncol, label = m.group(1) or "n", m.group(2)
+    prefix = sql[:m.start()]          # ends inside the edges CTE body
+    tail = sql[m.end():]              # ", doomed AS (...)" or final SELECT
+    return prefix, ncol, label, tail
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:   # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in
+            set(parent) | {u for u, _ in edges} | {v for _, v in edges}}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from tools.oracle_check import TABLES, _norm_rows
+    from pydata_vector_search_spark.session import get_spark
+
+    spark = get_spark("cc_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    results, failures = {}, []
+    for name in CC_QUERIES:
+        t0 = time.time()
+        prefix, ncol, label, tail = _split(oracles[name])
+        edges = con.sql(prefix + ") SELECT u, v FROM edges").fetchall()
+        comp = _union_find(edges)
+        comp_df = pd.DataFrame(
+            {ncol: list(comp), label: [comp[n] for n in comp]})
+        con.register("py_comp", comp_df)
+        rel = con.sql(
+            prefix + f"), comp AS (SELECT {ncol}, {label} FROM py_comp)"
+            + tail)
+        ocols, orows = list(rel.columns), rel.fetchall()
+
+        sdf = qs[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        ok = (sorted(scols) == sorted(ocols)
+              and len(srows) == len(orows)
+              and _norm_rows(scols, srows) == _norm_rows(ocols, orows))
+        dt = round(time.time() - t0, 1)
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {len(srows)} rows, "
+              f"{len(edges)} edges [{dt}s]")
+        results[name] = {"status": "pass" if ok else "value_mismatch",
+                         "rows": len(srows), "edges": len(edges),
+                         "sec": dt}
+        if not ok:
+            failures.append(name)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CC_SF01.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "method": "python-union-find closure "
+                   "over the oracle's own DuckDB edge CTEs; unchanged "
+                   "tail aggregation", "n_pass": len(results) - len(failures),
+                   "failures": failures, "queries": results},
+                  f, indent=2, sort_keys=True)
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
