@@ -227,7 +227,14 @@ class Engine:
         df = self.table(table) if isinstance(table, str) else table
         fns = {"minhash": dedup.minhash_neardup_pairs,
                "simhash": dedup.simhash_neardup_pairs,
-               "jaccard": dedup.jaccard_similarity_join}
+               # "jaccard" = the measured duplicate-heaviness rule
+               # (r07): count-based on near-unique corpora, PPJoin
+               # once hot shingles amplify the co-occurrence join —
+               # both strategies output-identical and separately
+               # pinned; explicit spellings below skip the probe scan
+               "jaccard": dedup.jaccard_similarity_join_auto,
+               "jaccard_count": dedup.jaccard_similarity_join,
+               "jaccard_prefix": dedup.jaccard_similarity_join_prefix}
         return fns[method](df, text_col, id_col, **kw)
 
     def dedup_clusters(self, table: str | DataFrame, text_col: str,

@@ -224,3 +224,18 @@ def test_engine_training_assembly_facade(spark, tmp_path, sf_dir):
     packed = eng.pack(docs.withColumn("nt", F.size(F.split("text", " "))),
                       "doc_id", "nt", max_len=256)
     assert packed.count() > 0
+
+
+def test_jaccard_strategies_via_engine(engine):
+    """method='jaccard' routes through the auto rule (r07); the explicit
+    count/prefix spellings skip the probe scan and all three agree."""
+    auto = {(r.id_1, r.id_2) for r in engine.neardup_pairs(
+        "docs", "text", "doc_id", method="jaccard",
+        threshold=0.5).collect()}
+    cnt = {(r.id_1, r.id_2) for r in engine.neardup_pairs(
+        "docs", "text", "doc_id", method="jaccard_count",
+        threshold=0.5).collect()}
+    pre = {(r.id_1, r.id_2) for r in engine.neardup_pairs(
+        "docs", "text", "doc_id", method="jaccard_prefix",
+        threshold=0.5).collect()}
+    assert auto == cnt == pre
