@@ -1983,12 +1983,15 @@ def q_stream_index_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, demo.ipynb c14:1) — then a structured STREAM of mutations
     (every vec_id % 10 == 0 row relabeled AND its vector negated) flows
     through ``stream_upsert_sink`` (foreachBatch keyed upsert) into the
-    same table, advancing it past the pinned commit. The next search
-    REFUSES (StaleIndexError — asserted), and ``on_stale='patch'``
-    repairs the index incrementally from the commit log the stream
-    wrote (``read_incremental`` → ``ivf_patch``: pruned partition
-    rewrite + append under the EXISTING centroids — work ∝ changed
-    keys, never a rebuild scan). Probed at nprobe=all so the served
+    same table as TWO micro-batches (maxFilesPerTrigger=1 over two
+    source files → two upsert commits, runtime-asserted), advancing it
+    past the pinned commit. The next search REFUSES (StaleIndexError —
+    asserted), and ``on_stale='patch'`` repairs the index incrementally
+    from the commit log the stream wrote (a MULTI-commit
+    ``read_incremental`` — cross-commit last-write-wins — feeding
+    ``ivf_patch``: pruned partition rewrite + append under the
+    EXISTING centroids — work ∝ changed keys, never a rebuild scan).
+    Probed at nprobe=all so the served
     top-k equals exact KNN over the POST-STREAM state; the oracle
     replays the streamed mutation as a CASE (label AND negated vector)
     over the base table — hash equality proves the patched index
@@ -2006,23 +2009,39 @@ def q_stream_index_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.ann_index_create("emb", "embedding", num_centroids=8, seed=42)
     qv = _query_vec(spark, sf_dir)
 
-    # the parquet file-stream source monitors a DIRECTORY; the sf
-    # fixture is a single file — adapt via a symlink dir (the
-    # read_events_stream pattern, streaming/events.py)
+    # Two mutation slices written as two source files +
+    # maxFilesPerTrigger=1 force TWO micro-batches through the sink —
+    # two upsert commits, so the later ivf_patch consumes a
+    # MULTI-commit incremental read (cross-commit last-write-wins
+    # under a streaming writer, not a single-batch special case).
     src = tempfile.mkdtemp(prefix="pvss_sidx_src_")
-    os.symlink(os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")),
-               os.path.join(src, "embeddings.parquet"))
+    staging = tempfile.mkdtemp(prefix="pvss_sidx_stage_")
+    muts = (emb.filter(F.col("vec_id") % 10 == 0)
+               .withColumn("label", F.lit(99))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+    for i, half in enumerate((muts.filter(F.col("vec_id") % 20 == 0),
+                              muts.filter(F.col("vec_id") % 20 != 0))):
+        half.coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(staging, f"stage{i}"))
+        part = [f for f in os.listdir(os.path.join(staging, f"stage{i}"))
+                if f.endswith(".parquet")][0]
+        os.symlink(os.path.join(staging, f"stage{i}", part),
+                   os.path.join(src, f"m{i}.parquet"))
     stream = (spark.readStream.schema(emb.schema)
-              .parquet(src)
-              .filter(F.col("vec_id") % 10 == 0)
-              .withColumn("label", F.lit(99))
-              .withColumn("embedding",
-                          F.transform("embedding", lambda x: -x)))
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
     name = f"q_stream_index_{_uuid.uuid4().hex[:8]}"
     q = S.stream_upsert_sink(stream, eng.catalog, "emb", key="vec_id",
                              checkpoint=f"/tmp/pvss_ckpt_{name}",
                              order_by="vec_id")
     _await_stream(q)
+    # two micro-batches -> two upsert commits on top of the bootstrap:
+    # the patch below must replay a MULTI-commit incremental read
+    got = eng.catalog.current_commit("emb")
+    if got != 3:
+        raise RuntimeError(f"expected 2 streamed commits (commit 3), "
+                           f"table is at commit {got}")
 
     try:
         eng.ann_search("emb", qv, k=10, nprobe=8)
