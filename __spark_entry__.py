@@ -1835,18 +1835,22 @@ def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.transform(
         F.sequence(F.lit(0), nlines - 1),
         lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
-    # Materialization barrier (r07): paragraph_dedup references its
-    # input three times and the final rollup joins the gate output
-    # again — without a barrier Catalyst re-evaluates the multi-regex
-    # gate chain once per reference (4 corpus passes of quality/lang
-    # scoring; measured 5.6 s vs 2.3 s at sf0.1). One lazy
-    # localCheckpoint stores the GATED SURVIVORS (the budget-bounded
-    # side) and every reference reuses it — the same lineage-barrier
-    # discipline graph.py uses for the CC loop. At 100 TB this is one
-    # survivor-sized block-manager write vs four full regex passes.
-    d = gated.select("doc_id", F.array_join(lines, "\n").alias("text")) \
-             .localCheckpoint(eager=False)
-    gated = gated.select("doc_id", "lang").localCheckpoint(eager=False)
+    # Materialization barrier (r07, tightened r08): paragraph_dedup
+    # references its input three times and the final rollup joins the
+    # gate output again — without a barrier Catalyst re-evaluates the
+    # multi-regex gate chain once per reference (4 corpus passes of
+    # quality/lang scoring; measured 5.6 s vs 2.3 s at sf0.1). ONE lazy
+    # localCheckpoint stores the GATED SURVIVORS (doc_id, lang, rebuilt
+    # text — the budget-bounded side) and BOTH consumers (the dedup
+    # input and the language rollup join) derive from it, so the gate
+    # chain runs exactly once (r07 checkpointed d and the lang
+    # projection separately, which still evaluated the gate twice). At
+    # 100 TB this is one survivor-sized block-manager write vs four
+    # full regex passes.
+    gated = gated.select("doc_id", "lang",
+                         F.array_join(lines, "\n").alias("text")) \
+                 .localCheckpoint(eager=False)
+    d = gated.select("doc_id", "text")
     out = paragraph_dedup(d, "text", "doc_id")
     kept_toks = F.size(F.filter(F.split("text", "[\n ]"),
                                 lambda t: F.length(t) > 0))

@@ -231,7 +231,10 @@ class Engine:
                # (r07): count-based on near-unique corpora, PPJoin
                # once hot shingles amplify the co-occurrence join —
                # both strategies output-identical and separately
-               # pinned; explicit spellings below skip the probe scan
+               # pinned. NOTE: the auto rule runs its probe aggregate
+               # EAGERLY at call time (one corpus scan before any
+               # DataFrame is returned); the explicit spellings below
+               # keep the fully-lazy contract and skip the probe scan
                "jaccard": dedup.jaccard_similarity_join_auto,
                "jaccard_count": dedup.jaccard_similarity_join,
                "jaccard_prefix": dedup.jaccard_similarity_join_prefix}

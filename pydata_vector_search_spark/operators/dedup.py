@@ -292,7 +292,11 @@ def jaccard_similarity_join_auto(df: DataFrame, text_col: str, id_col: str,
     — candidate co-occurrence pairs per shingle occurrence, i.e. the
     count-based join's work amplification, from ONE explode+aggregate
     (the same Σ C(df,2) estimate the prefix join's broadcast gate
-    runs; cost ≈ one corpus scan, negligible next to either join).
+    runs — and when the prefix branch is chosen the probe's value is
+    threaded through as that gate's estimate, so the corpus is scanned
+    once for decision + gate; cost ≈ one scan, negligible next to
+    either join). NOTE the probe aggregate runs EAGERLY at call time;
+    call the two underlying functions directly for a fully-lazy plan.
     ``R <= dup_ratio_threshold`` → count-based (wins on near-unique
     corpora where the self-join is output-bounded and prefix ranking
     overhead dominates); above it → PPJoin (wins once hot/duplicated
@@ -323,17 +327,25 @@ def jaccard_similarity_join_auto(df: DataFrame, text_col: str, id_col: str,
         F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("p")
     ).collect()[0]
     ratio = (r["p"] or 0.0) / max(r["t"] or 0, 1)
-    fn = (jaccard_similarity_join_prefix
-          if ratio > dup_ratio_threshold else jaccard_similarity_join)
-    return fn(df, text_col, id_col, n=n, threshold=threshold,
-              max_shingle_df=max_shingle_df)
+    if ratio > dup_ratio_threshold:
+        # reuse the probe's Σ C(df,2) as the prefix join's broadcast-gate
+        # estimate (identical quantity over the identically-capped dfreq)
+        # — the corpus is scanned once for the decision AND the gate
+        return jaccard_similarity_join_prefix(
+            df, text_col, id_col, n=n, threshold=threshold,
+            max_shingle_df=max_shingle_df,
+            _pair_estimate=float(r["p"] or 0.0))
+    return jaccard_similarity_join(df, text_col, id_col, n=n,
+                                   threshold=threshold,
+                                   max_shingle_df=max_shingle_df)
 
 
 def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                                    n: int = 3, threshold: float = 0.5,
                                    max_shingle_df: int | None = None,
                                    broadcast_candidates: bool | None = None,
-                                   max_broadcast_candidates: int = 5_000_000
+                                   max_broadcast_candidates: int = 5_000_000,
+                                   _pair_estimate: float | None = None
                                    ) -> DataFrame:
     """Exact Jaccard join via PREFIX FILTERING (Bayardo et al., "Scaling
     Up All Pairs Similarity Search", WWW'07): under a global rarest-first
@@ -438,8 +450,12 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
         # below stays byte-identical to the forced-broadcast one).
         # Overestimating on duplicate-heavy corpora can only demote to
         # the shuffle join — graceful degradation, never a driver OOM.
-        est = (dfreq.agg(F.sum(F.col("__df") * (F.col("__df") - 1) / 2)
-                          .alias("p")).collect()[0]["p"]) or 0
+        # ``_pair_estimate`` (jaccard_similarity_join_auto) carries the
+        # SAME quantity already computed by the routing probe over the
+        # identically-capped dfreq — reuse it instead of re-scanning.
+        est = (_pair_estimate if _pair_estimate is not None else
+               (dfreq.agg(F.sum(F.col("__df") * (F.col("__df") - 1) / 2)
+                           .alias("p")).collect()[0]["p"]) or 0)
         broadcast_candidates = est <= max_broadcast_candidates
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)

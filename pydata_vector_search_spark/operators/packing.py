@@ -54,6 +54,10 @@ def pack_sequences(df: DataFrame, id_col: str, len_col,
     longer than ``max_len`` gets a bin of its own (callers truncate or
     split upstream — packing never drops data silently).
 
+    ``block_span`` and ``max_len`` must be >= 1 (validated at entry,
+    matching ``shard_shuffle``'s guard style — a zero span would NULL
+    every ``__blk`` and crash opaquely inside the Arrow batch).
+
     ``id_col`` must be integral (block identity is the FLOOR division
     ``id // block_span`` — pure arithmetic on the key, so the layout is
     reproducible from the data alone). The bin-id arithmetic cannot
@@ -64,6 +68,12 @@ def pack_sequences(df: DataFrame, id_col: str, len_col,
     Computed entirely in long arithmetic — ``(id - pmod(id, span)) div
     span`` — never through a double, so 64-bit snowflake/hash ids
     beyond 2^53 keep exact block identity."""
+    if block_span < 1:
+        raise ValueError(f"pack_sequences: block_span must be >= 1, "
+                         f"got {block_span}")
+    if max_len < 1:
+        raise ValueError(f"pack_sequences: max_len must be >= 1, "
+                         f"got {max_len}")
     lc = F.col(len_col) if isinstance(len_col, str) else len_col
     idq = id_col.replace("`", "``")
     base = df.withColumn("__len", lc.cast("long")) \
@@ -140,8 +150,16 @@ def temperature_mix(df: DataFrame, id_col: str, group_col: str,
         mass = F.count(F.lit(1)).cast("long")
     else:
         wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-        mass = F.sum(wc.cast("long"))
+        # all-NULL weights sum to NULL — coalesce to 0 so the group takes
+        # the zero-mass keep-outright branch instead of a driver TypeError
+        mass = F.coalesce(F.sum(wc.cast("long")), F.lit(0))
     counts = df.groupBy(group_col).agg(mass.alias("__n")).collect()
+    neg = [r[group_col] for r in counts if r["__n"] < 0]
+    if neg:
+        # negative group mass has no share semantics (and n**alpha would
+        # go complex) — refuse loudly, matching the num_shards guard style
+        raise ValueError(f"temperature_mix: negative total weight for "
+                         f"group(s) {neg!r}; weights must be >= 0")
     total = sum(r["__n"] for r in counts)
     denom = sum(r["__n"] ** alpha for r in counts) or 1.0
     target = sample_frac * total

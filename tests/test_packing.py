@@ -175,3 +175,33 @@ def test_temperature_mix_token_weighted(spark):
                           sample_frac=0.5, seed=3)
     assert {r.mix_rate for r in
             uni.select("mix_rate").distinct().collect()} == {0.5}
+
+
+def test_temperature_mix_degenerate_weights(spark):
+    """ADVICE r07: all-NULL weights in a group coalesce to mass 0 (the
+    keep-outright branch) instead of a driver TypeError; a negative
+    group mass raises ValueError instead of going complex in n**alpha."""
+    rows = [(1, "a", 10), (2, "a", 10),
+            (3, "nullish", None), (4, "nullish", None)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    out = temperature_mix(df, "doc_id", "src", alpha=0.5,
+                          sample_frac=0.5, seed=1, weight_col="w")
+    rates = {r.src: r.mix_rate for r in
+             out.select("src", "mix_rate").distinct().collect()}
+    assert rates["nullish"] == 1.0          # zero-mass group kept outright
+    assert out.filter(F.col("src") == "nullish").count() == 2
+    neg = spark.createDataFrame([(1, "a", -5), (2, "a", 2)],
+                                "doc_id long, src string, w long")
+    with pytest.raises(ValueError, match="negative total weight"):
+        temperature_mix(neg, "doc_id", "src", weight_col="w")
+
+
+def test_pack_sequences_invalid_params_raise(spark):
+    """ADVICE r07: block_span/max_len < 1 fail fast at entry (a zero
+    span would NULL every block id and crash inside the Arrow batch)."""
+    df = (spark.range(5).withColumnRenamed("id", "doc_id")
+               .withColumn("n_tok", F.lit(10)))
+    with pytest.raises(ValueError, match="block_span"):
+        pack_sequences(df, "doc_id", "n_tok", max_len=16, block_span=0)
+    with pytest.raises(ValueError, match="max_len"):
+        pack_sequences(df, "doc_id", "n_tok", max_len=0, block_span=16)
