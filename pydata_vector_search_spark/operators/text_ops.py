@@ -70,7 +70,9 @@ def lang_id_table(df: DataFrame, text_col: str, id_col: str,
 def select_token_budget(df: DataFrame, text_col: str, id_col: str,
                         budget_tokens: int,
                         quality_col=None,
-                        bucket_decimals: int = 3) -> DataFrame:
+                        bucket_decimals: int = 3,
+                        max_boundary_task_rows: int = 2_000_000,
+                        prefix_buckets: int = 64) -> DataFrame:
     """Token-budget corpus selection: keep the highest-quality documents
     until ``budget_tokens`` is exhausted — "give me the best 1B tokens",
     the final cut of a training-data pipeline. Deterministic total order:
@@ -88,7 +90,20 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
     3. the scan keeps buckets strictly above the cutoff outright, and
        runs the running-sum window ONLY inside the boundary bucket
        (~1/buckets of the corpus, and that bound is tunable via
-       ``bucket_decimals``).
+       ``bucket_decimals``);
+    4. (r08) when the boundary bucket itself exceeds
+       ``max_boundary_task_rows``, its running sum is a DISTRIBUTED
+       PREFIX SUM instead of one single-task window: the bucket's id
+       range (already in the histogram aggregate) splits into
+       ``prefix_buckets`` deterministic id-range sub-buckets, one tiny
+       per-sub-bucket aggregate feeds driver-side prefix offsets, and
+       the window runs partitioned BY sub-bucket with the offset added
+       back — no unpartitioned WindowExec anywhere in the plan, each
+       task sees ~1/prefix_buckets of the boundary bucket. Sub-bucket
+       identity is pure arithmetic on the id column (reproducible under
+       any partitioning); NULL-running-sum semantics (leading NULL-token
+       rows drop) are preserved exactly via nullable offsets. Set
+       ``max_boundary_task_rows=0`` to force the distributed path.
 
     NULL handling: a NULL quality (e.g. NULL text) buckets to a NULL
     ``__qb``, which sorts LAST in the quality-DESC total order — the
@@ -109,7 +124,11 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
     base = df.withColumn("__qb", F.round(q, bucket_decimals)) \
              .withColumn("__nt", token_count(text_col).cast("long"))
 
-    hist = (base.groupBy("__qb").agg(F.sum("__nt").alias("__bt"))
+    hist = (base.groupBy("__qb").agg(
+                F.sum("__nt").alias("__bt"),
+                F.count(F.lit(1)).alias("__bn"),
+                F.min(F.col(id_col)).alias("__bmin"),
+                F.max(F.col(id_col)).alias("__bmax"))
                 .collect())
     # quality DESC, NULL bucket last (matches Spark desc() / DuckDB
     # default null order) — sorted driver-side so the placement never
@@ -118,13 +137,14 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
                              -r["__qb"] if r["__qb"] is not None else 0.0))
     cum = 0
     found = False                 # distinct from cutoff=None == NULL bucket
-    cutoff, residual = None, 0
+    cutoff, residual, brow = None, 0, None
     for r in hist:
         bt = r["__bt"] or 0       # all-NULL-token bucket sums to NULL
         if cum + bt <= budget_tokens:
             cum += bt
         else:
             found, cutoff, residual = True, r["__qb"], budget_tokens - cum
+            brow = r
             break
     if not found:                           # whole corpus fits the budget
         return base.drop("__qb", "__nt")
@@ -136,9 +156,50 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
     else:
         above = base.filter(qb > cutoff)     # NULL __qb correctly excluded
         boundary_src = base.filter(qb == cutoff)
-    w = Window.orderBy(F.col(id_col).asc())
-    boundary = (boundary_src
-                .withColumn("__cum", F.sum("__nt").over(w))
-                .filter(F.col("__cum") <= residual)
-                .drop("__cum"))
+
+    if brow["__bn"] <= max_boundary_task_rows:
+        # small boundary bucket: one bounded-size task is cheapest
+        w = Window.orderBy(F.col(id_col).asc())
+        boundary = (boundary_src
+                    .withColumn("__cum", F.sum("__nt").over(w))
+                    .filter(F.col("__cum") <= residual)
+                    .drop("__cum"))
+        return above.unionByName(boundary).drop("__qb", "__nt")
+
+    # distributed prefix sum: deterministic id-range sub-buckets (pure
+    # arithmetic on the key — min/max came free with the histogram), one
+    # tiny per-sub-bucket aggregate, driver prefix offsets, then a
+    # PARTITIONED window + offset add-back.
+    lo, hi = int(brow["__bmin"]), int(brow["__bmax"])
+    width = max(1, (hi - lo) // prefix_buckets + 1)   # __pb in [0, K-1]
+    idq = id_col.replace("`", "``")
+    # exact LONG division (`div`), never through a double — ids beyond
+    # 2^53 keep exact sub-bucket identity (same discipline as packing)
+    pb = F.expr(f"(cast(`{idq}` as bigint) - {lo}L) div {width}L")
+    bsrc = boundary_src.withColumn("__pb", pb)
+    parts = (bsrc.groupBy("__pb")
+                 .agg(F.sum("__nt").alias("__ps"),
+                      F.count("__nt").alias("__pk"))   # non-NULL count
+                 .collect())
+    parts.sort(key=lambda r: r["__pb"])
+    # nullable running offsets preserve the single-window NULL contract:
+    # a row's global cum is NULL iff NO non-NULL token precedes it
+    # (leading-NULL rows drop on `NULL <= residual`, same as the oracle)
+    offsets: dict[int, int | None] = {}
+    running: int | None = None
+    for r in parts:
+        offsets[r["__pb"]] = running
+        if r["__pk"]:
+            running = (running or 0) + (r["__ps"] or 0)
+    off = F.lit(None).cast("long")
+    for b, v in offsets.items():
+        if v is not None:
+            off = F.when(F.col("__pb") == b, F.lit(v)).otherwise(off)
+    w = Window.partitionBy("__pb").orderBy(F.col(id_col).asc())
+    cum_in = F.sum("__nt").over(w)
+    cum_g = F.when(off.isNull(), cum_in) \
+             .otherwise(off + F.coalesce(cum_in, F.lit(0)))
+    boundary = (bsrc.withColumn("__cum", cum_g)
+                    .filter(F.col("__cum") <= residual)
+                    .drop("__cum", "__pb"))
     return above.unionByName(boundary).drop("__qb", "__nt")

@@ -239,3 +239,43 @@ def test_redact_pii(spark):
     only_email = {r.i: r.r for r in df.select(
         "i", redact_pii("t", kinds=("email",)).alias("r")).collect()}
     assert only_email[3] == "call +44 20 7946-0958 now, or 5551234567"
+
+
+def test_select_token_budget_distributed_boundary(spark):
+    """r08 (VERDICT r07 #3): forcing the distributed prefix-sum path
+    (max_boundary_task_rows=0) selects EXACTLY the same documents as
+    the single-task boundary window AND leaves no unpartitioned
+    WindowExec in the physical plan — the boundary running sum scales
+    past one task. Also covers NULL-token rows (leading-NULL drop
+    semantics must survive the offset decomposition)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.operators.text_ops import \
+        select_token_budget
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randrange(3, 30))))
+            for i in range(200)]
+    rows += [(500 + i, None) for i in range(5)]     # NULL text rows
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # a single-valued quality column makes EVERY row the boundary bucket
+    # — the worst case the distributed path exists for
+    one = F.when(F.col("text").isNotNull(), F.lit(1.0))
+
+    for budget in (1, 40, 400, 1200):
+        dist = select_token_budget(df, "text", "doc_id", budget,
+                                   quality_col=one,
+                                   max_boundary_task_rows=0,
+                                   prefix_buckets=7)
+        got = {r.doc_id for r in dist.collect()}
+        want = {r.doc_id for r in select_token_budget(
+            df, "text", "doc_id", budget, quality_col=one).collect()}
+        assert got == want, budget
+        plan = dist._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "__pb" in line, f"unpartitioned window:\n{line}"
