@@ -3046,6 +3046,107 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-dispatched exact Jaccard join (r08, VERDICT r07 #2):
+    ``jaccard_similarity_join_auto`` — the Engine facade's DEFAULT dedup
+    path (engine.py neardup_pairs method='jaccard') — measures the
+    corpus's duplicate-heaviness ratio R = ΣC(df,2)/Σdf in one probe
+    aggregate and routes to the count-based co-occurrence join (R below
+    the 50×-calibrated threshold 8) or the PPJoin prefix join. On this
+    corpus R ≈ 0.5–4.9 across SFs → the COUNT-BASED branch is routed
+    and driver-hashed here; ``jaccard_auto_heavy`` pins the other
+    branch. Oracle identical to jaccard_join — the dispatcher must be
+    output-invisible."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.jaccard_similarity_join_auto(docs, "text", "doc_id",
+                                               n=3, threshold=0.5)
+                 .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+                 .orderBy("id_1", "id_2"))
+
+
+def q_jaccard_auto_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto dispatcher's PPJOIN branch under the driver oracle: the
+    corpus is DOUBLED (every document re-appears under doc_id+10M — the
+    duplicate-heavy regime the ratio rule exists for), which lifts the
+    measured R to ~1.6 (sf0.01) / ~10.2 (sf0.1); ``dup_ratio_threshold=1``
+    sits below both so the dispatcher routes PREFIX at every SF — the
+    probe scan, the threshold compare, the estimate threading into the
+    broadcast gate (r08: the probe's ΣC(df,2) is reused as the gate
+    estimate, one corpus scan for decision + gate) and the PPJoin
+    verify are all on the hashed path. Oracle: all-pairs exact Jaccard
+    over the same doubled corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                    "text"))
+    return (dedup.jaccard_similarity_join_auto(doubled, "text", "doc_id",
+                                               n=3, threshold=0.5,
+                                               dup_ratio_threshold=1.0)
+                 .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+                 .orderBy("id_1", "id_2"))
+
+
+def q_pack_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on PLUGGABLE-TOKENIZER counts (r08, VERDICT r07
+    #5): token counts come from the ``operators/tokenize.py`` hook — an
+    Arrow-batched mapInPandas stage whose default ``RegexBpeTokenizer``
+    (the GPT-2-style pre-tokenizer regex) is bit-identical to the JVM
+    ``token_count_bpe`` Column, so the SAME pipeline runs on a real BPE
+    vocab by swapping one constructor (HuggingFaceTokenizer,
+    import-gated). Counts feed the proven next-fit packer (192-token
+    bins, 100-id blocks); the oracle replays the BPE-ish regex in
+    DuckDB and the greedy recurrence as the recursive lockstep CTE —
+    hash equality pins the Python tokenizer batches AGAINST the SQL
+    respelling end-to-end."""
+    from pydata_vector_search_spark.operators.packing import pack_sequences
+    from pydata_vector_search_spark.operators.tokenize import tokenize_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = tokenize_counts(docs, "text", out_col="n_tok")
+    packed = pack_sequences(counted.select("doc_id", "n_tok"),
+                            "doc_id", "n_tok", max_len=192,
+                            block_span=100)
+    return (packed.groupBy("bin_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("bin_tokens"),
+                 F.min("doc_id").cast("long").alias("first_doc"))
+            .orderBy("bin_id"))
+
+
+def q_token_budget_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection through the DISTRIBUTED boundary prefix
+    sum (r08, VERDICT r07 #3): ``max_boundary_task_rows=0`` forces the
+    scale path — the boundary bucket's running sum decomposes into 16
+    deterministic id-range sub-buckets + driver prefix offsets + a
+    PARTITIONED window (no unpartitioned WindowExec in the plan; each
+    task sees ~1/16 of the bucket). The oracle is the naive
+    global-window spelling, so hash equality proves the offset
+    decomposition selects the identical document set the single-task
+    window would."""
+    from pydata_vector_search_spark.operators.text_ops import \
+        select_token_budget
+    docs = _t(spark, sf_dir, "documents")
+
+    def pct_distinct() -> F.Column:
+        toks = F.split(T.normalized_text("text"), " ")
+        d100 = F.size(F.array_distinct(toks)).cast("long") * 100
+        n = F.size(toks).cast("long")
+        return ((d100 - F.pmod(d100, n)) / n).cast("long")
+
+    sel = select_token_budget(docs, "text", "doc_id",
+                              budget_tokens=30000,
+                              quality_col=pct_distinct(),
+                              bucket_decimals=0,
+                              max_boundary_task_rows=0,
+                              prefix_buckets=16)
+    return (sel.select(pct_distinct().alias("qb"),
+                       T.token_count("text").cast("long").alias("nt"))
+            .groupBy("qb")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("nt").cast("long").alias("sum_tokens"))
+            .orderBy(F.col("qb").desc()))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3068,31 +3169,75 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-7 rotation (the r06 verdict's forward constraint):
-        # --- (a) the 5 r07-NEW queries (dataloader epoch, stream->index
-        # --- patch, token-weighted temperature mix, ORC roundtrip — and
-        # --- see (c) for the touched-path coverage); (b) clean_pipeline
-        # --- + hard_negatives — the only queries never
-        # --- driver-hash-checked (r06-late); (c) the queries on code
-        # --- paths r07 changed (packing block-id floor fix ->
-        # --- sequence_pack; span_dedup id-range guard -> paragraph_dedup
-        # --- + span_dedup; lm_score max_vocab -> lm_perplexity;
-        # --- temperature_mix weight_col -> temperature_mix_tokens
-        # --- exercises the new path, dsir_importance itself is
-        # --- untouched so dsir_select waits just outside); (d) ALL 40
-        # --- queries whose latest driver-green row is r04 — they reach
-        # --- the 2-round staleness limit this round
-        # --- (tools/window_audit.py). The 38 r05-green queries rotate
-        # --- in r08; every r06-green query is <= 2 rounds old.
+        # --- Round-8 rotation (the r07 verdict's forward constraint):
+        # --- (a) the 4 r08-NEW queries (the auto Jaccard dispatcher on
+        # --- both routed branches, tokenizer-hook packing, the forced-
+        # --- distributed boundary prefix sum); (b) the r07-green queries
+        # --- whose code paths r08 changed (select_token_budget histogram/
+        # --- boundary rework -> dataloader_epoch + token_budget_select;
+        # --- clean_pipeline single-checkpoint restructure; packing.py
+        # --- guard edits -> sequence_pack + temperature_mix_tokens +
+        # --- temperature_mix + shard_shuffle in slots 49-50); (c) the
+        # --- two declared watch items incremental_read + dsir_select
+        # --- (r06-green, first in line); (d) ALL 38 queries whose latest
+        # --- driver-green row is r05 — they reach the 2-round staleness
+        # --- limit this round (tools/window_audit.py 8). Every r06/r07-
+        # --- green query left outside is <= 2 rounds old.
+        "jaccard_auto": q_jaccard_auto,
+        "jaccard_auto_heavy": q_jaccard_auto_heavy,
+        "pack_tokenized": q_pack_tokenized,
+        "token_budget_dist": q_token_budget_dist,
         "dataloader_epoch": q_dataloader_epoch,
-        "stream_index_patch": q_stream_index_patch,
         "clean_pipeline": q_clean_pipeline,
+        "sequence_pack": q_sequence_pack,
+        "temperature_mix_tokens": q_temperature_mix_tokens,
+        "incremental_read": q_incremental_read,
+        "dsir_select": q_dsir_select,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "token_budget_select": q_token_budget_select,
+        "merge_partitioned": q_merge_partitioned,
+        "stream_upsert": q_stream_upsert,
+        "stream_cdc": q_stream_cdc,
+        "jaccard_prefix": q_jaccard_prefix,
+        "merge_clauses": q_merge_clauses,
+        "time_travel_read": q_time_travel_read,
+        "vector_knn": q_vector_knn,
+        "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        "redact_pii": q_redact_pii,
+        "cross_dedup": q_cross_dedup,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_external": q_csv_external,
+        "approx_percentile": q_approx_percentile,
+        "table_lifecycle": q_table_lifecycle,
+        "label_centroids": q_label_centroids,
+        "funnel": q_funnel,
+        "maintenance_cycle": q_maintenance_cycle,
+        "vector_topk_per_group": q_vector_topk_per_group,
+        "stateful_totals": q_stateful_totals,
+        "clustered_scan": q_clustered_scan,
+        "chunk_embed_knn": q_chunk_embed_knn,
+        "full_outer_join": q_full_outer_join,
+        "range_frame_window": q_range_frame_window,
+        "bucketed_join": q_bucketed_join,
+        "cosine_topk_pairs": q_cosine_topk_pairs,
+        "cosine_neardup": q_cosine_neardup,
+        "vector_knn_join": q_vector_knn_join,
+        "knn_join": q_knn_join,
+        "stream_tumbling": q_stream_tumbling,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "jaccard_join": q_jaccard_join,
+        "dedup_exact": q_dedup_exact,
+        "embed_hash": q_embed_hash,
+        "temperature_mix": q_temperature_mix,
+        "shard_shuffle": q_shard_shuffle,
+        "stream_index_patch": q_stream_index_patch,
         "hard_negatives": q_hard_negatives,
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,
-        "sequence_pack": q_sequence_pack,
         "lm_perplexity": q_lm_perplexity,
-        "temperature_mix_tokens": q_temperature_mix_tokens,
         "orc_roundtrip": q_orc_roundtrip,
         "log_retention": q_log_retention,
         "upsert_merge": q_upsert_merge,
@@ -3134,21 +3279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "cube_agg": q_cube_agg,
         "stream_stream_join": q_stream_stream_join,
         "unpivot": q_unpivot,
-        # --- beyond the window: the r06 driver window (50/50 green,
-        # --- CORRECTNESS_r06.json) and the r05-green cohort — all pass
-        # --- tools/oracle_check.py at head (ORACLE_LOCAL.json).
-        # --- incremental_read (r06-green, the isolated-warm watch item)
-        # --- sits first in line for r08; its module is unchanged in r07
-        # --- and the fresh isolated-warm measurement is in CHANGES_r07.
-        "incremental_read": q_incremental_read,
-        "dsir_select": q_dsir_select,
-        "shard_shuffle": q_shard_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         "ivfpq_knn": q_ivfpq_knn,
         "mmr_rerank": q_mmr_rerank,
         "incremental_agg_minmax": q_incremental_agg_minmax,
-        "temperature_mix": q_temperature_mix,
         "hybrid_postfilter": q_hybrid_postfilter,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -3186,44 +3321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "vector_knn_sql": q_vector_knn_sql,
         "hybrid_prefilter": q_hybrid_prefilter,
         "vector_knn_l2": q_vector_knn_l2,
-        "dedup_clusters": q_dedup_clusters,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "token_budget_select": q_token_budget_select,
-        "merge_partitioned": q_merge_partitioned,
-        "stream_upsert": q_stream_upsert,
-        "stream_cdc": q_stream_cdc,
-        "jaccard_prefix": q_jaccard_prefix,
-        "merge_clauses": q_merge_clauses,
-        "time_travel_read": q_time_travel_read,
-        "vector_knn": q_vector_knn,
-        "hyperplane_lsh_neardup": q_hyperplane_lsh,
-        "redact_pii": q_redact_pii,
-        "cross_dedup": q_cross_dedup,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "csv_external": q_csv_external,
-        "approx_percentile": q_approx_percentile,
-        "table_lifecycle": q_table_lifecycle,
-        "label_centroids": q_label_centroids,
-        "funnel": q_funnel,
-        "maintenance_cycle": q_maintenance_cycle,
-        "vector_topk_per_group": q_vector_topk_per_group,
-        "stateful_totals": q_stateful_totals,
-        "clustered_scan": q_clustered_scan,
-        "chunk_embed_knn": q_chunk_embed_knn,
-        "full_outer_join": q_full_outer_join,
-        "range_frame_window": q_range_frame_window,
-        "bucketed_join": q_bucketed_join,
-        "cosine_topk_pairs": q_cosine_topk_pairs,
-        "cosine_neardup": q_cosine_neardup,
-        "vector_knn_join": q_vector_knn_join,
-        "knn_join": q_knn_join,
-        "stream_tumbling": q_stream_tumbling,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "jaccard_join": q_jaccard_join,
-        "dedup_exact": q_dedup_exact,
-        "embed_hash": q_embed_hash,
     }
 
 
@@ -5642,5 +5739,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM dl UNION ALL SELECT * FROM el
             ORDER BY part, grp
+        """
+    # r08: the auto dispatcher must be output-invisible — same oracle
+    # body as the two physical strategies it routes between
+    d["jaccard_auto"] = d["jaccard_join"]
+    # PPJoin branch of the dispatcher: all-pairs exact Jaccard over the
+    # DOUBLED corpus (every doc re-appears under doc_id+10M)
+    d["jaccard_auto_heavy"] = f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text FROM documents
+            ), toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS tk, text FROM corpus
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+            )
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         (len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ORDER BY id_1, id_2
+        """
+    # pack_tokenized: the sequence_pack recursion on BPE-ish regex
+    # counts (the tokenize.py hook's deterministic fallback) at 192
+    d["pack_tokenized"] = r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS ln,
+                       (doc_id // 100)::BIGINT AS blk,
+                       row_number() OVER (PARTITION BY doc_id // 100
+                                          ORDER BY doc_id) AS pos
+                FROM documents
+            ), pack AS (
+                SELECT blk, 0::BIGINT AS pos, -1::BIGINT AS bin,
+                       0::BIGINT AS fill, NULL::BIGINT AS doc_id
+                FROM (SELECT DISTINCT blk FROM d)
+                UNION ALL
+                SELECT p.blk, p.pos + 1,
+                       CASE WHEN p.bin < 0 OR p.fill + n.ln > 192
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.bin < 0 OR p.fill + n.ln > 192
+                            THEN n.ln ELSE p.fill + n.ln END,
+                       n.doc_id
+                FROM pack p JOIN d n
+                  ON n.blk = p.blk AND n.pos = p.pos + 1
+            ), asg AS (
+                SELECT p.blk * 100 + p.bin AS bin_id, p.doc_id, d2.ln
+                FROM pack p JOIN d d2 ON d2.doc_id = p.doc_id
+                WHERE p.pos >= 1
+            )
+            SELECT bin_id, count(*)::BIGINT AS n_docs,
+                   sum(ln)::BIGINT AS bin_tokens,
+                   min(doc_id)::BIGINT AS first_doc
+            FROM asg GROUP BY bin_id ORDER BY bin_id
+        """
+    # token_budget_dist: the forced-distributed boundary prefix sum must
+    # select the identical set the naive global window selects
+    d["token_budget_dist"] = r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                       regexp_split_to_array(trim(regexp_replace(
+                           lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, nt,
+                       (len(list_distinct(tk))::BIGINT * 100)
+                           // len(tk) AS qb
+                FROM toks
+            ), o AS (
+                SELECT qb, nt,
+                       sum(nt) OVER (ORDER BY qb DESC, doc_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+                FROM feats
+            )
+            SELECT qb, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS sum_tokens
+            FROM o WHERE cum <= 30000
+            GROUP BY qb ORDER BY qb DESC
         """
     return d
