@@ -162,7 +162,11 @@ def main():
         (n for n, t in timings.items()
          if n in prev and prev[n] > 0 and t > 0.75 and t / prev[n] > 1.5),
         key=lambda n: -(timings[n] / prev[n]))[:6]
-    if flagged:
+    # r08 (VERDICT r07 #4): the top-5 slowest ALWAYS get fresh-session
+    # isolated-warm entries in the artifact — regressions/variance then
+    # adjudicate from BENCH_SUMMARY.json alone, not CHANGES prose.
+    targets = list(dict.fromkeys(slowest5 + flagged))
+    if targets:
         import subprocess
         try:
             # Free the bench JVM first: a resident 32-core/100GB-heap
@@ -173,8 +177,8 @@ def main():
             out = subprocess.run(
                 [sys.executable,
                  os.path.join(here_dir, "tools", "isolated_warm.py"),
-                 *flagged],
-                capture_output=True, text=True, timeout=600,
+                 *targets],
+                capture_output=True, text=True, timeout=900,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
             for line in out.stdout.splitlines():
                 try:
