@@ -3147,6 +3147,28 @@ def q_token_budget_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("qb").desc()))
 
 
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint near-dup (r08; Schleimer/Kleinberg/Aiken
+    SIGMOD'03 — the MOSS scheme): min md5-hash per sliding window of 6
+    consecutive character 12-gram hashes, distinct per doc; pairs
+    sharing >= 20 fingerprints, with the >50-doc hot-fingerprint cap
+    (boilerplate guard) on candidate generation. Fingerprint SELECTION
+    is engine-independent (md5-derived 32-bit hashes), so the oracle
+    replays the full winnow — grams, window minima, cap, pair counts —
+    verbatim in DuckDB list comprehensions. Extraction is one codegen
+    scan (no UDF; the gram array materializes once per row —
+    fingerprint.py's O(L²) note); pairing is the dedup family's bounded
+    fp equi-join, never corpus²."""
+    from pydata_vector_search_spark.operators.fingerprint import \
+        fingerprint_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (fingerprint_neardup_pairs(docs, "text", "doc_id",
+                                      k=12, window=6, min_shared=20,
+                                      max_fp_df=50)
+            .orderBy("id_1", "id_2"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3231,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "jaccard_join": q_jaccard_join,
         "dedup_exact": q_dedup_exact,
         "embed_hash": q_embed_hash,
+        "winnow_neardup": q_winnow_neardup,
         "temperature_mix": q_temperature_mix,
         "shard_shuffle": q_shard_shuffle,
         "stream_index_patch": q_stream_index_patch,
@@ -5824,5 +5847,44 @@ def oracle_sql() -> dict[str, str]:
                    sum(nt)::BIGINT AS sum_tokens
             FROM o WHERE cum <= 30000
             GROUP BY qb ORDER BY qb DESC
+        """
+    # winnowing replayed verbatim: 12-gram md5 hashes, min per 6-window,
+    # distinct, >50-doc hot-fp cap, pairs sharing >= 20 fingerprints
+    d["winnow_neardup"] = r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(coalesce(text, '')),
+                                           '\s+', ' ', 'g')) AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) - 11 >= 1
+                            THEN [('0x' || substr(md5(substr(t, i, 12)),
+                                                  1, 8))::BIGINT
+                                  for i in range(1, len(t) - 11 + 1)]
+                            ELSE [('0x' || substr(md5(t), 1, 8))::BIGINT]
+                       END AS gr
+                FROM norm
+            ), w AS (
+                SELECT doc_id,
+                       CASE WHEN len(gr) - 5 >= 1
+                            THEN [list_min(gr[j:j+5])
+                                  for j in range(1, len(gr) - 5 + 1)]
+                            ELSE [list_min(gr)] END AS fps
+                FROM g
+            ), fp AS (
+                SELECT doc_id, unnest(list_distinct(fps)) AS f FROM w
+            ), ok AS (
+                SELECT f FROM fp GROUP BY f HAVING count(*) <= 50
+            ), kept AS (
+                SELECT doc_id, f FROM fp JOIN ok USING (f)
+            )
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   count(*)::BIGINT AS n_shared
+            FROM kept a JOIN kept b
+              ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 20
+            ORDER BY id_1, id_2
         """
     return d

@@ -1,0 +1,92 @@
+"""Winnowing fingerprints (operators/fingerprint.py): Spark output
+equals a pure-Python reference implementation of the paper's scheme,
+the shared-substring guarantee holds, fallbacks cover short/NULL text,
+and the hot-fingerprint cap drops only hot fingerprints."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydata_vector_search_spark.operators.fingerprint import (
+    fingerprint_neardup_pairs, winnow_fingerprints)
+
+
+def _py_winnow(text: str, k: int = 8, window: int = 4) -> set[int]:
+    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if len(t) >= k:
+        grams = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+                 for i in range(len(t) - k + 1)]
+    else:
+        grams = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)]
+    if len(grams) >= window:
+        return {min(grams[j:j + window])
+                for j in range(len(grams) - window + 1)}
+    return {min(grams)}
+
+
+def test_winnow_matches_python_reference(spark, sf_dir):
+    from pydata_vector_search_spark.catalog import read_table
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    got = {}
+    for r in winnow_fingerprints(docs, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == _py_winnow(r.text), r.doc_id
+    assert got
+
+
+def test_winnow_short_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab"), (4, "abcdefghij")],
+        "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=8,
+                                 window=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i in (1, 2, 3, 4):
+        want = _py_winnow({1: None, 2: "", 3: "ab",
+                           4: "abcdefghij"}[i])
+        assert got[i] == want, i
+    with pytest.raises(ValueError, match="k and window"):
+        winnow_fingerprints(df, "text", "doc_id", k=0)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The paper's guarantee: a shared substring of length >= k+w-1
+    yields at least one shared fingerprint."""
+    shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    rows = [(1, "xxxx yyy " + shared + " unique tail one"),
+            (2, "completely different head " + shared + " zz"),
+            (3, "no overlap here at all whatsoever none")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=8,
+                                 window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    pairs = {(r.id_1, r.id_2) for r in fingerprint_neardup_pairs(
+        df, "text", "doc_id", k=8, window=4, min_shared=3).collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_winnow_hot_fp_cap(spark):
+    """max_fp_df drops boilerplate fingerprints from candidate
+    generation: pairs held together ONLY by a k-gram every document
+    shares fall below min_shared; rarer overlaps survive."""
+    boiler = "standard corporate disclaimer footer text here"
+    rows = ([(i, f"unique body {i} stuff " + boiler) for i in range(10)]
+            + [(100, "a very specific rare passage appears " + boiler),
+               (101, "a very specific rare passage appears also")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.id_1, r.id_2) for r in fingerprint_neardup_pairs(
+        df, "text", "doc_id", k=8, window=4, min_shared=2).collect()}
+    capped = {(r.id_1, r.id_2) for r in fingerprint_neardup_pairs(
+        df, "text", "doc_id", k=8, window=4, min_shared=2,
+        max_fp_df=3).collect()}
+    assert (100, 101) in capped          # rare overlap survives the cap
+    assert capped <= uncapped
+    # boilerplate-only pairs (two i<10 docs) exist uncapped, die capped
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    assert not any(a < 100 and b < 100 for a, b in capped)
