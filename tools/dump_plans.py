@@ -255,6 +255,36 @@ NOTES = {
         "streamed upsert and the ivf_patch partition rewrite happen "
         "during construction, each costing work proportional to the "
         "changed keys, never a rebuild scan."),
+    "jaccard_auto_heavy": (
+        "The auto dispatcher's PPJoin branch (r08): the probe aggregate "
+        "ran at construction (one explode+aggregate scan, ratio 1.6 > "
+        "threshold 1.0 on the doubled corpus) and its SUM C(df,2) fed "
+        "the broadcast gate, so the displayed plan is the prefix join "
+        "itself — rarest-first prefixes via one partitioned row_number "
+        "window, size+positional-filtered candidate self-join on one "
+        "ReusedExchange, broadcast candidate verify with 8-byte hashed "
+        "shingle arrays."),
+    "token_budget_dist": (
+        "Distributed boundary prefix sum (r08): both Window operators "
+        "in the plan are PARTITIONED — the boundary bucket's running "
+        "sum runs per id-range sub-bucket (__pb) with driver-computed "
+        "offsets added back; no unpartitioned WindowExec anywhere, so "
+        "no single task ever sees the whole boundary bucket. The "
+        "histogram aggregate below it is map-side combinable."),
+    "winnow_neardup": (
+        "Winnowing fingerprints (r08): gram positions EXPLODE so the "
+        "md5 k-gram hash runs inside WholeStageCodegen (the all-array "
+        "HOF spelling pays ~9 us/element interpreted — measured 3x "
+        "slower end-to-end); the sliding min is a doc-partitioned "
+        "frame window over one narrow (id, pos, hash) exchange; the "
+        "fingerprint self-join is the dedup family's bounded equi-join "
+        "behind a round-robin barrier the consumers reuse."),
+    "pack_tokenized": (
+        "Tokenizer-hook packing (r08): one ArrowEvalPython/MapInPandas "
+        "stage computes BPE-ish counts executor-side (tokenizer loads "
+        "once per task), then the proven blocked next-fit "
+        "applyInPandas — the only exchange is the block-id hash "
+        "shuffle; swapping a real BPE vocab changes no plan shape."),
 }
 
 

@@ -5,7 +5,7 @@ output growth). Usage: python tools/scale_probe.py [N] [opkey ...] —
 default N=10, all ops. Op keys (pass any subset to probe just those,
 skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
-paragraph span lm lm_capped dsir.
+paragraph span lm lm_capped dsir budget winnow.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -36,7 +36,7 @@ def main() -> None:
 
     need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
-                     "lm_capped", "dsir")
+                     "lm_capped", "dsir", "budget", "winnow")
     need_emb = want("knn", "matmul", "semantic", "ivfpq")
     bd = be = None
     if need_docs:
@@ -225,6 +225,30 @@ def main() -> None:
         timed("substring-span dedup (n=8, interval merge + rebuild)",
               lambda: duplicate_span_dedup(bd, "text", "doc_id", n=8).agg(
                   F.sum("n_removed"), F.sum("n_spans")).collect() and "ok")
+    if want("budget"):
+        # r08: the distributed boundary prefix sum, FORCED
+        # (max_boundary_task_rows=0) with a single-valued quality so the
+        # ENTIRE corpus is the boundary bucket — worst case; wall must
+        # track corpus size, no single-task window anywhere
+        from pydata_vector_search_spark.operators.text_ops import \
+            select_token_budget
+        one = F.when(F.col("text").isNotNull(), F.lit(1.0))
+        timed("token-budget distributed boundary (whole corpus boundary)",
+              lambda: select_token_budget(
+                  bd, "text", "doc_id",
+                  budget_tokens=n_copies * 120_000,
+                  quality_col=one, max_boundary_task_rows=0,
+                  prefix_buckets=64).count())
+    if want("winnow"):
+        from pydata_vector_search_spark.operators.fingerprint import \
+            fingerprint_neardup_pairs
+        # cap=None: under N-fold replication every base fingerprint has
+        # df >= N, so a fixed cap empties the candidate set (working as
+        # documented); the probe measures the UNCAPPED worst-case join
+        timed("winnow fingerprint near-dup (k=12 w=6 shared>=20 uncapped)",
+              lambda: fingerprint_neardup_pairs(
+                  bd, "text", "doc_id", k=12, window=6,
+                  min_shared=20, max_fp_df=None).count())
 
     # corpus-statistics selection at scale (r06): LM counts are
     # vocabulary-sized aggregates; DSIR models broadcast
