@@ -238,6 +238,12 @@ class Engine:
                "jaccard": dedup.jaccard_similarity_join_auto,
                "jaccard_count": dedup.jaccard_similarity_join,
                "jaccard_prefix": dedup.jaccard_similarity_join_prefix}
+        if method == "winnow":
+            # winnowing fingerprint pairs (SIGMOD'03): kw = k/window/
+            # min_shared/max_fp_df; returns (id_1, id_2, n_shared)
+            from pydata_vector_search_spark.operators.fingerprint import \
+                fingerprint_neardup_pairs
+            return fingerprint_neardup_pairs(df, text_col, id_col, **kw)
         return fns[method](df, text_col, id_col, **kw)
 
     def dedup_clusters(self, table: str | DataFrame, text_col: str,

@@ -239,3 +239,19 @@ def test_jaccard_strategies_via_engine(engine):
         "docs", "text", "doc_id", method="jaccard_prefix",
         threshold=0.5).collect()}
     assert auto == cnt == pre
+
+
+def test_neardup_pairs_winnow_method(engine):
+    """method='winnow' (r08) routes to the fingerprint pair join and
+    honors its kwargs; agrees with the operator called directly."""
+    from pydata_vector_search_spark.operators.fingerprint import \
+        fingerprint_neardup_pairs
+
+    via = {(r.id_1, r.id_2, r.n_shared) for r in engine.neardup_pairs(
+        "docs", "text", "doc_id", method="winnow",
+        k=12, window=6, min_shared=20, max_fp_df=50).collect()}
+    direct = {(r.id_1, r.id_2, r.n_shared) for r in
+              fingerprint_neardup_pairs(
+                  engine.table("docs"), "text", "doc_id",
+                  k=12, window=6, min_shared=20, max_fp_df=50).collect()}
+    assert via == direct and via
