@@ -1,0 +1,159 @@
+"""Multinomial Naive Bayes document classification — the corpus
+quality/domain filter step of LLM data pipelines (the role fastText
+linear classifiers play in CCNet/FineWeb-style curation: train on a
+small labeled set, score the whole corpus, keep/route by predicted
+class), built SQL-exact in the house style of ``lm_score.py``.
+
+Why Naive Bayes and not MLlib LogisticRegression: NB's training IS a
+pair of count aggregates (map-side combinable, one shuffle each) and
+its scores are closed-form log-sums — so the whole train+score lineage
+is deterministic, engine-independent (floored micro-nat integer
+partials, the bm25/lm_score discipline), and hash-checkable against a
+DuckDB oracle, while matching the discriminative baseline closely on
+text classification (McCallum & Nigam, AAAI-98 workshop).
+
+Scale shape (100 TB):
+* TRAIN: one explode → (label, token) count aggregate + one per-label
+  token-total aggregate. Both map-side combinable; the shuffle is
+  vocabulary-sized, not corpus-sized.
+* MODEL: the dense (token × label) log-likelihood table is
+  |V|·|labels| rows — bounded by ``max_vocab`` hash-bucketing exactly
+  like ``bigram_lm_score`` (rare tokens merge into buckets; with no
+  collisions the scores are bit-identical to uncapped) — and
+  BROADCASTS.
+* SCORE: one corpus scan → explode → broadcast-hash join → per
+  (doc, label) sum + struct-max argmax. Tokens never seen in training
+  contribute the class's smoothed default, accounted in closed form
+  from per-doc token totals (no dense miss rows are materialized).
+  The corpus shuffles once, on (doc, label) partial sums.
+
+Ties: argmax breaks by (score, label) struct-max — the larger label
+wins an exact score tie; replayable as ``ORDER BY score DESC, label
+DESC`` in any engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from pydata_vector_search_spark.functions.text import normalized_text
+
+_SCALE = 1_000_000.0            # micro-nat integer partials (lm_score)
+
+
+def _tokens(text_col: str) -> F.Column:
+    t = F.coalesce(normalized_text(text_col), F.lit(""))
+    return F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
+
+
+def _bucket(tok: F.Column, max_vocab: int) -> F.Column:
+    """md5-derived bucket id as string — deterministic, cross-engine
+    (same family as lm_score's _vocab_bucket)."""
+    h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    return (h % max_vocab).cast("string")
+
+
+@dataclass
+class NBModel:
+    """Broadcastable model tables (all tiny relative to the corpus):
+    ``dense``: (token, label, llh_micro) — smoothed log-likelihood of
+    every TRAINING token under every label, floored micro-nats;
+    ``classes``: (label, prior_micro, default_micro) — log prior and
+    the per-occurrence default for tokens unseen in training."""
+    dense: DataFrame
+    classes: DataFrame
+    smoothing: float
+    max_vocab: int | None
+
+
+def nb_train(df: DataFrame, text_col: str, label_col: str,
+             smoothing: float = 1.0,
+             max_vocab: int | None = None) -> NBModel:
+    """Train multinomial NB:  p(tok | c) = (count(tok, c) + a) /
+    (tokens(c) + a * V),  prior(c) = docs(c) / docs.  All logs stored
+    as ``floor(ln(p) * 1e6 + 0.5)`` longs so any engine reproduces the
+    exact same integers."""
+    if smoothing <= 0:
+        raise ValueError(f"nb_train: smoothing must be > 0, "
+                         f"got {smoothing}")
+    toks = df.select(F.col(label_col).alias("__y"),
+                     _tokens(text_col).alias("__tk"))
+    if max_vocab is not None:
+        if max_vocab < 1:
+            raise ValueError(f"nb_train: max_vocab must be >= 1, "
+                             f"got {max_vocab}")
+        toks = toks.withColumn(
+            "__tk", F.transform("__tk", lambda t: _bucket(t, max_vocab)))
+
+    occ = toks.select("__y", F.explode("__tk").alias("__w"))
+    counts = occ.groupBy("__y", "__w").agg(
+        F.count(F.lit(1)).alias("__c"))
+    per_class = occ.groupBy("__y").agg(
+        F.count(F.lit(1)).alias("__nt"))
+    vocab = occ.select("__w").distinct()
+    v = vocab.count()                      # |V| — scalar, one aggregate
+    n_docs = toks.count()
+    priors = toks.groupBy("__y").agg(F.count(F.lit(1)).alias("__nd"))
+
+    a = float(smoothing)
+    mk = lambda p: F.floor(F.log(p) * _SCALE + F.lit(0.5)).cast("long")  # noqa: E731
+    classes = (priors.join(per_class, "__y", "left")
+               .na.fill(0, ["__nt"])
+               .select(F.col("__y").alias("label"),
+                       mk(F.col("__nd").cast("double") / F.lit(n_docs))
+                       .alias("prior_micro"),
+                       mk(F.lit(a) / (F.col("__nt") + F.lit(a * v)))
+                       .alias("default_micro"),
+                       F.col("__nt").alias("__nt")))
+    cts = counts.select(F.col("__w").alias("__cw"),
+                        F.col("__y").alias("__cy"), "__c")
+    dense = (vocab.select(F.col("__w").alias("token"))
+             .crossJoin(F.broadcast(classes.select("label", "__nt")))
+             .join(cts, (F.col("token") == F.col("__cw"))
+                   & (F.col("label") == F.col("__cy")), "left")
+             .select("token", "label",
+                     mk((F.coalesce(F.col("__c"), F.lit(0)) + F.lit(a))
+                        / (F.col("__nt") + F.lit(a * v)))
+                     .alias("llh_micro")))
+    return NBModel(dense=dense,
+                   classes=classes.drop("__nt"),
+                   smoothing=a, max_vocab=max_vocab)
+
+
+def nb_score(df: DataFrame, model: NBModel, text_col: str, id_col: str,
+             out_label: str = "pred_label",
+             out_score: str = "score_micro") -> DataFrame:
+    """(id, pred_label, score_micro) — argmax-class and its exact
+    integer log-score for every document. score(d, c) = prior(c) +
+    SUM over seen token occurrences of llh(tok, c) + (unseen
+    occurrences) * default(c); empty documents score prior only."""
+    toks = df.select(F.col(id_col).alias("__id"),
+                     _tokens(text_col).alias("__tk"))
+    if model.max_vocab is not None:
+        toks = toks.withColumn(
+            "__tk",
+            F.transform("__tk", lambda t: _bucket(t, model.max_vocab)))
+    base = toks.select("__id", F.size("__tk").alias("__n"), "__tk")
+    occ = base.select("__id", F.explode("__tk").alias("token"))
+    seen = (occ.join(F.broadcast(model.dense), "token")
+               .groupBy("__id", "label")
+               .agg(F.sum("llh_micro").alias("__s"),
+                    F.count(F.lit(1)).alias("__k")))
+    # every doc × every class (docs with zero seen tokens still score)
+    grid = (base.select("__id", "__n")
+            .crossJoin(F.broadcast(model.classes)))
+    scored = (grid.join(seen, ["__id", "label"], "left")
+              .select("__id", "label",
+                      (F.col("prior_micro")
+                       + F.coalesce(F.col("__s"), F.lit(0))
+                       + (F.col("__n")
+                          - F.coalesce(F.col("__k"), F.lit(0)))
+                       * F.col("default_micro")).alias("__score")))
+    best = (scored.groupBy("__id")
+            .agg(F.max(F.struct(F.col("__score"),
+                                F.col("label"))).alias("__b")))
+    return best.select(F.col("__id").alias(id_col),
+                       F.col("__b.label").alias(out_label),
+                       F.col("__b.__score").alias(out_score))
