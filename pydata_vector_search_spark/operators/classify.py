@@ -74,7 +74,12 @@ def nb_train(df: DataFrame, text_col: str, label_col: str,
     """Train multinomial NB:  p(tok | c) = (count(tok, c) + a) /
     (tokens(c) + a * V),  prior(c) = docs(c) / docs.  All logs stored
     as ``floor(ln(p) * 1e6 + 0.5)`` longs so any engine reproduces the
-    exact same integers."""
+    exact same integers.
+
+    NOTE: training is EAGER — |V| and the doc count are collected at
+    call time (two aggregates over the training set; the training set
+    is the small labeled side of the pipeline, not the corpus). The
+    returned model's tables stay lazy until scoring."""
     if smoothing <= 0:
         raise ValueError(f"nb_train: smoothing must be > 0, "
                          f"got {smoothing}")
