@@ -258,6 +258,21 @@ class Engine:
                                    method=method, **kw)
         return connected_components(pairs, src="id_1", dst="id_2")
 
+    def classify(self, train, score, text_col: str, label_col: str,
+                 id_col: str, smoothing: float = 1.0,
+                 max_vocab: int | None = None) -> DataFrame:
+        """Train the SQL-exact multinomial NB classifier on ``train``
+        (labeled) and score ``score`` → (id, pred_label, score_micro)
+        — the corpus quality/domain-filter step (see
+        operators/classify.py; training is eager, scoring lazy)."""
+        from pydata_vector_search_spark.operators.classify import (nb_score,
+                                                                   nb_train)
+        tdf = self.table(train) if isinstance(train, str) else train
+        sdf = self.table(score) if isinstance(score, str) else score
+        model = nb_train(tdf, text_col, label_col,
+                         smoothing=smoothing, max_vocab=max_vocab)
+        return nb_score(sdf, model, text_col, id_col)
+
     def chunk(self, table: str | DataFrame, text_col: str, id_col: str,
               divisor: int = 32) -> DataFrame:
         """Content-defined chunking → (id, chunk_idx, chunk_text, n_tokens);

@@ -255,3 +255,19 @@ def test_neardup_pairs_winnow_method(engine):
                   engine.table("docs"), "text", "doc_id",
                   k=12, window=6, min_shared=20, max_fp_df=50).collect()}
     assert via == direct and via
+
+
+def test_classify_facade(engine, spark):
+    """Engine.classify (r08): train-on-labeled / score-corpus matches
+    the operator pair called directly."""
+    from pydata_vector_search_spark.operators.classify import (nb_score,
+                                                               nb_train)
+    rows = [(i, ("alpha beta" if i % 2 else "gamma delta") + f" w{i}",
+             "odd" if i % 2 else "even") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    via = {r.doc_id: (r.pred_label, r.score_micro) for r in
+           engine.classify(df, df, "text", "y", "doc_id").collect()}
+    model = nb_train(df, "text", "y")
+    direct = {r.doc_id: (r.pred_label, r.score_micro) for r in
+              nb_score(df, model, "text", "doc_id").collect()}
+    assert via == direct and via
