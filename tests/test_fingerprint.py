@@ -14,7 +14,10 @@ from pydata_vector_search_spark.operators.fingerprint import (
 
 
 def _py_winnow(text: str, k: int = 8, window: int = 4) -> set[int]:
-    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    # re.ASCII: Spark (Java regex) and DuckDB (RE2) treat \s as the
+    # ASCII class; Python's default \s is Unicode-aware (would collapse
+    # NBSP/em-space and silently diverge from both engines)
+    t = re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII).strip()
     if len(t) >= k:
         grams = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
                  for i in range(len(t) - k + 1)]
@@ -90,3 +93,25 @@ def test_winnow_hot_fp_cap(spark):
     # boilerplate-only pairs (two i<10 docs) exist uncapped, die capped
     assert any(a < 100 and b < 100 for a, b in uncapped)
     assert not any(a < 100 and b < 100 for a, b in capped)
+
+
+def test_winnow_unicode_parity(spark):
+    """Unicode text — accents, CJK, astral-plane emoji, and REAL
+    non-ASCII whitespace (NBSP/em-space) — fingerprints identically in
+    Spark and the (ASCII-\\s) reference. Guards the cross-engine
+    whitespace-class contract: Java regex and RE2 both treat \\s as
+    ASCII, so NBSP is a regular character, NOT collapsible whitespace;
+    Spark's substring/length count code points (not UTF-16 units), so
+    astral-plane chars keep gram alignment."""
+    texts = ["h\u00e9llo w\u00f6rld \u00fcn\u00efcode t\u00e8xt p\u00e2dding h\u00e8re",
+             "\u4e2d\u6587\u6587\u672c\u53bb\u91cd\u6d4b\u8bd5 \u5185\u5bb9\u76f8\u5f53\u957f \u8db3\u591f\u4ea7\u751f\u82e5\u5e72\u514b",
+             "emoji \U0001f600\U0001f600 test \U0001f389 astral chars \U0001f600 padding here",
+             "nbsp\u00a0separated\u00a0tokens and em\u2003space mixed in",
+             "\u03b1\u03b2\u03b3\u03b4\u03b5 \u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 padding"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), (i, t[:30])
