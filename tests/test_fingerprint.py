@@ -115,3 +115,28 @@ def test_winnow_unicode_parity(spark):
         got.setdefault(r.doc_id, set()).add(r.fp)
     for i, t in enumerate(texts):
         assert got[i] == _py_winnow(t), (i, t[:30])
+
+
+def test_winnow_clusters_composition(spark):
+    """Fingerprint pairs compose with connected_components exactly like
+    the other near-dup families (the r09 `winnow` dedup_clusters
+    path): replica groups collapse to one min-id component each."""
+    from pydata_vector_search_spark.operators.graph import \
+        connected_components
+    base = ["the quick brown fox jumps over the lazy dog again",
+            "pack my box with five dozen liquor jugs tonight ok",
+            "sphinx of black quartz judge my vow completely done"]
+    rows = [(10 * b + i, t + ("" if i == 0 else f" v{i}"))
+            for b, t in enumerate(base) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = fingerprint_neardup_pairs(df, "text", "doc_id",
+                                      k=8, window=4, min_shared=5)
+    cc = connected_components(pairs, src="id_1", dst="id_2")
+    comp = {r.node: r.component for r in cc.collect()}
+    for b in range(3):
+        members = [10 * b + i for i in range(3) if 10 * b + i in comp]
+        assert members, b
+        assert len({comp[m] for m in members}) == 1
+        assert comp[members[0]] == min(members)
+    # no cross-base merges
+    assert len({comp[m] for m in comp}) == 3
