@@ -284,3 +284,47 @@ def test_purge_model_check(spark, tmp_path):
                     cat.read_incremental("t", 1, latest_only=False)
                        .collect()}
         assert not (inc_keys & purged)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii", min_codepoint=32,
+                                      max_codepoint=126),
+               min_size=0, max_size=80))
+def test_tokenize_hook_matches_column_property(spark, s):
+    """r08: the executor-side RegexBpeTokenizer and the JVM
+    token_count_bpe Column agree on arbitrary ASCII text."""
+    from pydata_vector_search_spark.operators.tokenize import tokenize_counts
+    df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    row = (tokenize_counts(df, "text")
+           .withColumn("jvm", T.token_count_bpe("text").cast("long"))
+           .head())
+    assert row.n_tok == row.jvm
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii", min_codepoint=32,
+                                      max_codepoint=126),
+               min_size=0, max_size=120),
+       st.integers(min_value=2, max_value=10),
+       st.integers(min_value=1, max_value=6))
+def test_winnow_property_matches_python(spark, s, k, w):
+    """r08: winnowing fingerprints equal the pure-Python reference for
+    arbitrary ASCII text and (k, window) parameters."""
+    import hashlib
+    import re as _re
+    from pydata_vector_search_spark.operators.fingerprint import \
+        winnow_fingerprints
+    t = _re.sub(r"\s+", " ", s.lower(), flags=_re.ASCII).strip()
+    if len(t) >= k:
+        grams = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+                 for i in range(len(t) - k + 1)]
+    else:
+        grams = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)]
+    if len(grams) >= w:
+        want = {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+    else:
+        want = {min(grams)}
+    df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    got = {r.fp for r in winnow_fingerprints(df, "text", "doc_id",
+                                             k=k, window=w).collect()}
+    assert got == want
