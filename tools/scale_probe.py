@@ -5,7 +5,7 @@ output growth). Usage: python tools/scale_probe.py [N] [opkey ...] —
 default N=10, all ops. Op keys (pass any subset to probe just those,
 skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
-paragraph span lm lm_capped dsir budget winnow.
+paragraph span lm lm_capped dsir budget winnow classify.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -36,7 +36,7 @@ def main() -> None:
 
     need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
-                     "lm_capped", "dsir", "budget", "winnow")
+                     "lm_capped", "dsir", "budget", "winnow", "classify")
     need_emb = want("knn", "matmul", "semantic", "ivfpq")
     bd = be = None
     if need_docs:
@@ -239,6 +239,16 @@ def main() -> None:
                   budget_tokens=n_copies * 120_000,
                   quality_col=one, max_boundary_task_rows=0,
                   prefix_buckets=64).count())
+    if want("classify"):
+        # r08: NB corpus classifier — train on the replicated corpus's
+        # lang labels, score the whole corpus; counts map-side
+        # combinable, dense model broadcast, one (doc,label) shuffle
+        from pydata_vector_search_spark.operators.classify import (
+            nb_score, nb_train)
+        def _cls():
+            model = nb_train(bd.select("text", "lang"), "text", "lang")
+            return nb_score(bd, model, "text", "doc_id").count()
+        timed("NB classifier train+score (labels=lang)", _cls)
     if want("winnow"):
         from pydata_vector_search_spark.operators.fingerprint import \
             fingerprint_neardup_pairs
