@@ -150,3 +150,74 @@ def cluster_summary(edges: DataFrame, src: str = "src",
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.max("node").alias("max_member"))
             .orderBy("cluster_id"))
+
+
+def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   damping_pct: int = 85, iterations: int = 5,
+                   scale: int = 10 ** 12) -> DataFrame:
+    """INTEGER-EXACT PageRank: fixed-iteration power iteration with all
+    mass carried as LONG fixed-point units of ``scale`` total — the
+    corpus-curation signal (seed-quality propagation over citation /
+    near-dup / link graphs, as in Common Crawl harvest ranking) built
+    so every engine reproduces the identical integers, the same
+    discipline as the bm25/lm_score micro-nat partials.
+
+    Per iteration (damping as the exact rational ``damping_pct/100``):
+
+        contrib(j -> i) = r_j // outdeg(j)              (integer div)
+        r_i' = ((100 - damping_pct) * (scale // N)) // 100
+               + (damping_pct * SUM_j contrib(j -> i)) // 100
+
+    Integer division DROPS remainder mass (so total mass shrinks
+    slightly per iteration) and dangling-node mass is dropped rather
+    than redistributed — both deliberate: the ranking order matches
+    float PageRank to ~1/scale, while every intermediate is a long and
+    a DuckDB recursive CTE replays the run bit-for-bit. Returns
+    (node, rank_units) for every node of the graph.
+
+    Scale shape: one eager N count, then per iteration one edges ⋈
+    ranks join on the source key + one groupBy(dst) sum — O(|E|)
+    shuffled bytes, hash-partitioned; lineage truncated per round with
+    localCheckpoint (the connected_components discipline) so the plan
+    stays constant-size across iterations."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"pagerank_exact: damping_pct must be in "
+                         f"[0, 100], got {damping_pct}")
+    if iterations < 0:
+        raise ValueError(f"pagerank_exact: iterations must be >= 0, "
+                         f"got {iterations}")
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
+    base = ((100 - damping_pct) * (scale // n)) // 100
+    outdeg = (edges.groupBy(F.col(src).alias("node"))
+              .agg(F.count(F.lit(1)).alias("__deg")))
+    ranks = nodes.withColumn("rank_units",
+                             F.lit(scale // n).cast("long")) \
+                 .localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (edges
+                    .join(ranks.withColumnRenamed("node", "__s"),
+                          F.col(src) == F.col("__s"))
+                    .join(outdeg.withColumnRenamed("node", "__d"),
+                          F.col(src) == F.col("__d"))
+                    .select(F.col(dst).alias("node"),
+                            F.expr("rank_units div __deg")
+                            .alias("__c")))
+        # `div` is Spark's exact LONG division — double `/` + cast can
+        # round up across an integer boundary near 2^53-scale quotients
+        # and silently diverge from an engine that divides in integers
+        summed = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        new = (nodes.join(summed, "node", "left")
+               .select("node",
+                       (F.lit(base).cast("long")
+                        + F.expr(f"({damping_pct} * coalesce(__s, 0L))"
+                                 " div 100"))
+                       .cast("long").alias("rank_units")))
+        prev = ranks
+        ranks = new.localCheckpoint(eager=True)
+        prev.unpersist()
+    return ranks
