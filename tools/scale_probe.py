@@ -5,7 +5,7 @@ output growth). Usage: python tools/scale_probe.py [N] [opkey ...] —
 default N=10, all ops. Op keys (pass any subset to probe just those,
 skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
-paragraph span lm lm_capped dsir budget winnow classify.
+paragraph span lm lm_capped dsir budget winnow classify pagerank.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -36,7 +36,7 @@ def main() -> None:
 
     need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
-                     "lm_capped", "dsir", "budget", "winnow", "classify")
+                     "lm_capped", "dsir", "budget", "winnow", "classify", "pagerank")
     need_emb = want("knn", "matmul", "semantic", "ivfpq")
     bd = be = None
     if need_docs:
@@ -249,6 +249,22 @@ def main() -> None:
             model = nb_train(bd.select("text", "lang"), "text", "lang")
             return nb_score(bd, model, "text", "doc_id").count()
         timed("NB classifier train+score (labels=lang)", _cls)
+    if want("pagerank"):
+        # r08: integer-exact PageRank over the minhash near-dup graph
+        # (symmetrized) — 5 iterations, work ∝ edges per iteration
+        from pydata_vector_search_spark.operators.graph import \
+            pagerank_exact
+        def _pr():
+            pairs = dedup.minhash_neardup_pairs(
+                bd, "text", "doc_id", n=3, num_hashes=12, bands=4,
+                threshold=0.5).select("id_1", "id_2")
+            edges = pairs.unionByName(
+                pairs.select(F.col("id_2").alias("id_1"),
+                             F.col("id_1").alias("id_2")))
+            return pagerank_exact(edges, src="id_1", dst="id_2",
+                                  iterations=5).count()
+        timed("integer PageRank over minhash near-dup graph (5 iter)",
+              _pr)
     if want("winnow"):
         from pydata_vector_search_spark.operators.fingerprint import \
             fingerprint_neardup_pairs
