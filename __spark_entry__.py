@@ -1829,12 +1829,21 @@ def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                          T.token_count("text").alias("__nt"))
                  .filter((F.col("__q") >= 0.5) & (F.col("__pl") != "und")
                          & (F.col("__nt") >= 20)))
-    toks = F.split(T.normalized_text("text"), " ")
+    # Token array MATERIALIZED into its own projection before the line
+    # rebuild (r08): HOF lambdas are interpreted with no cross-lambda
+    # CSE, so the inline spelling re-runs the normalize+split regex
+    # once per 10-token line — O(L²/k) regex work per doc (the same
+    # bug class fingerprint.py documents; measured 0.78 s vs 0.34 s
+    # warm for the rebuild alone at sf0.1).
     k = 10
-    nlines = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    gated = gated.select("doc_id", "lang",
+                         F.split(T.normalized_text("text"), " ")
+                          .alias("__tk"))
+    tk = F.col("__tk")
+    nlines = F.ceil(F.size(tk) / F.lit(k)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), nlines - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+        lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "))
     # Materialization barrier (r07, tightened r08): paragraph_dedup
     # references its input three times and the final rollup joins the
     # gate output again — without a barrier Catalyst re-evaluates the
