@@ -146,7 +146,10 @@ def nb_score(df: DataFrame, model: NBModel, text_col: str, id_col: str,
                .groupBy("__id", "label")
                .agg(F.sum("llh_micro").alias("__s"),
                     F.count(F.lit(1)).alias("__k")))
-    # every doc × every class (docs with zero seen tokens still score)
+    # every doc × every class (docs with zero seen tokens still score):
+    # a BROADCAST crossJoin against the |labels|-row class table — row
+    # expansion is exactly |labels|× the corpus (a handful of classes
+    # in any curation recipe), never corpus × corpus
     grid = (base.select("__id", "__n")
             .crossJoin(F.broadcast(model.classes)))
     scored = (grid.join(seen, ["__id", "label"], "left")
