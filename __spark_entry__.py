@@ -5806,11 +5806,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_1, id_2
         """
     # pack_tokenized: the sequence_pack recursion on BPE-ish regex
-    # counts (the tokenize.py hook's deterministic fallback) at 192
+    # counts (the tokenize.py hook's deterministic fallback) at 192.
+    # coalesce(text, '') matches tokenize_counts' fillna('') — a NULL
+    # text must count 0, not poison the recursive fill with NULL ln
+    # (r08 ADVICE; the winnow oracle already coalesces defensively)
     d["pack_tokenized"] = r"""
             WITH RECURSIVE d AS (
                 SELECT doc_id,
-                       len(regexp_extract_all(text,
+                       len(regexp_extract_all(coalesce(text, ''),
                            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS ln,
                        (doc_id // 100)::BIGINT AS blk,
                        row_number() OVER (PARTITION BY doc_id // 100

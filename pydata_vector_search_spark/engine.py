@@ -260,11 +260,20 @@ class Engine:
 
     def classify(self, train, score, text_col: str, label_col: str,
                  id_col: str, smoothing: float = 1.0,
-                 max_vocab: int | None = None) -> DataFrame:
+                 max_vocab: int | None = 262_144) -> DataFrame:
         """Train the SQL-exact multinomial NB classifier on ``train``
         (labeled) and score ``score`` → (id, pred_label, score_micro)
         — the corpus quality/domain-filter step (see
-        operators/classify.py; training is eager, scoring lazy)."""
+        operators/classify.py; training is eager, scoring lazy).
+
+        ``max_vocab`` defaults FINITE (2^18 hash buckets, the
+        ``bigram_lm_score`` discipline) so the facade is scale-safe on
+        any training corpus: the broadcast model is bounded at
+        |max_vocab|·|labels| rows no matter how large ``train`` is.
+        Pass ``max_vocab=None`` for the exact unbucketed vocabulary —
+        ``nb_score`` then gates its broadcast on the trained |V|
+        (classify.BROADCAST_SAFE_VOCAB) and degrades to a shuffle join
+        past it rather than shipping an unbounded model."""
         from pydata_vector_search_spark.operators.classify import (nb_score,
                                                                    nb_train)
         tdf = self.table(train) if isinstance(train, str) else train

@@ -61,11 +61,26 @@ class NBModel:
     ``dense``: (token, label, llh_micro) — smoothed log-likelihood of
     every TRAINING token under every label, floored micro-nats;
     ``classes``: (label, prior_micro, default_micro) — log prior and
-    the per-occurrence default for tokens unseen in training."""
+    the per-occurrence default for tokens unseen in training.
+    ``vocab_size`` is the eager |V| from training — ``nb_score`` gates
+    its broadcast on it (see BROADCAST_SAFE_VOCAB)."""
     dense: DataFrame
     classes: DataFrame
     smoothing: float
     max_vocab: int | None
+    vocab_size: int = 0
+
+
+# Above this |V| the dense (token × label) table stops being broadcast
+# in nb_score and joins as a regular shuffle join instead: at 2M tokens
+# × a handful of labels the broadcast payload crosses the ~hundreds-of-
+# MB band where per-executor duplication beats the one shuffle it saves.
+# Training on an unbounded web corpus with max_vocab=None is the one
+# way to get here (the r08 ADVICE scenario) — the scores stay correct
+# either way; only the join strategy changes. Callers who want a
+# bounded model at any corpus size pass ``max_vocab`` (the facade's
+# ``Engine.classify`` defaults it finite for exactly this reason).
+BROADCAST_SAFE_VOCAB = 2_000_000
 
 
 def nb_train(df: DataFrame, text_col: str, label_col: str,
@@ -124,7 +139,7 @@ def nb_train(df: DataFrame, text_col: str, label_col: str,
                      .alias("llh_micro")))
     return NBModel(dense=dense,
                    classes=classes.drop("__nt"),
-                   smoothing=a, max_vocab=max_vocab)
+                   smoothing=a, max_vocab=max_vocab, vocab_size=v)
 
 
 def nb_score(df: DataFrame, model: NBModel, text_col: str, id_col: str,
@@ -142,7 +157,15 @@ def nb_score(df: DataFrame, model: NBModel, text_col: str, id_col: str,
             F.transform("__tk", lambda t: _bucket(t, model.max_vocab)))
     base = toks.select("__id", F.size("__tk").alias("__n"), "__tk")
     occ = base.select("__id", F.explode("__tk").alias("token"))
-    seen = (occ.join(F.broadcast(model.dense), "token")
+    # broadcast only while the dense table is provably small (|V| is
+    # known exactly from training — no estimate needed); past the bound
+    # fall back to a shuffle join rather than ship an unbounded model
+    # to every executor (r08 ADVICE: max_vocab=None on a huge training
+    # set must degrade to a slower plan, not an OOM)
+    dense = (F.broadcast(model.dense)
+             if model.vocab_size <= BROADCAST_SAFE_VOCAB
+             else model.dense)
+    seen = (occ.join(dense, "token")
                .groupBy("__id", "label")
                .agg(F.sum("llh_micro").alias("__s"),
                     F.count(F.lit(1)).alias("__k")))

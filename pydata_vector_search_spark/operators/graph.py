@@ -225,4 +225,11 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
         prev = ranks
         ranks = new.localCheckpoint(eager=True)
         prev.unpersist()
+    # the final ranks are materialized (eager checkpoint) and no longer
+    # read edges/nodes — release their pinned blocks instead of holding
+    # them for the caller's session lifetime (r08 ADVICE). Only the
+    # returned ranks checkpoint stays resident, and it must: it IS the
+    # result. |ranks| = |V| rows of (long, long) — the bounded one.
+    edges.unpersist()
+    nodes.unpersist()
     return ranks

@@ -176,7 +176,15 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
     # exact LONG division (`div`), never through a double — ids beyond
     # 2^53 keep exact sub-bucket identity (same discipline as packing)
     pb = F.expr(f"(cast(`{idq}` as bigint) - {lo}L) div {width}L")
-    bsrc = boundary_src.withColumn("__pb", pb)
+    # lazy-checkpoint the boundary slice so the quality/token-count
+    # expressions evaluate over it ONCE: the sub-bucket aggregate below
+    # materializes the blocks and the final windowed plan reuses them,
+    # instead of re-running the base lineage a third time (r08 ADVICE).
+    # Retention note: the blocks stay pinned for the session (they are
+    # the returned plan's source); they are bounded at one quality
+    # bucket — ~1/10^bucket_decimals of the corpus — not corpus-sized.
+    bsrc = (boundary_src.withColumn("__pb", pb)
+            .localCheckpoint(eager=False))
     parts = (bsrc.groupBy("__pb")
                  .agg(F.sum("__nt").alias("__ps"),
                       F.count("__nt").alias("__pk"))   # non-NULL count

@@ -120,3 +120,25 @@ def test_nb_separable_corpus_accuracy(spark):
     n = scored.count()
     hit = scored.filter(F.col("pred_label") == F.col("y")).count()
     assert n == 300 and hit / n >= 0.95, (hit, n)
+
+
+def test_nb_broadcast_gate_same_results(spark):
+    """nb_score broadcasts the dense model only while the trained |V|
+    is provably small (NBModel.vocab_size, recorded eagerly at train
+    time); past BROADCAST_SAFE_VOCAB it degrades to a shuffle join —
+    identical predictions, no unbounded broadcast (r08 ADVICE)."""
+    import dataclasses
+
+    from pydata_vector_search_spark.operators import classify as C
+
+    rows = [(i, f"tok{i % 7} common word", ["a", "b"][i % 2])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    model = nb_train(df, "text", "y")
+    assert 0 < model.vocab_size <= C.BROADCAST_SAFE_VOCAB
+    small = nb_score(df, model, "text", "doc_id")
+    # force the over-bound path: same tables, vocab_size past the gate
+    big = nb_score(df, dataclasses.replace(
+        model, vocab_size=C.BROADCAST_SAFE_VOCAB + 1), "text", "doc_id")
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, big.collect()))
