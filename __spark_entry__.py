@@ -3186,6 +3186,98 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_1", "id_2"))
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-EXACT Naive Bayes corpus classification (r09; staged r08):
+    the quality/domain-gate role fastText linear classifiers play in
+    CCNet/FineWeb-style curation (train on a labeled slice, score the
+    whole corpus, route by predicted class — McCallum & Nigam,
+    AAAI-98). Trains on ``documents.lang`` with ``max_vocab=4096``
+    md5 hash-buckets — the BOUNDED-model path (the r08 verdict's
+    scale-safety ask: the broadcast dense table is provably
+    <= max_vocab·|labels| rows at ANY corpus size; the facade
+    ``Engine.classify`` defaults the cap to 2^18 for the same reason,
+    and ``nb_score`` gates its broadcast on the trained |V| besides).
+    At sf vocab >> 4096, so real bucket collisions are part of the
+    hashed lineage. All scores are floored micro-nat longs (the
+    bm25/lm_score discipline); the rollup hashes every document's
+    argmax label AND exact integer score mass per class. Training is
+    two map-side-combinable count aggregates; scoring is one corpus
+    scan + broadcast join + (doc,label) partial sums — the corpus
+    shuffles once (classify.py scale notes)."""
+    from pydata_vector_search_spark.operators.classify import (nb_score,
+                                                               nb_train)
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_train(docs, "text", "lang", max_vocab=4096)
+    scored = nb_score(docs, model, "text", "doc_id")
+    return (scored.groupBy("pred_label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("doc_id").cast("long").alias("id_sum"),
+                 F.sum("score_micro").cast("long").alias("score_sum"))
+            .orderBy("pred_label"))
+
+
+_PR_OFFSET = 10_000_000          # suppliers live above, customers below
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER-EXACT PageRank (r09; staged r08) over the
+    customer↔supplier interaction graph: distinct (customer, supplier)
+    purchase pairs from orders ⋈ lineitem, both directions, supplier
+    ids offset into a disjoint range — the link-graph curation signal
+    (seed-quality propagation, Common Crawl harvest ranking). Five
+    fixed-point iterations with ALL mass as longs (exact ``div``; see
+    graph.pagerank_exact — double `/` can round across an integer
+    boundary and diverge from an integer-dividing engine), so the
+    DuckDB oracle replays the run bit-for-bit as an unrolled CTE chain
+    (a recursive CTE can reference the previous ranks only once; the
+    recurrence needs them twice). Hashes the full supplier ranking —
+    every (supplier, rank_units) long. Per iteration: one edges ⋈
+    ranks join + one groupBy(dst) sum, hash-partitioned O(|E|); the
+    edge list is barriered once and released on completion."""
+    from pydata_vector_search_spark.operators.graph import pagerank_exact
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").cast("long").alias("c"),
+                     (F.col("l_suppkey").cast("long") + _PR_OFFSET)
+                     .alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionAll(pairs.select(F.col("s").alias("src"),
+                                    F.col("c").alias("dst"))))
+    ranks = pagerank_exact(edges, iterations=5)
+    return (ranks.filter(F.col("node") >= _PR_OFFSET)
+            .select((F.col("node") - _PR_OFFSET).cast("long")
+                    .alias("supp_id"),
+                    F.col("rank_units").cast("long").alias("rank_units"))
+            .orderBy("supp_id"))
+
+
+def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints composed into DEDUP CLUSTERS (r09): the
+    MOSS-style near-dup pairs (Schleimer SIGMOD'03; the r08-green
+    ``winnow_neardup`` lineage verbatim — k=12, w=6, >=20 shared
+    fingerprints, hot-fp cap 50) collapsed to connected components and
+    rolled up per cluster — the keep-one-representative decision table
+    for substring-level duplicates, the same pairs→components→summary
+    composition ``dedup_clusters`` pins for shingle Jaccard. The
+    oracle replays the ENTIRE winnow in DuckDB list comprehensions and
+    closes the transitive hull with a recursive CTE, so both the pair
+    emission and the clustering are hash-pinned in one lineage.
+    Components via graph.connected_components: pointer-jumping
+    O(log n) rounds distributed, driver union-find under the
+    small-graph threshold — identical labels either way (pinned in
+    tests/test_graph.py)."""
+    from pydata_vector_search_spark.operators.fingerprint import \
+        fingerprint_neardup_pairs
+    from pydata_vector_search_spark.operators.graph import cluster_summary
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fingerprint_neardup_pairs(docs, "text", "doc_id",
+                                      k=12, window=6, min_shared=20,
+                                      max_fp_df=50)
+    return cluster_summary(pairs, src="id_1", dst="id_2")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3208,24 +3300,75 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-8 rotation (the r07 verdict's forward constraint):
-        # --- (a) the 4 r08-NEW queries (the auto Jaccard dispatcher on
-        # --- both routed branches, tokenizer-hook packing, the forced-
-        # --- distributed boundary prefix sum); (b) the r07-green queries
-        # --- whose code paths r08 changed (select_token_budget histogram/
-        # --- boundary rework -> dataloader_epoch + token_budget_select;
-        # --- clean_pipeline single-checkpoint restructure; packing.py
-        # --- guard edits -> sequence_pack + temperature_mix_tokens +
-        # --- temperature_mix + shard_shuffle in slots 49-50); (c) the
-        # --- two declared watch items incremental_read + dsir_select
-        # --- (r06-green, first in line); (d) ALL 38 queries whose latest
-        # --- driver-green row is r05 — they reach the 2-round staleness
-        # --- limit this round (tools/window_audit.py 8). Every r06/r07-
-        # --- green query left outside is <= 2 rounds old.
-        "jaccard_auto": q_jaccard_auto,
-        "jaccard_auto_heavy": q_jaccard_auto_heavy,
+        # --- Round-9 rotation (the r08 verdict's forward constraint):
+        # --- (a) the 3 r09-NEW queries (the staged SQL-exact NB corpus
+        # --- classifier with max_vocab set, integer-exact PageRank over
+        # --- the purchase interaction graph, and the winnow-fingerprint
+        # --- clusters composition); (b) queries whose code paths or
+        # --- oracles r09 changed (pack_tokenized — NULL-text coalesce
+        # --- in the oracle; token_budget_dist — the distributed-branch
+        # --- boundary checkpoint; token_budget_select — nearest green
+        # --- query over the edited select_token_budget body, though the
+        # --- small-boundary branch's lines are untouched); (c) ALL 44
+        # --- queries whose latest driver-green row is r06 — they reach
+        # --- the 2-round staleness limit this round
+        # --- (tools/window_audit.py 9). dataloader_epoch also passes
+        # --- through select_token_budget but takes the identical
+        # --- untouched small-boundary branch and is r08-green, age 1;
+        # --- every r07/r08-green query left outside is <= 2 rounds old.
+        "nb_classify": q_nb_classify,
+        "pagerank": q_pagerank,
+        "winnow_clusters": q_winnow_clusters,
         "pack_tokenized": q_pack_tokenized,
         "token_budget_dist": q_token_budget_dist,
+        "token_budget_select": q_token_budget_select,
+        "temperature_mix": q_temperature_mix,
+        "shard_shuffle": q_shard_shuffle,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_clusters_dist": q_dedup_clusters_dist,
+        "ivfpq_knn": q_ivfpq_knn,
+        "mmr_rerank": q_mmr_rerank,
+        "incremental_agg_minmax": q_incremental_agg_minmax,
+        "hybrid_postfilter": q_hybrid_postfilter,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "variant_json": q_variant_json,
+        "multimodal_frames": q_multimodal_frames,
+        "ntile_buckets": q_ntile_buckets,
+        "explode_tokens": q_explode_tokens,
+        "scalar_subquery": q_scalar_subquery,
+        "case_buckets": q_case_buckets,
+        "first_last_window": q_first_last_window,
+        "shipping_priority": q_shipping_priority,
+        "grouping_sets": q_grouping_sets,
+        "regexp_extract_agg": q_regexp_extract_agg,
+        "corpus_filter": q_corpus_filter,
+        "approx_distinct": q_approx_distinct,
+        "stream_static_join": q_stream_static_join,
+        "token_counts": q_token_counts,
+        "vector_knn_tvf": q_vector_knn_tvf,
+        "vector_knn_dot": q_vector_knn_dot,
+        "salted_join": q_salted_join,
+        "constraint_checks": q_constraint_checks,
+        "table_profile": q_table_profile,
+        "pq_knn": q_pq_knn,
+        "ann_ivf_knn": q_ann_ivf_knn,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "ann_after_upsert": q_ann_after_upsert,
+        "knn_join_ivf": q_knn_join_ivf,
+        "purge_erasure": q_purge_erasure,
+        "incremental_agg": q_incremental_agg,
+        "semantic_dedup": q_semantic_dedup,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "zorder_scan": q_zorder_scan,
+        "keyed_delete": q_keyed_delete,
+        "vector_knn_sql": q_vector_knn_sql,
+        "hybrid_prefilter": q_hybrid_prefilter,
+        "vector_knn_l2": q_vector_knn_l2,
+        # --- end of the 50-query driver window ---------------------------
+        "jaccard_auto": q_jaccard_auto,
+        "jaccard_auto_heavy": q_jaccard_auto_heavy,
         "dataloader_epoch": q_dataloader_epoch,
         "clean_pipeline": q_clean_pipeline,
         "sequence_pack": q_sequence_pack,
@@ -3235,7 +3378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
-        "token_budget_select": q_token_budget_select,
         "merge_partitioned": q_merge_partitioned,
         "stream_upsert": q_stream_upsert,
         "stream_cdc": q_stream_cdc,
@@ -3272,8 +3414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "embed_hash": q_embed_hash,
         "winnow_neardup": q_winnow_neardup,
         "paragraph_dedup": q_paragraph_dedup,
-        "temperature_mix": q_temperature_mix,
-        "shard_shuffle": q_shard_shuffle,
         "stream_index_patch": q_stream_index_patch,
         "hard_negatives": q_hard_negatives,
         "span_dedup": q_span_dedup,
@@ -3319,48 +3459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "cube_agg": q_cube_agg,
         "stream_stream_join": q_stream_stream_join,
         "unpivot": q_unpivot,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_clusters_dist": q_dedup_clusters_dist,
-        "ivfpq_knn": q_ivfpq_knn,
-        "mmr_rerank": q_mmr_rerank,
-        "incremental_agg_minmax": q_incremental_agg_minmax,
-        "hybrid_postfilter": q_hybrid_postfilter,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "variant_json": q_variant_json,
-        "multimodal_frames": q_multimodal_frames,
-        "ntile_buckets": q_ntile_buckets,
-        "explode_tokens": q_explode_tokens,
-        "scalar_subquery": q_scalar_subquery,
-        "case_buckets": q_case_buckets,
-        "first_last_window": q_first_last_window,
-        "shipping_priority": q_shipping_priority,
-        "grouping_sets": q_grouping_sets,
-        "regexp_extract_agg": q_regexp_extract_agg,
-        "corpus_filter": q_corpus_filter,
-        "approx_distinct": q_approx_distinct,
-        "stream_static_join": q_stream_static_join,
-        "token_counts": q_token_counts,
-        "vector_knn_tvf": q_vector_knn_tvf,
-        "vector_knn_dot": q_vector_knn_dot,
-        "salted_join": q_salted_join,
-        "constraint_checks": q_constraint_checks,
-        "table_profile": q_table_profile,
-        "pq_knn": q_pq_knn,
-        "ann_ivf_knn": q_ann_ivf_knn,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "ann_after_upsert": q_ann_after_upsert,
-        "knn_join_ivf": q_knn_join_ivf,
-        "purge_erasure": q_purge_erasure,
-        "incremental_agg": q_incremental_agg,
-        "semantic_dedup": q_semantic_dedup,
-        "bm25_search": q_bm25_search,
-        "hybrid_rrf": q_hybrid_rrf,
-        "zorder_scan": q_zorder_scan,
-        "keyed_delete": q_keyed_delete,
-        "vector_knn_sql": q_vector_knn_sql,
-        "hybrid_prefilter": q_hybrid_prefilter,
-        "vector_knn_l2": q_vector_knn_l2,
     }
 
 
@@ -5906,5 +6004,176 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 20
             ORDER BY id_1, id_2
+        """
+    # nb_classify: the full NB train+score lineage replayed — md5
+    # hash-bucket vocabulary (4096, the declared query's bounded-model
+    # path; real collisions at sf), floored micro-nat log tables, the
+    # closed-form unseen-token accounting, and the (score DESC, label
+    # DESC) argmax — rolled up per predicted class. Validated as
+    # tools/nb_oracle_draft.sql (uncapped) during r08; the bucket
+    # transform is the only addition.
+    d["nb_classify"] = r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_transform(
+                           list_filter(
+                               regexp_split_to_array(
+                                   trim(regexp_replace(
+                                       lower(coalesce(text, '')),
+                                       '\s+', ' ', 'g')), ' '),
+                               w -> len(w) > 0),
+                           w -> (('0x' || substr(md5(w), 1, 15))::BIGINT
+                                 % 4096)::VARCHAR) AS tk
+                FROM documents
+            ), occ AS (
+                SELECT doc_id, lang, unnest(tk) AS w FROM toks
+            ), counts AS (
+                SELECT lang, w, count(*)::DOUBLE AS c
+                FROM occ GROUP BY lang, w
+            ), per_class AS (
+                SELECT lang, count(*)::DOUBLE AS nt FROM occ GROUP BY lang
+            ), v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM occ),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM toks),
+            priors AS (
+                SELECT lang, count(*)::DOUBLE AS ndc FROM toks GROUP BY lang
+            ), classes AS (
+                SELECT p.lang,
+                       floor(ln(p.ndc / nd.n) * 1000000 + 0.5)::BIGINT
+                           AS prior,
+                       floor(ln(1.0 / (coalesce(pc.nt, 0) + 1.0 * v.v))
+                             * 1000000 + 0.5)::BIGINT AS dflt,
+                       coalesce(pc.nt, 0) AS nt
+                FROM priors p LEFT JOIN per_class pc USING (lang)
+                CROSS JOIN v CROSS JOIN nd
+            ), dense AS (
+                SELECT vo.w, c2.lang,
+                       floor(ln((coalesce(cn.c, 0) + 1.0)
+                                / (c2.nt + 1.0 * v.v))
+                             * 1000000 + 0.5)::BIGINT AS llh
+                FROM (SELECT DISTINCT w FROM occ) vo
+                CROSS JOIN classes c2 CROSS JOIN v
+                LEFT JOIN counts cn ON cn.w = vo.w AND cn.lang = c2.lang
+            ), base AS (SELECT doc_id, len(tk) AS n FROM toks),
+            socc AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+            seen AS (
+                SELECT s.doc_id, d.lang, sum(d.llh)::BIGINT AS ssum,
+                       count(*)::BIGINT AS k
+                FROM socc s JOIN dense d USING (w)
+                GROUP BY s.doc_id, d.lang
+            ), grid AS (
+                SELECT b.doc_id, b.n, c.lang, c.prior, c.dflt
+                FROM base b CROSS JOIN classes c
+            ), scored AS (
+                SELECT g.doc_id, g.lang,
+                       g.prior + coalesce(se.ssum, 0)
+                       + (g.n - coalesce(se.k, 0)) * g.dflt AS score
+                FROM grid g LEFT JOIN seen se
+                  ON se.doc_id = g.doc_id AND se.lang = g.lang
+            ), best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang DESC)
+                           AS rn
+                FROM scored
+            )
+            SELECT lang AS pred_label, count(*)::BIGINT AS n,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   sum(score)::BIGINT AS score_sum
+            FROM best WHERE rn = 1 GROUP BY lang ORDER BY lang
+        """
+    # pagerank: the exact integer recurrence UNROLLED (a recursive CTE
+    # may reference the previous ranks only once; the recurrence needs
+    # them twice — contribs + node preservation). `//` is DuckDB's
+    # exact BIGINT division, matching Spark's `div` long-for-long; the
+    # same replay is bit-exact in tests/test_pagerank.py.
+    _pr_steps = "".join(f""", it{i + 1} AS (
+                SELECT n.node,
+                       ((15 * (1000000000000 // (SELECT cnt FROM meta)))
+                        // 100
+                        + (85 * coalesce(s.su, 0)) // 100)::BIGINT AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r // dg.d)::BIGINT AS su
+                    FROM edges e
+                    JOIN it{i} p ON p.node = e.src
+                    JOIN deg dg ON dg.node = e.src
+                    GROUP BY e.dst
+                ) s ON s.node = n.node
+            )""" for i in range(5))
+    d["pagerank"] = f"""
+            WITH dedges AS (
+                SELECT DISTINCT o_custkey::BIGINT AS c,
+                       l_suppkey::BIGINT + 10000000 AS s
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            ), edges AS (
+                SELECT c AS src, s AS dst FROM dedges
+                UNION ALL SELECT s, c FROM dedges
+            ), nodes AS (
+                SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges
+            ), meta AS (SELECT count(*)::BIGINT AS cnt FROM nodes),
+            deg AS (
+                SELECT src AS node, count(*)::BIGINT AS d
+                FROM edges GROUP BY src
+            ), it0 AS (
+                SELECT node,
+                       (1000000000000 // (SELECT cnt FROM meta))::BIGINT
+                           AS r
+                FROM nodes
+            ){_pr_steps}
+            SELECT (node - 10000000)::BIGINT AS supp_id,
+                   r::BIGINT AS rank_units
+            FROM it5 WHERE node >= 10000000 ORDER BY supp_id
+        """
+    # winnow_clusters: the winnow_neardup pair CTE chain verbatim, then
+    # the dedup_clusters transitive-hull recursion + per-cluster rollup
+    # — pair emission AND clustering hash-pinned in one lineage.
+    d["winnow_clusters"] = r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(coalesce(text, '')),
+                                           '\s+', ' ', 'g')) AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) - 11 >= 1
+                            THEN [('0x' || substr(md5(substr(t, i, 12)),
+                                                  1, 8))::BIGINT
+                                  for i in range(1, len(t) - 11 + 1)]
+                            ELSE [('0x' || substr(md5(t), 1, 8))::BIGINT]
+                       END AS gr
+                FROM norm
+            ), w AS (
+                SELECT doc_id,
+                       CASE WHEN len(gr) - 5 >= 1
+                            THEN [list_min(gr[j:j+5])
+                                  for j in range(1, len(gr) - 5 + 1)]
+                            ELSE [list_min(gr)] END AS fps
+                FROM g
+            ), fp AS (
+                SELECT doc_id, unnest(list_distinct(fps)) AS f FROM w
+            ), ok AS (
+                SELECT f FROM fp GROUP BY f HAVING count(*) <= 50
+            ), kept AS (
+                SELECT doc_id, f FROM fp JOIN ok USING (f)
+            ), pr AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM kept a JOIN kept b
+                  ON a.f = b.f AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) >= 20
+            ), edges AS (
+                SELECT id_1 AS u, id_2 AS v FROM pr
+                UNION
+                SELECT id_2, id_1 FROM pr
+            ), reach AS (
+                SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+            ), comp AS (
+                SELECT n, min(m) AS cluster_id FROM reach GROUP BY n
+            )
+            SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+                   max(n) AS max_member
+            FROM comp GROUP BY cluster_id ORDER BY cluster_id
         """
     return d

@@ -282,6 +282,19 @@ class Engine:
                          smoothing=smoothing, max_vocab=max_vocab)
         return nb_score(sdf, model, text_col, id_col)
 
+    def pagerank(self, edges: str | DataFrame, src: str = "src",
+                 dst: str = "dst", damping_pct: int = 85,
+                 iterations: int = 5) -> DataFrame:
+        """Integer-exact PageRank over an edge table → (node,
+        rank_units) longs — the link/citation/near-dup-graph curation
+        signal (see operators/graph.pagerank_exact; deterministic
+        fixed-point integers, replayable in any engine)."""
+        from pydata_vector_search_spark.operators.graph import pagerank_exact
+        e = self.table(edges) if isinstance(edges, str) else edges
+        return pagerank_exact(e, src=src, dst=dst,
+                              damping_pct=damping_pct,
+                              iterations=iterations)
+
     def chunk(self, table: str | DataFrame, text_col: str, id_col: str,
               divisor: int = 32) -> DataFrame:
         """Content-defined chunking → (id, chunk_idx, chunk_text, n_tokens);

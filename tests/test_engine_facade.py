@@ -271,3 +271,16 @@ def test_classify_facade(engine, spark):
     direct = {r.doc_id: (r.pred_label, r.score_micro) for r in
               nb_score(df, model, "text", "doc_id").collect()}
     assert via == direct and via
+
+
+def test_pagerank_facade(engine, spark):
+    """Engine.pagerank (r09): edge-table routing matches the operator
+    called directly, on a DataFrame and a registered table."""
+    from pydata_vector_search_spark.operators.graph import pagerank_exact
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long")
+    via = {r.node: r.rank_units
+           for r in engine.pagerank(edges, iterations=3).collect()}
+    direct = {r.node: r.rank_units
+              for r in pagerank_exact(edges, iterations=3).collect()}
+    assert via == direct and via
