@@ -285,6 +285,33 @@ NOTES = {
         "once per task), then the proven blocked next-fit "
         "applyInPandas — the only exchange is the block-id hash "
         "shuffle; swapping a real BPE vocab changes no plan shape."),
+    "nb_classify": (
+        "NB corpus classification (r09): training is two map-side-"
+        "combinable count aggregates (vocabulary-sized shuffles, not "
+        "corpus-sized); scoring explodes the corpus once, joins the "
+        "BOUNDED dense model (max_vocab=4096 hash buckets — broadcast "
+        "gated on the trained |V|, shuffle-join fallback past "
+        "BROADCAST_SAFE_VOCAB), and shuffles once on the (doc,label) "
+        "partial sums. The unseen-token mass is closed-form from "
+        "per-doc token totals — no dense miss rows materialize."),
+    "pagerank": (
+        "Integer-exact PageRank (r09): the edge list (distinct "
+        "customer-supplier purchase pairs, symmetrized) barriers ONCE "
+        "(localCheckpoint — it is consumed iterations+2 times), then "
+        "each iteration is one edges-to-ranks hash join + one "
+        "groupBy(dst) sum, O(|E|) shuffled bytes with lineage "
+        "truncated per round; the final plan is the LAST iteration "
+        "only, constant-size regardless of iteration count. Edge/node "
+        "blocks are released when the final ranks materialize."),
+    "winnow_clusters": (
+        "Winnow pairs composed into clusters (r09): the winnow_neardup "
+        "lineage verbatim (explode + codegen md5 + doc-partitioned "
+        "sliding-min window, capped fp equi-join) feeding "
+        "connected-components; at this sf the materialized pair list "
+        "is under the small-graph threshold so the hull closes "
+        "driver-side in a microsecond union-find — at 100 TB the same "
+        "call runs the O(log n) pointer-jumping loop, identical "
+        "labels (pinned in tests)."),
 }
 
 

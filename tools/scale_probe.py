@@ -36,7 +36,8 @@ def main() -> None:
 
     need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
-                     "lm_capped", "dsir", "budget", "winnow", "classify", "pagerank")
+                     "lm_capped", "dsir", "budget", "winnow", "classify",
+                     "pagerank", "pagerank_capped")
     need_emb = want("knn", "matmul", "semantic", "ivfpq")
     bd = be = None
     if need_docs:
@@ -265,6 +266,32 @@ def main() -> None:
                                   iterations=5).count()
         timed("integer PageRank over minhash near-dup graph (5 iter)",
               _pr)
+    if want("pagerank_capped"):
+        # r09 (VERDICT r08 #5): the same PageRank ladder on a graph
+        # built with the family's hot-key cap (max_bucket_size=5N, the
+        # winnow cap=5N discipline) — under N-fold replication the
+        # UNCAPPED near-dup graph grows quadratically BY CONSTRUCTION
+        # (every replica pair is a true pair; the 100x uncapped run
+        # died of shuffle-spill disk, not plan), while the capped graph
+        # models the fixed-duplication-rate regime where edges grow
+        # linearly — the regime real corpora live in.
+        from pydata_vector_search_spark.operators.graph import \
+            pagerank_exact
+        def _prc():
+            pairs = dedup.minhash_neardup_pairs(
+                bd, "text", "doc_id", n=3, num_hashes=12, bands=4,
+                threshold=0.5,
+                max_bucket_size=5 * n_copies).select("id_1", "id_2")
+            edges = pairs.unionByName(
+                pairs.select(F.col("id_2").alias("id_1"),
+                             F.col("id_1").alias("id_2")))
+            edges = edges.localCheckpoint(eager=True)
+            ne = edges.count()
+            nn = pagerank_exact(edges, src="id_1", dst="id_2",
+                                iterations=5).count()
+            return f"{nn} nodes / {ne} edges"
+        timed(f"integer PageRank over CAPPED minhash graph "
+              f"(bucket cap=5N={5 * n_copies}, 5 iter)", _prc)
     if want("winnow"):
         from pydata_vector_search_spark.operators.fingerprint import \
             fingerprint_neardup_pairs
