@@ -233,3 +233,93 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
     edges.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the undirected graph ``edges`` —
+    the local-clustering signal of a near-dup / citation / link graph
+    (a node whose neighbours all know each other sits inside a dense
+    duplicate clique; a bridge node does not), complementing
+    ``connected_components`` (membership) and ``pagerank_exact``
+    (centrality) on the same pair inputs.
+
+    Returns ``(node, degree, triangles)`` for every node incident to an
+    edge: ``degree`` over the de-duplicated undirected edge set and the
+    number of triangles the node participates in. Exact integers —
+    a DuckDB three-way self-join replays it bit-for-bit.
+
+    Scale design: DEGREE-ORDERED orientation (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+    Each undirected edge is directed from its (degree, id)-smaller
+    endpoint to the larger, so every out-neighbourhood has size
+    O(sqrt(|E|)) regardless of skew — the wedge self-join that
+    enumerates candidate (b, c) pairs from a's out-edges is bounded by
+    sum(outdeg^2) <= O(|E|^1.5) TOTAL, never the whale-node
+    C(deg_max, 2) a naive neighbourhood join pays on a power-law
+    graph. Every triangle is generated exactly once (at its
+    order-minimal apex) and closed with ONE hash equi-join back
+    against the oriented edge list: two shuffles end-to-end beyond the
+    degree aggregate, all JVM codegen, no UDF, nothing driver-side."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    # canonical undirected edge set: u < v, exactly once
+    canon = (e.filter(F.col("u") != F.col("v"))
+             .select(F.least("u", "v").alias("u"),
+                     F.greatest("u", "v").alias("v"))
+             .distinct()
+             .localCheckpoint(eager=True))  # consumed 3x: deg, orient, close
+    deg = (canon.select(F.col("u").alias("node"))
+           .unionByName(canon.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    # orient by (degree, id): lower endpoint -> higher. Total order, so
+    # each edge gets exactly one direction and out-degrees are balanced.
+    withdeg = (canon
+               .join(deg.select(F.col("node").alias("u"),
+                                F.col("degree").alias("du")), "u")
+               .join(deg.select(F.col("node").alias("v"),
+                                F.col("degree").alias("dv")), "v"))
+    u_first = (F.col("du") < F.col("dv")) | \
+              ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = withdeg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.struct(F.col("dv").alias("d"),
+                                 F.col("v").alias("n")))
+         .otherwise(F.struct(F.col("du").alias("d"),
+                             F.col("u").alias("n")))
+         .alias("bkey"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=True)  # read twice: wedge self-join + closure
+    # wedges at apex a: unordered out-pairs {b, c} with b before c in the
+    # (degree, id) order — each triangle has exactly one order-minimal
+    # apex, so no post-hoc dedup is needed
+    lo = oriented.select(F.col("a"), F.col("bkey").alias("k1"),
+                         F.col("b").alias("b1"))
+    hi = oriented.select(F.col("a"), F.col("bkey").alias("k2"),
+                         F.col("b").alias("b2"))
+    wedges = (lo.join(hi, "a")
+              .filter(F.col("k1") < F.col("k2"))
+              .select("a", F.col("b1").alias("x"), F.col("b2").alias("y")))
+    # closure: the wedge's far pair must itself be an edge. The oriented
+    # list stores each edge once with known direction, so (x, y) closes
+    # iff oriented contains (x -> y) — x precedes y in the order by
+    # construction of the wedge filter.
+    tri = wedges.join(oriented.select(F.col("a").alias("x"),
+                                      F.col("b").alias("y")),
+                      ["x", "y"])
+    per = (tri.select(F.col("a").alias("node"))
+           .unionByName(tri.select(F.col("x").alias("node")))
+           .unionByName(tri.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    out = (deg.join(per, "node", "left")
+           .select("node", "degree",
+                   F.coalesce("triangles", F.lit(0)).cast("long")
+                   .alias("triangles"))
+           .localCheckpoint(eager=True))
+    # result is materialized and lineage-free — release the working
+    # checkpoints instead of pinning them for the session (the
+    # pagerank_exact discipline; |out| = one (long,long,long) row per
+    # node, the bounded artifact that must stay)
+    canon.unpersist()
+    oriented.unpersist()
+    return out

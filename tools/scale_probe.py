@@ -5,7 +5,8 @@ output growth). Usage: python tools/scale_probe.py [N] [opkey ...] —
 default N=10, all ops. Op keys (pass any subset to probe just those,
 skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
-paragraph span lm lm_capped dsir budget winnow classify pagerank.
+paragraph span lm lm_capped dsir budget winnow classify pagerank
+pagerank_capped pagerank_linear.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -37,7 +38,7 @@ def main() -> None:
     need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
                      "lm_capped", "dsir", "budget", "winnow", "classify",
-                     "pagerank", "pagerank_capped")
+                     "pagerank", "pagerank_capped", "pagerank_linear")
     need_emb = want("knn", "matmul", "semantic", "ivfpq")
     bd = be = None
     if need_docs:
@@ -269,12 +270,16 @@ def main() -> None:
     if want("pagerank_capped"):
         # r09 (VERDICT r08 #5): the same PageRank ladder on a graph
         # built with the family's hot-key cap (max_bucket_size=5N, the
-        # winnow cap=5N discipline) — under N-fold replication the
-        # UNCAPPED near-dup graph grows quadratically BY CONSTRUCTION
-        # (every replica pair is a true pair; the 100x uncapped run
-        # died of shuffle-spill disk, not plan), while the capped graph
-        # models the fixed-duplication-rate regime where edges grow
-        # linearly — the regime real corpora live in.
+        # winnow cap=5N discipline). Measured honestly: under N-fold
+        # replication the 5N cap barely binds (50x: 12.5M capped vs
+        # 13M uncapped edges) because every replica pair is a TRUE
+        # pair — the graph is quadratic BY CONSTRUCTION whatever the
+        # bucket cap, so this key stresses pagerank_exact on a
+        # quadratically-grown edge input (heap-bound at 100x under the
+        # default 8g local heap; rerun with SPARK_GRAFT_DRIVER_MEM
+        # sized for the edge count, as a real executor would be). The
+        # fixed-duplication-rate (linear-edge) regime the operator
+        # docstring argues for is probed by `pagerank_linear` below.
         from pydata_vector_search_spark.operators.graph import \
             pagerank_exact
         def _prc():
@@ -292,6 +297,46 @@ def main() -> None:
             return f"{nn} nodes / {ne} edges"
         timed(f"integer PageRank over CAPPED minhash graph "
               f"(bucket cap=5N={5 * n_copies}, 5 iter)", _prc)
+    if want("pagerank_linear"):
+        # r09: the fixed-duplication-rate regime — a deterministic
+        # synthetic graph whose edge count grows LINEARLY with the
+        # corpus (8 out-edges per doc: 4 ring-neighbour edges + 4
+        # hash-scattered long-range edges, symmetrized to 16 half-
+        # edges/doc). This isolates pagerank_exact's own scaling from
+        # the replicated-minhash builder, whose output is quadratic in
+        # N by construction (see pagerank_capped above): at 100x the
+        # operator sees ~8M nodes / ~128M half-edges, the shape a real
+        # corpus-scale dedup graph has at fixed duplication rate.
+        from pydata_vector_search_spark.operators.graph import \
+            pagerank_exact
+        def _prl():
+            ids = bd.select(F.col("doc_id").alias("id_1"))
+            nmax = bd.agg(F.max("doc_id")).collect()[0][0] + 1
+            parts = []
+            for d in (1, 2, 3, 5):
+                parts.append(ids.select(
+                    "id_1",
+                    ((F.col("id_1") + F.lit(d)) % F.lit(nmax))
+                    .alias("id_2")))
+            for s in (7, 11, 13, 17):
+                parts.append(ids.select(
+                    "id_1",
+                    F.pmod(F.xxhash64(F.col("id_1"), F.lit(s)),
+                           F.lit(nmax)).alias("id_2")))
+            pairs = parts[0]
+            for p in parts[1:]:
+                pairs = pairs.unionByName(p)
+            pairs = pairs.filter(F.col("id_1") != F.col("id_2"))
+            edges = pairs.unionByName(
+                pairs.select(F.col("id_2").alias("id_1"),
+                             F.col("id_1").alias("id_2")))
+            edges = edges.localCheckpoint(eager=True)
+            ne = edges.count()
+            nn = pagerank_exact(edges, src="id_1", dst="id_2",
+                                iterations=5).count()
+            return f"{nn} nodes / {ne} half-edges"
+        timed("integer PageRank over LINEAR synthetic graph "
+              "(16 half-edges/doc, 5 iter)", _prl)
     if want("winnow"):
         from pydata_vector_search_spark.operators.fingerprint import \
             fingerprint_neardup_pairs
