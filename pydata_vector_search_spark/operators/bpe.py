@@ -1,0 +1,164 @@
+"""BPE vocabulary induction over a corpus — tokenizer TRAINING.
+
+The pipeline stage the reference has no analogue for (its demo consumes
+pre-embedded vectors, demo.ipynb c0:4) but every from-scratch training
+run needs: learn a byte-pair-encoding merge table from the corpus the
+model will train on (Sennrich, Haddow & Birch, ACL'16 "Neural Machine
+Translation of Rare Words with Subword Units"). The learned merges plug
+into the executor-side tokenizer hook (``operators/tokenize.py``) via
+``LearnedBpeTokenizer``, closing the loop: induce on the corpus →
+tokenize the corpus with what was induced → count/pack/select with the
+operators downstream.
+
+Scale design (the classic fast-BPE decomposition)
+-------------------------------------------------
+
+BPE training never needs the corpus — it needs the WORD-FREQUENCY
+table. The corpus-sized work is therefore exactly one map-side
+combinable aggregate (pre-tokenize → explode → groupBy(word).count),
+O(|corpus|) scanned once, shuffled only by word type. The merge loop
+itself runs driver-side over that table, which two knobs bound to a
+provable size however large the corpus grows (the ``nb_train`` /
+``bigram_lm_score`` discipline):
+
+* ``min_count`` drops hapax noise (web-scale corpora are Zipf: the
+  type count above any fixed frequency floor grows ~logarithmically);
+* ``max_word_types`` hard-caps the collect at the top-(count, word)
+  types — deterministic under ties, so two runs (and the SQL oracle)
+  pick the identical table.
+
+Driver work is then O(types · word_len · merges) integer arithmetic —
+independent of corpus size. This is how the reference implementations
+train (Sennrich's ``learn_bpe`` consumes a frequency dict), re-expressed
+with the counting distributed.
+
+Determinism contract (what the DuckDB oracle replays bit-for-bit):
+pre-tokens are ``BPE_ISH_PATTERN`` matches over ``lower(text)`` (the
+pattern ``functions/text.py`` designed for identical Java/RE2
+semantics); each word starts as its UTF-8 character sequence (no
+end-of-word marker); each step picks the adjacent pair with the
+highest total count, ties broken by smallest (left, right) string
+pair; the merge applies greedily LEFT-TO-RIGHT within each word
+(position advances past a merged pair — ``aaa`` under merge ``a+a``
+becomes ``aa a``, never ``a aa``); training stops early when the best
+pair's count falls below ``min_pair_count``. All counts are exact
+longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import BPE_ISH_PATTERN
+
+
+def word_frequencies(df: DataFrame, text_col: str,
+                     min_count: int = 1,
+                     max_word_types: int = 1_000_000) -> DataFrame:
+    """The corpus-sized half of BPE training: pre-tokenize with
+    ``BPE_ISH_PATTERN`` over lowercased text and count word types.
+
+    One scan, map-side combinable, output bounded by ``min_count`` /
+    ``max_word_types`` (ordered by count desc then word asc — a total
+    order, so the cap is deterministic and oracle-replayable)."""
+    words = (df.select(F.explode(
+                 F.regexp_extract_all(F.lower(F.col(text_col)),
+                                      F.lit(BPE_ISH_PATTERN), 0))
+                 .alias("word"))
+             .filter(F.length("word") > 0)
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+             .filter(F.col("cnt") >= min_count))
+    return words.orderBy(F.col("cnt").desc(), F.col("word")) \
+                .limit(max_word_types)
+
+
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right application of one merge to one word."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(df: DataFrame, text_col: str, num_merges: int = 50,
+              min_count: int = 1, min_pair_count: int = 2,
+              max_word_types: int = 1_000_000) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    merge table ``(step, left, right, pair_count)`` — step is 1-based
+    learned order (= application priority), ``pair_count`` the exact
+    summed frequency that won the step.
+
+    The returned table is merges-sized (tiny); the corpus is scanned
+    exactly once by ``word_frequencies``."""
+    if num_merges < 0:
+        raise ValueError(f"bpe_train: num_merges must be >= 0, "
+                         f"got {num_merges}")
+    freq = [(r["word"], r["cnt"])
+            for r in word_frequencies(df, text_col, min_count=min_count,
+                                      max_word_types=max_word_types)
+            .collect()]
+    spark = df.sparkSession
+    schema = "step long, left string, right string, pair_count long"
+    if not freq:
+        return spark.createDataFrame([], schema)
+    seqs: list[tuple[list[str], int]] = [(list(w), c) for w, c in freq]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in seqs:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (left, right), best = min(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+        if best < min_pair_count:
+            break
+        merges.append((step, left, right, best))
+        seqs = [(_merge_word(s, left, right) if left in s else s, c)
+                for s, c in seqs]
+    return spark.createDataFrame(merges, schema)
+
+
+class LearnedBpeTokenizer:
+    """``operators/tokenize.py`` hook speaking a learned merge table:
+    pre-tokenize with the SAME ``BPE_ISH_PATTERN`` pass, then apply the
+    merges in learned order, each greedily left-to-right — on the
+    training corpus this reproduces the training segmentation exactly.
+
+    Construct from ``bpe_train``'s output: ``LearnedBpeTokenizer(
+    [(r.left, r.right) for r in merges.orderBy("step").collect()])``.
+    The merge list is tokenizer-sized (it broadcasts with the task
+    closure); Arrow batching and once-per-task construction come from
+    the hook, not from here."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        import re
+        self.merges = [(left, right) for left, right in merges]
+        self._pat = re.compile(BPE_ISH_PATTERN)
+        self._cache: dict[str, int] = {}
+
+    def _word_len(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            syms = list(word)
+            for left, right in self.merges:
+                if left in syms:
+                    syms = _merge_word(syms, left, right)
+            n = self._cache[word] = len(syms)
+        return n
+
+    def encode_len(self, text: str) -> int:
+        return sum(self._word_len(w)
+                   for w in self._pat.findall((text or "").lower()))
+
+    def count_batch(self, texts: list[str]) -> list[int]:
+        """The ``tokenize_counts`` hook protocol (tokenize.py:15)."""
+        return [self.encode_len(t) for t in texts]

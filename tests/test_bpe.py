@@ -1,0 +1,137 @@
+"""BPE vocabulary induction (Sennrich ACL'16) — merge-table contract."""
+
+from collections import Counter
+
+from pydata_vector_search_spark.operators.bpe import (LearnedBpeTokenizer,
+                                                      bpe_train,
+                                                      word_frequencies)
+from pydata_vector_search_spark.operators.tokenize import tokenize_counts
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def _naive(texts, num_merges, min_pair_count=2):
+    """Independent brute-force reference: recount everything each step."""
+    words = Counter()
+    import re
+
+    from pydata_vector_search_spark.functions.text import BPE_ISH_PATTERN
+    for t in texts:
+        words.update(re.findall(BPE_ISH_PATTERN, t.lower()))
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, num_merges + 1):
+        pc = Counter()
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (left, right), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((step, left, right, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs, words
+
+
+def test_classic_sennrich_corpus(spark):
+    texts = ["low low low low low", "lower lower",
+             "newest newest newest newest newest newest", "widest widest"]
+    got = [tuple(r) for r in
+           bpe_train(_docs(spark, texts), "text", num_merges=4)
+           .orderBy("step").collect()]
+    want, _, _ = _naive(texts, 4)
+    assert got == want
+    # first merge must be the most frequent adjacent pair: 'es' (8 =
+    # 6 newest + 2 widest) ties with 'st','we' — 'es' < 'st' < 'we'
+    assert got[0][1:] == ("e", "s", 8)
+
+
+def test_greedy_left_to_right_overlap(spark):
+    # 'aaa' under merge a+a -> [aa, a], never [a, aa]
+    df = _docs(spark, ["aaa aaa"])
+    got = [tuple(r) for r in bpe_train(df, "text", num_merges=2)
+           .orderBy("step").collect()]
+    assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+
+
+def test_tie_breaks_lexicographic(spark):
+    got = [tuple(r) for r in
+           bpe_train(_docs(spark, ["ab cd", "ab cd", "ab cd"]), "text",
+                     num_merges=1).collect()]
+    assert got == [(1, "a", "b", 3)]
+
+
+def test_min_pair_count_stops_early(spark):
+    df = _docs(spark, ["abc abc", "xyz"])
+    got = [tuple(r) for r in
+           bpe_train(df, "text", num_merges=10, min_pair_count=2)
+           .orderBy("step").collect()]
+    # abc merges twice at count 2; everything after is hapax
+    assert [g[3] for g in got] == [2, 2]
+
+
+def test_zero_merges_and_empty_corpus(spark):
+    assert bpe_train(_docs(spark, ["some text"]), "text",
+                     num_merges=0).count() == 0
+    assert bpe_train(_docs(spark, [""]), "text", num_merges=5).count() == 0
+
+
+def test_random_corpus_matches_naive(spark):
+    import random
+    rng = random.Random(91)
+    vocab = ["the", "cat", "cats", "concatenate", "dog", "dogma", "a",
+             "ab", "abab", "ba", "2023", "don't", "e-mail"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 12)))
+             for _ in range(30)]
+    got = [tuple(r) for r in
+           bpe_train(_docs(spark, texts), "text", num_merges=12,
+                     min_pair_count=1).orderBy("step").collect()]
+    want, _, _ = _naive(texts, 12, min_pair_count=1)
+    assert got == want
+
+
+def test_word_frequencies_cap_is_deterministic(spark):
+    df = _docs(spark, ["b a d c", "d c b a"])  # all counts tie at 2
+    got = [r["word"] for r in
+           word_frequencies(df, "text", max_word_types=2).collect()]
+    assert sorted(got) == ["a", "b"]  # count desc, then word asc
+
+
+def test_learned_tokenizer_reproduces_training_segmentation(spark):
+    texts = ["low low low lower lowest", "newest newest new"]
+    df = _docs(spark, texts)
+    merges_df = bpe_train(df, "text", num_merges=6, min_pair_count=1)
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("step").collect()]
+    tok = LearnedBpeTokenizer(merges)
+    _, seqs, words = _naive(texts, 6, min_pair_count=1)
+    for w in words:
+        assert tok.encode_len(w) == len(seqs[w]), w
+    # corpus-level: counts via the executor-side hook match the
+    # training-state lengths exactly
+    counted = {r["doc_id"]: r["n_tok"]
+               for r in tokenize_counts(df, "text",
+                                        tokenizer=tok).collect()}
+    import re
+
+    from pydata_vector_search_spark.functions.text import BPE_ISH_PATTERN
+    for i, t in enumerate(texts):
+        want = sum(len(seqs[w])
+                   for w in re.findall(BPE_ISH_PATTERN, t.lower()))
+        assert counted[i] == want
