@@ -1,0 +1,123 @@
+"""VALIDATED r10 declaration draft: DuckDB oracle for a `kmeans_assign`
+query — integer-exact Lloyd's k-means replayed as an unrolled CTE chain.
+
+``build_kmeans_oracle_sql`` emits ONE query reproducing
+operators/clustering.py::kmeans_train + kmeans_assign bit-for-bit (the
+pagerank_exact unrolled-replay discipline — a recursive CTE cannot
+express the recurrence because each round references the previous
+centroids twice: assignment AND the empty-cluster fallback). Per
+iteration: quantized squared-L2 cross join -> row_number argmin with
+(dist, cid) tie-break -> per-dimension integer mean with a LEFT JOIN
+COALESCE for empty clusters. The +1.0 offset keeps every quantized
+coordinate positive so DuckDB `//` and Spark `div` agree (they differ
+on negatives). Note the `CAST(x AS DOUBLE)` inside the quantizer
+lambda — DuckDB narrows float*double-literal to FLOAT32 otherwise
+(the recorded off-by-one class in SKILL.md).
+
+Run as a script to validate against the Spark operator:
+    python tools/kmeans_oracle_draft.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_kmeans_oracle_sql(k: int = 8, iterations: int = 3,
+                            scale: int = 10 ** 6, offset: float = 1.0,
+                            table: str = "embeddings",
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> str:
+    parts = [f"""WITH q AS MATERIALIZED (
+  SELECT {id_col}, list_transform({vec_col},
+    x -> CAST(floor((CAST(x AS DOUBLE) + {offset!r}) * {float(scale)!r})
+              AS BIGINT)) AS qv
+  FROM {table}
+), c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, qv AS cv
+  FROM (SELECT {id_col}, qv FROM q ORDER BY {id_col} LIMIT {k})
+)"""]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        parts.append(f"""d{it} AS (
+  SELECT q.{id_col}, c.cid,
+         list_sum(list_transform(generate_series(1, len(q.qv)),
+                                 i -> (q.qv[i] - c.cv[i])
+                                      * (q.qv[i] - c.cv[i]))) AS d
+  FROM q CROSS JOIN c{p} c
+), a{it} AS MATERIALIZED (
+  SELECT {id_col}, cid FROM (
+    SELECT {id_col}, cid,
+           row_number() OVER (PARTITION BY {id_col} ORDER BY d, cid) AS rn
+    FROM d{it}) WHERE rn = 1
+), s{it} AS (
+  SELECT a.cid, t.i AS pos, SUM(q.qv[t.i])::BIGINT AS s,
+         COUNT(*)::BIGINT AS n
+  FROM a{it} a JOIN q USING ({id_col}),
+       unnest(generate_series(1, len(q.qv))) t(i)
+  GROUP BY a.cid, t.i
+), n{it} AS (
+  SELECT cid, list(s // n ORDER BY pos) AS cv FROM s{it} GROUP BY cid
+), c{it} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv
+  FROM c{p} p LEFT JOIN n{it} nc ON nc.cid = p.cid
+)""")
+    fin = iterations
+    parts.append(f"""df AS (
+  SELECT q.{id_col}, c.cid,
+         list_sum(list_transform(generate_series(1, len(q.qv)),
+                                 i -> (q.qv[i] - c.cv[i])
+                                      * (q.qv[i] - c.cv[i]))) AS d
+  FROM q CROSS JOIN c{fin} c
+)
+SELECT {id_col}, CAST(cid AS INTEGER) AS cluster_id,
+       CAST(d AS BIGINT) AS dist_units
+FROM (SELECT {id_col}, cid, d,
+             row_number() OVER (PARTITION BY {id_col}
+                                ORDER BY d, cid) AS rn
+      FROM df) WHERE rn = 1
+ORDER BY {id_col}""")
+    return ",\n".join(parts)
+
+
+def main() -> None:
+    import time
+
+    import duckdb
+
+    from pydata_vector_search_spark.operators.clustering import (
+        kmeans_assign, kmeans_train)
+    from pydata_vector_search_spark.session import get_spark
+
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    spark = get_spark("kmeans_draft")
+    spark.sparkContext.setLogLevel("ERROR")
+    sql = build_kmeans_oracle_sql(k=8, iterations=3)
+    for d in dirs:
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        model = kmeans_train(emb, "embedding", "vec_id", k=8, iterations=3)
+        got = sorted((r.vec_id, r.cluster_id, r.dist_units) for r in
+                     kmeans_assign(emb, model, "embedding")
+                     .select("vec_id", "cluster_id", "dist_units")
+                     .collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{d}/embeddings.parquet')")
+        t0 = time.perf_counter()
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        dt = time.perf_counter() - t0
+        assert got == want, (f"{d}: MISMATCH — {len(got)} spark vs "
+                             f"{len(want)} duckdb rows; first diff: "
+                             f"{next((a, b) for a, b in zip(got, want) if a != b)}")
+        sizes = {}
+        for _, c, _ in got:
+            sizes[c] = sizes.get(c, 0) + 1
+        print(f"{d}: EXACT — {len(got)} rows, duckdb {dt:.1f}s, "
+              f"cluster sizes {dict(sorted(sizes.items()))}")
+
+
+if __name__ == "__main__":
+    main()
