@@ -6,7 +6,7 @@ default N=10, all ops. Op keys (pass any subset to probe just those,
 skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
 paragraph span lm lm_capped dsir budget winnow classify pagerank
-pagerank_capped pagerank_linear.
+pagerank_capped pagerank_linear kmeans semdedup_kmeans.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -39,7 +39,8 @@ def main() -> None:
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
                      "lm_capped", "dsir", "budget", "winnow", "classify",
                      "pagerank", "pagerank_capped", "pagerank_linear")
-    need_emb = want("knn", "matmul", "semantic", "ivfpq")
+    need_emb = want("knn", "matmul", "semantic", "ivfpq", "kmeans",
+                    "semdedup_kmeans")
     bd = be = None
     if need_docs:
         docs = spark.read.parquet(f"{base}/documents.parquet")
@@ -150,6 +151,30 @@ def main() -> None:
               lambda: dedup.semantic_dedup(be, "embedding", "vec_id",
                                            dim=64, threshold=0.95,
                                            num_planes=8).count())
+    if want("kmeans"):
+        # r09 (r10-staged): integer-exact Lloyd's k-means — per
+        # iteration one Arrow-batched argmin pass (O(n*k*d) int64) +
+        # one map-side-combined posexplode aggregate; wall must track
+        # n linearly at fixed k
+        from pydata_vector_search_spark.operators.clustering import (
+            kmeans_assign, kmeans_train)
+        def _km():
+            model = kmeans_train(be, "embedding", "vec_id",
+                                 k=64, iterations=5)
+            return kmeans_assign(be, model, "embedding").count()
+        timed("integer k-means train(5 iter, k=64)+assign", _km)
+    if want("semdedup_kmeans"):
+        # r09 (r10-staged): paper-faithful SemDeDup — k-means clusters
+        # + within-cluster matmul verify + CC. N-fold replication makes
+        # every replica set a TRUE dup group, so pair output (and the
+        # per-cluster matmul) grows quadratically BY CONSTRUCTION —
+        # read wall against output size, like the minhash keys
+        from pydata_vector_search_spark.operators.clustering import \
+            semantic_dedup_kmeans
+        timed("kmeans SemDeDup survivors (k=64, cosine>=0.95 + CC)",
+              lambda: semantic_dedup_kmeans(be, "embedding", "vec_id",
+                                            k=64, iterations=3,
+                                            threshold=0.95).count())
     if want("cross"):
         half_ref = bd.filter(F.col("doc_id") % 3 == 0)
         half_cor = bd.filter(F.col("doc_id") % 3 != 0)
