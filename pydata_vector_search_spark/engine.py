@@ -389,6 +389,32 @@ class Engine:
         df = self.table(table) if isinstance(table, str) else table
         return semantic_dedup(df, vector_col, id_col, dim, **kw)
 
+    def kmeans(self, table: str | DataFrame, vector_col: str,
+               id_col: str, k: int = 8, iterations: int = 3,
+               **kw) -> DataFrame:
+        """Integer-exact Lloyd's k-means: train on the table's vectors
+        (deterministic k-smallest-id seeding, fixed iterations) and
+        return every row + ``cluster_id`` + ``dist_units`` (exact int64
+        squared L2 in quantized units — replayable in any engine; see
+        operators/clustering for the positive-domain offset contract)."""
+        from pydata_vector_search_spark.operators.clustering import (
+            kmeans_assign, kmeans_train)
+        df = self.table(table) if isinstance(table, str) else table
+        model = kmeans_train(df, vector_col, id_col, k=k,
+                             iterations=iterations, **kw)
+        return kmeans_assign(df, model, vector_col)
+
+    def semantic_dedup_kmeans(self, table: str | DataFrame,
+                              vector_col: str, id_col: str,
+                              **kw) -> DataFrame:
+        """SemDeDup with the paper's actual k-means clustering step
+        (``semantic_dedup`` uses deterministic hyperplane-LSH buckets
+        instead); same keep-min-id-per-component semantics."""
+        from pydata_vector_search_spark.operators.clustering import \
+            semantic_dedup_kmeans
+        df = self.table(table) if isinstance(table, str) else table
+        return semantic_dedup_kmeans(df, vector_col, id_col, **kw)
+
     def cross_dedup(self, corpus: str | DataFrame,
                     reference: str | DataFrame, text_col: str,
                     id_col: str, **kw) -> DataFrame:

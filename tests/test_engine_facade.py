@@ -284,3 +284,27 @@ def test_pagerank_facade(engine, spark):
     direct = {r.node: r.rank_units
               for r in pagerank_exact(edges, iterations=3).collect()}
     assert via == direct and via
+
+
+def test_kmeans_facade(engine, spark):
+    """Engine.kmeans (r09): ingested-table routing matches
+    train+assign called directly."""
+    from pydata_vector_search_spark.operators.clustering import (
+        kmeans_assign, kmeans_train)
+    via = {r.vec_id: (r.cluster_id, r.dist_units) for r in
+           engine.kmeans("emb", "embedding", "vec_id",
+                         k=4, iterations=2).collect()}
+    emb = engine.table("emb")
+    model = kmeans_train(emb, "embedding", "vec_id", k=4, iterations=2)
+    direct = {r.vec_id: (r.cluster_id, r.dist_units) for r in
+              kmeans_assign(emb, model, "embedding").collect()}
+    assert via == direct and via
+
+
+def test_semantic_dedup_kmeans_facade(engine, spark):
+    """Engine.semantic_dedup_kmeans: survivors are a subset containing
+    every component's min id; high threshold keeps everything."""
+    surv = engine.semantic_dedup_kmeans("emb", "embedding", "vec_id",
+                                        k=4, iterations=1,
+                                        threshold=1.000001)
+    assert surv.count() == engine.table("emb").count()
