@@ -295,6 +295,29 @@ class Engine:
                               damping_pct=damping_pct,
                               iterations=iterations)
 
+    def triangles(self, edges: str | DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+        """Per-node triangle counts over an undirected edge table —
+        the local-clustering signal complementing components
+        (membership) and pagerank (centrality) on the same pair
+        inputs (see operators/graph.triangle_count: degree-ordered
+        orientation, skew-bounded wedge join, no UDF)."""
+        from pydata_vector_search_spark.operators.graph import \
+            triangle_count
+        e = self.table(edges) if isinstance(edges, str) else edges
+        return triangle_count(e, src=src, dst=dst)
+
+    def bpe_train(self, table: str | DataFrame, text_col: str,
+                  num_merges: int = 50, **kw) -> DataFrame:
+        """Learn BPE merges from the corpus → (step, left, right,
+        pair_count); feed the result into
+        ``operators.tokenize.LearnedBpeTokenizer`` to tokenize with
+        the learned vocabulary (one corpus scan; the merge loop is
+        driver-side over the bounded frequency table)."""
+        from pydata_vector_search_spark.operators.bpe import bpe_train
+        df = self.table(table) if isinstance(table, str) else table
+        return bpe_train(df, text_col, num_merges=num_merges, **kw)
+
     def chunk(self, table: str | DataFrame, text_col: str, id_col: str,
               divisor: int = 32) -> DataFrame:
         """Content-defined chunking → (id, chunk_idx, chunk_text, n_tokens);

@@ -308,3 +308,22 @@ def test_semantic_dedup_kmeans_facade(engine, spark):
                                         k=4, iterations=1,
                                         threshold=1.000001)
     assert surv.count() == engine.table("emb").count()
+
+
+def test_triangles_facade(engine, spark):
+    """Engine.triangles: K4 gives every node 3 triangles."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    got = {r.node: r.triangles for r in engine.triangles(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_bpe_train_facade(engine, spark):
+    """Engine.bpe_train: ingested-table routing matches the operator."""
+    from pydata_vector_search_spark.operators.bpe import bpe_train
+    via = [tuple(r) for r in
+           engine.bpe_train("docs", "text", num_merges=5).collect()]
+    direct = [tuple(r) for r in
+              bpe_train(engine.table("docs"), "text",
+                        num_merges=5).collect()]
+    assert via == direct and via
