@@ -427,6 +427,20 @@ class Engine:
                              iterations=iterations, **kw)
         return kmeans_assign(df, model, vector_col)
 
+    def cluster_sample(self, table: str | DataFrame, vector_col: str,
+                       id_col: str, k: int = 8, per_cluster: int = 100,
+                       **kw) -> DataFrame:
+        """Cluster-balanced subsample: k-means over the vectors, then
+        ``per_cluster`` rows per cluster by deterministic md5-hash rank
+        — the post-clustering selection step of SemDeDup-style curation
+        (executes as a salted two-level tournament; no whale-cluster
+        single-task window — see operators/sampling)."""
+        from pydata_vector_search_spark.operators.sampling import \
+            cluster_sample
+        df = self.table(table) if isinstance(table, str) else table
+        return cluster_sample(df, vector_col, id_col, k=k,
+                              per_cluster=per_cluster, **kw)
+
     def semantic_dedup_kmeans(self, table: str | DataFrame,
                               vector_col: str, id_col: str,
                               **kw) -> DataFrame:

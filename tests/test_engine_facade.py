@@ -327,3 +327,14 @@ def test_bpe_train_facade(engine, spark):
               bpe_train(engine.table("docs"), "text",
                         num_merges=5).collect()]
     assert via == direct and via
+
+
+def test_cluster_sample_facade(engine, spark):
+    """Engine.cluster_sample: per_cluster bound holds, ids unique."""
+    s = engine.cluster_sample("emb", "embedding", "vec_id",
+                              k=4, per_cluster=6).collect()
+    per = {}
+    for r in s:
+        per[r.cluster_id] = per.get(r.cluster_id, 0) + 1
+    assert per and all(v <= 6 for v in per.values())
+    assert len({r.vec_id for r in s}) == len(s)

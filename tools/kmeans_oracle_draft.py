@@ -83,6 +83,31 @@ ORDER BY {id_col}""")
     return ",\n".join(parts)
 
 
+def build_cluster_sample_oracle_sql(k: int = 8, iterations: int = 3,
+                                    per_cluster: int = 10,
+                                    scale: int = 10 ** 6,
+                                    offset: float = 1.0,
+                                    table: str = "embeddings",
+                                    vec_col: str = "embedding",
+                                    id_col: str = "vec_id") -> str:
+    """Cluster-balanced sample replay: the kmeans assignment chain +
+    per-cluster (md5(id), id) row_number <= per_cluster — the single-
+    window spelling the salted tournament provably equals."""
+    base = build_kmeans_oracle_sql(k=k, iterations=iterations, scale=scale,
+                                   offset=offset, table=table,
+                                   vec_col=vec_col, id_col=id_col)
+    return f"""WITH assigned AS (
+{base}
+)
+SELECT {id_col}, cluster_id, dist_units FROM (
+  SELECT {id_col}, cluster_id, dist_units,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY md5(CAST({id_col} AS VARCHAR)),
+                                     {id_col}) AS rn
+  FROM assigned) WHERE rn <= {per_cluster}
+ORDER BY cluster_id, {id_col}"""
+
+
 def main() -> None:
     import time
 
@@ -117,6 +142,20 @@ def main() -> None:
             sizes[c] = sizes.get(c, 0) + 1
         print(f"{d}: EXACT — {len(got)} rows, duckdb {dt:.1f}s, "
               f"cluster sizes {dict(sorted(sizes.items()))}")
+
+        from pydata_vector_search_spark.operators.sampling import \
+            cluster_sample
+        got_s = sorted((r.vec_id, r.cluster_id, r.dist_units) for r in
+                       cluster_sample(emb, "embedding", "vec_id", k=8,
+                                      iterations=3, per_cluster=10,
+                                      salt_buckets=4)
+                       .select("vec_id", "cluster_id", "dist_units")
+                       .collect())
+        want_s = sorted(map(tuple, con.execute(
+            build_cluster_sample_oracle_sql(k=8, iterations=3,
+                                            per_cluster=10)).fetchall()))
+        assert got_s == want_s, f"{d}: SAMPLE MISMATCH"
+        print(f"{d}: cluster_sample EXACT — {len(got_s)} sampled rows")
 
 
 if __name__ == "__main__":
