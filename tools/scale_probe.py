@@ -6,7 +6,7 @@ default N=10, all ops. Op keys (pass any subset to probe just those,
 skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
 paragraph span lm lm_capped dsir budget winnow classify pagerank
-pagerank_capped pagerank_linear kmeans semdedup_kmeans.
+pagerank_capped pagerank_linear kmeans semdedup_kmeans topn.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -38,7 +38,7 @@ def main() -> None:
     need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
                      "lm_capped", "dsir", "budget", "winnow", "classify",
-                     "pagerank", "pagerank_capped", "pagerank_linear")
+                     "pagerank", "pagerank_capped", "pagerank_linear", "topn")
     need_emb = want("knn", "matmul", "semantic", "ivfpq", "kmeans",
                     "semdedup_kmeans")
     bd = be = None
@@ -175,6 +175,25 @@ def main() -> None:
               lambda: semantic_dedup_kmeans(be, "embedding", "vec_id",
                                             k=64, iterations=3,
                                             threshold=0.95).count())
+    if want("topn"):
+        # r09 (r10-staged): grouped top-n on a WHALE group — the entire
+        # corpus as ONE group, top-1000 by (md5(id), id). The salted
+        # tournament must beat the single-task window and the gap must
+        # widen with N (the single window is the per-group twin of the
+        # unpartitioned-WindowExec failure)
+        from pyspark.sql import Window
+        from pydata_vector_search_spark.operators.sampling import \
+            top_n_per_group
+        one = bd.withColumn("__g", F.lit(1))
+        order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+        timed("grouped top-1000, whale group, salted tournament (32)",
+              lambda: top_n_per_group(one, "__g", order, 1000,
+                                      id_col="doc_id",
+                                      salt_buckets=32).count())
+        w = Window.partitionBy("__g").orderBy(*order)
+        timed("grouped top-1000, whale group, single-task window",
+              lambda: one.withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") <= 1000).count())
     if want("cross"):
         half_ref = bd.filter(F.col("doc_id") % 3 == 0)
         half_cor = bd.filter(F.col("doc_id") % 3 != 0)
