@@ -110,6 +110,17 @@ def _assigner(centroids, scale: int, offset: float):
         if len(vs) == 0:
             return pd.DataFrame({"cluster_id": pd.array([], dtype="int32"),
                                  "dist_units": pd.array([], dtype="int64")})
+        if vs.isna().any():
+            raise ValueError("kmeans: NULL vector — drop or impute NULL "
+                             "rows before clustering (posexplode would "
+                             "silently skip them in training while "
+                             "assignment cannot place them)")
+        lens = vs.map(len)
+        if (lens != C.shape[1]).any():
+            raise ValueError(f"kmeans: ragged vector (len "
+                             f"{int(lens[lens != C.shape[1]].iloc[0])} vs "
+                             f"model dim {C.shape[1]}) — fixed-dim "
+                             "columns only")
         X = np.stack(vs.to_numpy()).astype(np.float64)
         Q = np.floor((X + float(offset)) * float(scale)).astype(np.int64)
         if (Q < 0).any():
@@ -154,8 +165,14 @@ def kmeans_train(df: DataFrame, vector_col: str, id_col: str,
     if len(seeds) < k:
         raise ValueError(f"kmeans_train: k={k} but input has only "
                          f"{len(seeds)} rows")
+    if any(r["__v"] is None for r in seeds):
+        raise ValueError("kmeans_train: NULL vector among the seed rows — "
+                         "drop or impute NULL rows before clustering")
     cents = [_quant_py(r["__v"], scale, offset) for r in seeds]
     dim = len(cents[0])
+    if any(len(c) != dim for c in cents):
+        raise ValueError("kmeans_train: ragged seed vectors — fixed-dim "
+                         "columns only")
     if k * dim > _MAX_MODEL_CELLS:
         raise ValueError(f"kmeans_train: k*dim = {k * dim} exceeds the "
                          f"closure-safe bound {_MAX_MODEL_CELLS}")

@@ -187,3 +187,20 @@ def test_kmeans_pairs_sorted_ids(spark):
                                  threshold=-1.0).collect()
     assert pairs, "threshold=-1 must emit every within-cluster pair"
     assert all(p.id_1 < p.id_2 for p in pairs)
+
+
+def test_kmeans_null_vector_raises(spark):
+    rows = [(0, [0.1, 0.2]), (1, None), (2, [0.3, 0.1])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    with pytest.raises(ValueError, match="NULL vector"):
+        kmeans_train(df, "vec", "id", k=2, iterations=1)
+    model = KMeansModel((_quant([0.1, 0.2]),), SCALE, 1.0)
+    with pytest.raises(Exception, match="NULL vector"):
+        kmeans_assign(df, model, "vec").collect()
+
+
+def test_kmeans_ragged_vector_raises(spark):
+    rows = [(0, [0.1, 0.2]), (1, [0.3, 0.1, 0.5]), (2, [0.2, 0.4])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    with pytest.raises(Exception, match="ragged"):
+        kmeans_train(df, "vec", "id", k=2, iterations=1)
