@@ -21,6 +21,19 @@ spelling (pinned by tests), which is also what a declared query's
 DuckDB oracle runs. The caller supplies a TOTAL order (tie-break on a
 unique id) — the same determinism contract every declared query obeys.
 
+MEASURED trade (tools/scale_probe.py `topn`, plus a 50M-row synthetic
+whale): on local[32] the single-task window WINS at every probed size
+(50M rows in one group: single window 6.2 s vs tournament 9.6 s) — a
+one-task external sort of 50M rows fits a 128 GB box comfortably, and
+the tournament pays an extra salt column + exchange for insurance it
+doesn't need there. What the tournament buys is the BOUND, not local
+speed: per-task input is |group|/salt_buckets by construction, so a
+group that exceeds one task's sort/memory budget (the billions-of-rows
+whale a 100 TB corpus produces) degrades to more tasks instead of one
+straggling/OOMing task — the same contract-over-local-speed choice as
+``select_token_budget``'s forced-distributed branch. Pick
+``salt_buckets=1`` when groups are known task-sized.
+
 ``cluster_sample`` composes this with the integer-exact k-means:
 cluster-balanced subsampling (keep ``per_cluster`` docs per semantic
 cluster, ranked by the md5 hash of their id — a seedless, partition-

@@ -177,10 +177,12 @@ def main() -> None:
                                             threshold=0.95).count())
     if want("topn"):
         # r09 (r10-staged): grouped top-n on a WHALE group — the entire
-        # corpus as ONE group, top-1000 by (md5(id), id). The salted
-        # tournament must beat the single-task window and the gap must
-        # widen with N (the single window is the per-group twin of the
-        # unpartitioned-WindowExec failure)
+        # corpus as ONE group, top-1000 by (md5(id), id). Records BOTH
+        # spellings honestly: on local[32] the single-task window wins
+        # at every probed size (a one-task sort of <=50M rows fits this
+        # box) — the tournament's value is the per-task input BOUND
+        # (|group|/salt), the straggler/OOM insurance at cluster scale;
+        # see the operator docstring for the measured trade
         from pyspark.sql import Window
         from pydata_vector_search_spark.operators.sampling import \
             top_n_per_group
