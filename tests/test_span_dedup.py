@@ -212,12 +212,15 @@ def test_pack_id_out_of_range_raises(spark):
     instead of silently wrapping the packed long and corrupting the
     first-occurrence min."""
     import pytest
-    from pyspark.errors import SparkRuntimeException
 
+    # match on the MESSAGE, not the class: when AQE materializes two
+    # failing stages concurrently, the SparkRuntimeExceptions arrive
+    # wrapped in a STAGE_MATERIALIZATION_MULTIPLE_FAILURES
+    # SparkException — the raise itself is identical either way
     for bad_id in (1 << 41, 1 << 60, -1):
         df = spark.createDataFrame([(bad_id, "aa\naa"), (7, "aa\nbb")],
                                    "doc_id long, text string")
-        with pytest.raises(SparkRuntimeException, match="cannot pack"):
+        with pytest.raises(Exception, match="cannot pack"):
             paragraph_dedup(df, "text", "doc_id").collect()
     # boundary: 2^41 - 1 still packs fine
     ok = spark.createDataFrame([((1 << 41) - 1, "aa\nbb")],
