@@ -108,6 +108,53 @@ SELECT {id_col}, cluster_id, dist_units FROM (
 ORDER BY cluster_id, {id_col}"""
 
 
+def build_semdedup_kmeans_oracle_sql(k: int = 8, iterations: int = 3,
+                                     threshold: float = 0.3,
+                                     round_to: int = 6,
+                                     scale: int = 10 ** 6,
+                                     offset: float = 1.0,
+                                     table: str = "embeddings",
+                                     vec_col: str = "embedding",
+                                     id_col: str = "vec_id") -> str:
+    """Paper-faithful SemDeDup replay: the kmeans assignment chain +
+    within-cluster rounded-cosine pairs + recursive transitive hull +
+    min-id-survives anti-join, rolled up per label — the
+    `semantic_dedup` declared-query tail verbatim with k-means clusters
+    in place of hyperplane-LSH buckets. CC-family at sf0.1 (the reach
+    recursion), cheap at sf0.001/0.01."""
+    base = build_kmeans_oracle_sql(k=k, iterations=iterations, scale=scale,
+                                   offset=offset, table=table,
+                                   vec_col=vec_col, id_col=id_col)
+    return f"""WITH RECURSIVE assigned AS (
+{base}
+), pairs AS (
+  SELECT a.{id_col} AS id_1, b.{id_col} AS id_2
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.{id_col} < b.{id_col}
+  JOIN {table} ea ON ea.{id_col} = a.{id_col}
+  JOIN {table} eb ON eb.{id_col} = b.{id_col}
+  WHERE round(list_cosine_similarity(ea.{vec_col}::DOUBLE[],
+                                     eb.{vec_col}::DOUBLE[]),
+              {round_to}) >= {threshold!r}
+), edges AS (
+  SELECT id_1 AS u, id_2 AS v FROM pairs
+  UNION
+  SELECT id_2, id_1 FROM pairs
+), reach AS (
+  SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+), comp AS (
+  SELECT n, min(m) AS root FROM reach GROUP BY n
+), doomed AS (
+  SELECT n FROM comp WHERE n != root
+)
+SELECT label, count(*)::BIGINT AS n_kept, sum({id_col})::BIGINT AS id_sum
+FROM {table}
+WHERE {id_col} NOT IN (SELECT n FROM doomed)
+GROUP BY label ORDER BY label"""
+
+
 def main() -> None:
     import time
 
@@ -156,6 +203,26 @@ def main() -> None:
                                             per_cluster=10)).fetchall()))
         assert got_s == want_s, f"{d}: SAMPLE MISMATCH"
         print(f"{d}: cluster_sample EXACT — {len(got_s)} sampled rows")
+
+        from pydata_vector_search_spark.operators.clustering import \
+            semantic_dedup_kmeans
+        from pyspark.sql import functions as F
+        surv = semantic_dedup_kmeans(emb, "embedding", "vec_id", k=8,
+                                     iterations=3, threshold=0.3)
+        got_d = sorted(tuple(r) for r in
+                       surv.groupBy("label")
+                           .agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_kept"),
+                                F.sum("vec_id").cast("long")
+                                .alias("id_sum"))
+                           .collect())
+        want_d = sorted(map(tuple, con.execute(
+            build_semdedup_kmeans_oracle_sql(k=8, iterations=3,
+                                             threshold=0.3)).fetchall()))
+        assert got_d == want_d, f"{d}: SEMDEDUP MISMATCH"
+        kept = sum(n for _, n, _ in got_d)
+        print(f"{d}: semdedup_kmeans EXACT — {kept} survivors "
+              f"across {len(got_d)} labels")
 
 
 if __name__ == "__main__":
