@@ -6,7 +6,8 @@ default N=10, all ops. Op keys (pass any subset to probe just those,
 skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
 paragraph span lm lm_capped dsir budget winnow classify pagerank
-pagerank_capped pagerank_linear kmeans semdedup_kmeans topn.
+pagerank_capped pagerank_linear kmeans semdedup_kmeans topn
+triangles triangles_linear bpe.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -38,7 +39,8 @@ def main() -> None:
     need_docs = want("minhash", "simhash", "jaccard", "ppjoin", "merge",
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
                      "lm_capped", "dsir", "budget", "winnow", "classify",
-                     "pagerank", "pagerank_capped", "pagerank_linear", "topn")
+                     "pagerank", "pagerank_capped", "pagerank_linear", "topn",
+                     "triangles", "triangles_linear", "bpe")
     need_emb = want("knn", "matmul", "semantic", "ivfpq", "kmeans",
                     "semdedup_kmeans")
     bd = be = None
@@ -175,6 +177,68 @@ def main() -> None:
               lambda: semantic_dedup_kmeans(be, "embedding", "vec_id",
                                             k=64, iterations=3,
                                             threshold=0.95).count())
+    if want("triangles"):
+        # r09 (r10-staged): degree-ordered triangle counting over the
+        # capped minhash near-dup graph — wedge work bounded
+        # O(|E|^1.5) total regardless of hot nodes; read wall against
+        # the edge count (quadratic-by-replication regime, like the
+        # pagerank_capped key)
+        from pydata_vector_search_spark.operators.graph import \
+            triangle_count
+        def _tri():
+            pairs = dedup.minhash_neardup_pairs(
+                bd, "text", "doc_id", n=3, num_hashes=12, bands=4,
+                threshold=0.5,
+                max_bucket_size=5 * n_copies).select("id_1", "id_2")
+            pairs = pairs.localCheckpoint(eager=True)
+            ne = pairs.count()
+            t = triangle_count(pairs, src="id_1", dst="id_2")
+            total = t.agg(F.sum("triangles")).collect()[0][0]
+            return f"{ne} edges -> {total} triangle-memberships"
+        timed(f"triangle counts over CAPPED minhash graph "
+              f"(cap=5N={5 * n_copies})", _tri)
+    if want("triangles_linear"):
+        # r09: the fixed-duplication-rate regime for triangles — the
+        # same deterministic ring+hash graph pagerank_linear uses
+        # (edges AND triangle count grow linearly with the corpus; the
+        # ring offsets 1,2,3,5 close triangles like (u, u+1, u+3)).
+        # Isolates triangle_count's own scaling from the replicated-
+        # minhash builder's quadratic wedge output (see `triangles`)
+        from pydata_vector_search_spark.operators.graph import \
+            triangle_count
+        def _tril():
+            ids = bd.select(F.col("doc_id").alias("id_1"))
+            nmax = bd.agg(F.max("doc_id")).collect()[0][0] + 1
+            parts = []
+            for dd in (1, 2, 3, 5):
+                parts.append(ids.select(
+                    "id_1",
+                    ((F.col("id_1") + F.lit(dd)) % F.lit(nmax))
+                    .alias("id_2")))
+            for ss in (7, 11, 13, 17):
+                parts.append(ids.select(
+                    "id_1",
+                    F.pmod(F.xxhash64(F.col("id_1"), F.lit(ss)),
+                           F.lit(nmax)).alias("id_2")))
+            pairs = parts[0]
+            for p in parts[1:]:
+                pairs = pairs.unionByName(p)
+            pairs = (pairs.filter(F.col("id_1") != F.col("id_2"))
+                     .localCheckpoint(eager=True))
+            ne = pairs.count()
+            t = triangle_count(pairs, src="id_1", dst="id_2")
+            total = t.agg(F.sum("triangles")).collect()[0][0]
+            return f"{ne} edges -> {total} triangle-memberships"
+        timed("triangle counts over LINEAR synthetic graph", _tril)
+    if want("bpe"):
+        # r09 (r10-staged): BPE vocabulary induction — the corpus-sized
+        # work is ONE word-frequency aggregate; the driver merge loop is
+        # bounded by max_word_types, corpus-independent. Wall must go
+        # FLAT once the aggregate dominates
+        from pydata_vector_search_spark.operators.bpe import bpe_train
+        timed("BPE train (24 merges, map-side word counts)",
+              lambda: bpe_train(bd, "text", num_merges=24,
+                                min_pair_count=2).count())
     if want("topn"):
         # r09 (r10-staged): grouped top-n on a WHALE group — the entire
         # corpus as ONE group, top-1000 by (md5(id), id). Records BOTH
