@@ -427,6 +427,19 @@ class Engine:
                              iterations=iterations, **kw)
         return kmeans_assign(df, model, vector_col)
 
+    def domain_cap(self, table: str | DataFrame, text_col: str,
+                   id_col: str, domain_col: str,
+                   cap_tokens: int, **kw) -> DataFrame:
+        """Per-domain token cap: within each domain keep the highest-
+        quality docs until `cap_tokens` tokens — the per-host
+        downsampling gate before global selection (see
+        operators/text_ops.domain_token_cap)."""
+        from pydata_vector_search_spark.operators.text_ops import \
+            domain_token_cap
+        df = self.table(table) if isinstance(table, str) else table
+        return domain_token_cap(df, text_col, id_col, domain_col,
+                                cap_tokens, **kw)
+
     def cluster_sample(self, table: str | DataFrame, vector_col: str,
                        id_col: str, k: int = 8, per_cluster: int = 100,
                        **kw) -> DataFrame:

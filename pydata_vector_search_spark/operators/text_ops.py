@@ -211,3 +211,45 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
                     .filter(F.col("__cum") <= residual)
                     .drop("__cum", "__pb"))
     return above.unionByName(boundary).drop("__qb", "__nt")
+
+
+def domain_token_cap(df: DataFrame, text_col: str, id_col: str,
+                     domain_col: str, cap_tokens: int,
+                     quality_col=None) -> DataFrame:
+    """Per-DOMAIN token cap: within every ``domain_col`` group keep the
+    highest-quality documents until that domain has spent
+    ``cap_tokens`` tokens — the per-host/per-source downsampling gate
+    web-crawl curation runs before global selection (a handful of
+    boilerplate-heavy domains otherwise dominate the corpus; CCNet /
+    RefinedWeb both cap per-domain mass). The quality-ordered HARD-cap
+    complement of ``packing.temperature_mix(weight_col=...)``'s
+    probabilistic share mixing, and the per-group sibling of
+    ``select_token_budget``'s global cut.
+
+    Deterministic total order per domain: (rounded quality DESC — NULLs
+    last, like the global op — then id ASC); a document is kept iff its
+    inclusive running token total fits the cap (NULL token counts add
+    0). Scale shape: ONE window partitioned by domain — domains shard
+    across tasks, nothing global. A single WHALE domain puts its rows
+    through one task (the grouped-window bound `operators/sampling`
+    documents); at that regime pre-slice the whale with
+    ``select_token_budget``'s sub-bucket prefix-sum machinery or raise
+    ``cap_tokens`` granularity — for the many-modest-domains shape this
+    gate exists for, the plain partitioned window IS the right plan."""
+    from pyspark.sql import Window
+
+    from pydata_vector_search_spark.functions.text import (quality_score,
+                                                           token_count)
+    if cap_tokens < 0:
+        raise ValueError(f"domain_token_cap: cap_tokens must be >= 0, "
+                         f"got {cap_tokens}")
+    q = quality_col if quality_col is not None else quality_score(text_col)
+    base = (df.withColumn("__qb", F.round(q, 6))
+              .withColumn("__nt", F.coalesce(
+                  token_count(text_col).cast("long"), F.lit(0))))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(F.col("__qb").desc_nulls_last(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("__cum", F.sum("__nt").over(w))
+                .filter(F.col("__cum") <= cap_tokens)
+                .drop("__qb", "__nt", "__cum"))
