@@ -427,6 +427,18 @@ class Engine:
                              iterations=iterations, **kw)
         return kmeans_assign(df, model, vector_col)
 
+    def collocations(self, table: str | DataFrame, text_col: str,
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+        """Top PMI collocations (w1, w2, pair_count, pmi_micro) — the
+        phrase-mining / multi-word-expression primitive (see
+        operators/collocations: exact integer counts, one ln of an
+        exact ratio in floored micro-nats)."""
+        from pydata_vector_search_spark.operators.collocations import \
+            collocations_pmi
+        df = self.table(table) if isinstance(table, str) else table
+        return collocations_pmi(df, text_col, min_count=min_count,
+                                top_k=top_k)
+
     def domain_cap(self, table: str | DataFrame, text_col: str,
                    id_col: str, domain_col: str,
                    cap_tokens: int, **kw) -> DataFrame:

@@ -1,0 +1,84 @@
+"""PMI collocation mining — corpus-level phrase discovery.
+
+Surfaces the word pairs that co-occur far more than chance (pointwise
+mutual information over adjacent-bigram events):
+
+    pmi(w1, w2) = ln( c(w1 w2) * N  /  (c_left(w1) * c_right(w2)) )
+
+with N = total bigram events, c_left/c_right the bigram-event
+marginals. The phrase-mining / tokenizer-evaluation primitive of a
+corpus pipeline (multi-word expressions, domain jargon, candidate
+merges for a vocabulary) — the corpus-STATISTICS complement of
+``lm_score.bigram_lm_score``, which trains the same counts to score
+documents rather than to rank pairs.
+
+Determinism discipline (bm25 / lm_score): counts are exact longs from
+map-side-combinable aggregates; the only float is ONE ln of an exact
+integer ratio, emitted as ``pmi_micro = floor(ln(r)*1e6 + 0.5)`` with
+the ratio association fixed as ``(c12 * N) / (cl * cr)`` — the DuckDB
+oracle replays the identical expression (integer products stay exact
+in doubles while c12·N < 2^53, i.e. corpora through ~9e15 bigram
+events; the same bound every micro-nat op in this repo documents).
+Output order is total: (pmi_micro DESC, pair_count DESC, w1, w2).
+
+Scale shape: one corpus scan explodes bigrams into a hash aggregate
+(map-side combine bounds the shuffle at partitions × distinct pairs);
+marginals are two more tiny aggregates OVER THE PAIR TABLE (already
+distinct-pair-sized, not corpus-sized); the final join attaches two
+marginal columns to ``min_count``-filtered pairs — AQE picks broadcast
+when the marginal side is small. Top-k is ORDER BY + LIMIT
+(TakeOrderedAndProject: per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pydata_vector_search_spark.operators.dedup import tokens_col
+from pydata_vector_search_spark.operators.lm_score import _bigrams_col
+
+_SCALE = 1_000_000
+
+
+def collocations_pmi(df: DataFrame, text_col: str,
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Top ``top_k`` collocations: (w1, w2, pair_count, pmi_micro),
+    ordered (pmi_micro DESC, pair_count DESC, w1, w2). Pairs rarer than
+    ``min_count`` are excluded from RANKING but still count toward N
+    and the marginals (the standard PMI estimator; the filter only
+    suppresses noise-dominated rare pairs from the output)."""
+    if min_count < 1:
+        raise ValueError(f"collocations_pmi: min_count must be >= 1, "
+                         f"got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"collocations_pmi: top_k must be >= 1, "
+                         f"got {top_k}")
+    bi = (df.select(F.explode(_bigrams_col(tokens_col(text_col)))
+                    .alias("__bg"))
+            .groupBy("__bg")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__w1", F.substring_index("__bg", " ", 1))
+            .withColumn("__w2", F.substring_index("__bg", " ", -1))
+            .localCheckpoint(eager=True))   # consumed 4x: N, 2 marginals,
+    #                                         the ranked join below
+    n_total = bi.agg(F.sum("__c")).collect()[0][0]
+    if n_total is None:
+        return df.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, pair_count long, pmi_micro long")
+    left = bi.groupBy(F.col("__w1").alias("__lw")) \
+             .agg(F.sum("__c").alias("__cl"))
+    right = bi.groupBy(F.col("__w2").alias("__rw")) \
+              .agg(F.sum("__c").alias("__cr"))
+    ratio = ((F.col("__c").cast("double") * F.lit(float(n_total)))
+             / (F.col("__cl").cast("double") * F.col("__cr")))
+    pmi = F.floor(F.log(ratio) * _SCALE + F.lit(0.5)).cast("long")
+    return (bi.filter(F.col("__c") >= min_count)
+              .join(left, F.col("__w1") == F.col("__lw"))
+              .join(right, F.col("__w2") == F.col("__rw"))
+              .select(F.col("__w1").alias("w1"),
+                      F.col("__w2").alias("w2"),
+                      F.col("__c").cast("long").alias("pair_count"),
+                      pmi.alias("pmi_micro"))
+              .orderBy(F.col("pmi_micro").desc(),
+                       F.col("pair_count").desc(), "w1", "w2")
+              .limit(top_k))
