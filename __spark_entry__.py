@@ -3216,15 +3216,19 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("pred_label"))
 
 
-_PR_OFFSET = 10_000_000          # suppliers live above, customers below
-
-
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTEGER-EXACT PageRank (r09; staged r08) over the
     customer↔supplier interaction graph: distinct (customer, supplier)
-    purchase pairs from orders ⋈ lineitem, both directions, supplier
-    ids offset into a disjoint range — the link-graph curation signal
-    (seed-quality propagation, Common Crawl harvest ranking). Five
+    purchase pairs from orders ⋈ lineitem, both directions, the two
+    node families kept disjoint by PARITY — customers as 2·custkey,
+    suppliers as 2·suppkey+1 (r09 ADVICE: the previous fixed 10M
+    offset collides with o_custkey at sf ≳ 67 and silently merges
+    graph nodes; the parity encoding is collision-free at every scale
+    and costs no extra scan). Rank units are unchanged by the
+    relabeling — PageRank depends only on graph structure, so the
+    hashed (supp_id, rank_units) lineage is identical. The link-graph
+    curation signal (seed-quality propagation, Common Crawl harvest
+    ranking). Five
     fixed-point iterations with ALL mass as longs (exact ``div``; see
     graph.pagerank_exact — double `/` can round across an integer
     boundary and diverge from an integer-dividing engine), so the
@@ -3238,16 +3242,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-             .select(F.col("o_custkey").cast("long").alias("c"),
-                     (F.col("l_suppkey").cast("long") + _PR_OFFSET)
+             .select((F.col("o_custkey").cast("long") * 2).alias("c"),
+                     (F.col("l_suppkey").cast("long") * 2 + 1)
                      .alias("s"))
              .distinct())
     edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
              .unionAll(pairs.select(F.col("s").alias("src"),
                                     F.col("c").alias("dst"))))
     ranks = pagerank_exact(edges, iterations=5)
-    return (ranks.filter(F.col("node") >= _PR_OFFSET)
-            .select((F.col("node") - _PR_OFFSET).cast("long")
+    return (ranks.filter(F.col("node") % 2 == 1)
+            .select(F.expr("(node - 1) div 2").cast("long")
                     .alias("supp_id"),
                     F.col("rank_units").cast("long").alias("rank_units"))
             .orderBy("supp_id"))
@@ -6101,8 +6105,8 @@ def oracle_sql() -> dict[str, str]:
             )""" for i in range(5))
     d["pagerank"] = f"""
             WITH dedges AS (
-                SELECT DISTINCT o_custkey::BIGINT AS c,
-                       l_suppkey::BIGINT + 10000000 AS s
+                SELECT DISTINCT o_custkey::BIGINT * 2 AS c,
+                       l_suppkey::BIGINT * 2 + 1 AS s
                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             ), edges AS (
                 SELECT c AS src, s AS dst FROM dedges
@@ -6120,9 +6124,9 @@ def oracle_sql() -> dict[str, str]:
                            AS r
                 FROM nodes
             ){_pr_steps}
-            SELECT (node - 10000000)::BIGINT AS supp_id,
+            SELECT ((node - 1) // 2)::BIGINT AS supp_id,
                    r::BIGINT AS rank_units
-            FROM it5 WHERE node >= 10000000 ORDER BY supp_id
+            FROM it5 WHERE node % 2 = 1 ORDER BY supp_id
         """
     # winnow_clusters: the winnow_neardup pair CTE chain verbatim, then
     # the dedup_clusters transitive-hull recursion + per-cluster rollup

@@ -27,10 +27,14 @@ provable size however large the corpus grows (the ``nb_train`` /
   types — deterministic under ties, so two runs (and the SQL oracle)
   pick the identical table.
 
-Driver work is then O(types · word_len · merges) integer arithmetic —
-independent of corpus size. This is how the reference implementations
-train (Sennrich's ``learn_bpe`` consumes a frequency dict), re-expressed
-with the counting distributed.
+Driver work is then one O(total symbols) counting pass plus, per
+merge, O(affected words · word length + log |pairs|) via an inverted
+pair->words index and a lazy max-heap (the standard fast-BPE
+structure) — NOT a full recount per step, so a 30k-merge tokenizer
+run stays driver-feasible; in all cases independent of corpus size.
+This is how the reference implementations train (Sennrich's
+``learn_bpe`` consumes a frequency dict), re-expressed with the
+counting distributed.
 
 Determinism contract (what the DuckDB oracle replays bit-for-bit):
 pre-tokens are ``BPE_ISH_PATTERN`` matches over ``lower(text)`` (the
@@ -108,22 +112,77 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int = 50,
     schema = "step long, left string, right string, pair_count long"
     if not freq:
         return spark.createDataFrame([], schema)
+    # INCREMENTAL pair counting (the standard fast-BPE structure, r09
+    # verdict watch item): one full pass builds (a) the global pair
+    # counts, (b) an inverted index pair -> word indices, (c) a lazy
+    # max-heap over (-count, left, right). Each merge then touches ONLY
+    # the words containing the winning pair — their old pair multiset
+    # is subtracted, the merge applied, the new multiset added — so a
+    # step costs O(affected words * word length + log heap), not the
+    # previous O(all words * total symbols) full recount. 30k-merge
+    # tokenizer runs become driver-feasible; output is bit-identical
+    # (the brute-force recount stays pinned as a test reference).
+    import heapq
+
     seqs: list[tuple[list[str], int]] = [(list(w), c) for w, c in freq]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, c) in enumerate(seqs):
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            counts[p] = counts.get(p, 0) + c
+            where.setdefault(p, set()).add(i)
+    heap = [(-c, left, right) for (left, right), c in counts.items()]
+    heapq.heapify(heap)
+
+    def _account(i: int, syms: list[str], c: int, sign: int) -> None:
+        seen: set[tuple[str, str]] = set()
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            nv = counts.get(p, 0) + sign * c
+            if nv > 0:
+                counts[p] = nv
+                # push on EVERY count change (including decrements) —
+                # the lazy heap's invariant is that the live count
+                # always has an entry; stale ones are discarded on pop
+                heapq.heappush(heap, (-nv, p[0], p[1]))
+            else:
+                counts.pop(p, None)
+            seen.add(p)
+        for p in seen:
+            s = where.setdefault(p, set())
+            if sign > 0:
+                s.add(i)
+            else:
+                # drop i only if the pair is fully gone from the word;
+                # re-adding (sign>0) below restores membership anyway
+                s.discard(i)
+
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, num_merges + 1):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, c in seqs:
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + c
-        if not counts:
-            break
-        (left, right), best = min(counts.items(),
-                                  key=lambda kv: (-kv[1], kv[0]))
-        if best < min_pair_count:
+        # lazy-heap argmax: pop stale entries (their count changed since
+        # push) until the top matches the live table. Every live pair
+        # has an entry at its current count by the push-on-update
+        # invariant, so the first valid pop IS max count with the
+        # smallest (left, right) tie-break — identical to the full
+        # recount's min((-count, pair)) selection.
+        best = None
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            if counts.get((left, right)) == -negc:
+                best = -negc
+                break
+        if best is None or best < min_pair_count:
             break
         merges.append((step, left, right, best))
-        seqs = [(_merge_word(s, left, right) if left in s else s, c)
-                for s, c in seqs]
+        # put the winner's entry back is unnecessary — it is consumed;
+        # affected words re-push whatever survives of it
+        for i in sorted(where.get((left, right), set())):
+            syms, c = seqs[i]
+            _account(i, syms, c, -1)
+            merged = _merge_word(syms, left, right)
+            seqs[i] = (merged, c)
+            _account(i, merged, c, +1)
     return spark.createDataFrame(merges, schema)
 
 
@@ -139,6 +198,15 @@ class LearnedBpeTokenizer:
     closure); Arrow batching and once-per-task construction come from
     the hook, not from here."""
 
+    # Per-word memo cap. The tokenizer lives for a whole task, and a
+    # high-cardinality stream (URLs, hashes, typos) has unbounded word
+    # types — an uncapped dict grows executor memory for the task's
+    # lifetime (r09 ADVICE). 2^18 entries of short strings is a few MB;
+    # eviction is FIFO (dicts are insertion-ordered), which on Zipfian
+    # text keeps the hot head resident just as well as LRU without the
+    # per-hit bookkeeping.
+    _CACHE_CAP = 1 << 18
+
     def __init__(self, merges: list[tuple[str, str]]):
         import re
         self.merges = [(left, right) for left, right in merges]
@@ -152,6 +220,8 @@ class LearnedBpeTokenizer:
             for left, right in self.merges:
                 if left in syms:
                     syms = _merge_word(syms, left, right)
+            if len(self._cache) >= self._CACHE_CAP:
+                self._cache.pop(next(iter(self._cache)))
             n = self._cache[word] = len(syms)
         return n
 

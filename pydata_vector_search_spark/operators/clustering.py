@@ -279,10 +279,14 @@ def semantic_dedup_kmeans(df: DataFrame, vector_col: str, id_col: str,
     ``dedup.semantic_dedup`` semantics with the paper's partitioner):
     within-cluster rounded-cosine pairs form the semantic-dup graph,
     connected components collapse transitive groups, the min-id member
-    survives. Returns the surviving rows of ``df``. Scale notes:
-    pair generation one cluster-key shuffle (above); components
-    O(log n) pointer-jump rounds (operators/graph); the doomed side is
-    dup-count-sized, left to AQE's runtime broadcast decision."""
+    survives. Returns the surviving rows of ``df``. Requires an
+    INTEGRAL ``id_col`` — ``connected_components`` labels are longs
+    and raises on anything else (``kmeans_neardup_pairs`` alone
+    accepts arbitrary id types; the components routing does not).
+    Scale notes: pair generation one cluster-key shuffle (above);
+    components O(log n) pointer-jump rounds (operators/graph); the
+    doomed side is dup-count-sized, left to AQE's runtime broadcast
+    decision."""
     from pydata_vector_search_spark.operators.graph import \
         connected_components
 

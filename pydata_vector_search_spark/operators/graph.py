@@ -63,7 +63,25 @@ def connected_components(edges: DataFrame, src: str = "src",
     (SoCC'14) applied from round zero; the count that gates it is over
     the already-materialized deduped edge list, and above the threshold
     the O(log n) pointer-jumping loop below runs unchanged — identical
-    labels either way (equality pinned in tests)."""
+    labels either way (equality pinned in tests).
+
+    Node ids must be INTEGRAL (byte/short/int/long): labels are longs
+    and the min-label contract needs a total order the long cast
+    preserves. A non-integral id column raises here rather than being
+    cast — a string id would cast to NULL, every edge would then drop
+    out of the ``u != v`` filter, and callers like
+    ``semantic_dedup_kmeans`` would silently return their input
+    unchanged instead of deduplicating (r09 ADVICE)."""
+    from pyspark.sql import types as T
+    for c in (src, dst):
+        dt = edges.schema[c].dataType
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+            raise TypeError(
+                f"connected_components: edge column {c!r} has type "
+                f"{dt.simpleString()}; node ids must be integral — map "
+                "string/other ids to longs first (e.g. a dense id via "
+                "zipWithIndex/monotonically_increasing_id + join back)")
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     # symmetrize once; self-loops drop out of the neighbour-min naturally

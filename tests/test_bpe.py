@@ -135,3 +135,35 @@ def test_learned_tokenizer_reproduces_training_segmentation(spark):
         want = sum(len(seqs[w])
                    for w in re.findall(BPE_ISH_PATTERN, t.lower()))
         assert counted[i] == want
+
+
+def test_heavy_fuzz_matches_naive_incremental(spark):
+    # r10: the merge loop is incremental (inverted index + lazy heap);
+    # this fuzz is built to force decrement-then-reselect — merges that
+    # lower a rival pair's count before that pair later wins — and pins
+    # bit-exact parity with the full-recount reference over 40 merges.
+    import random
+    rng = random.Random(1007)
+    alphabet = "abcde"
+    vocab = ["".join(rng.choices(alphabet, k=rng.randint(2, 9)))
+             for _ in range(60)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(3, 15)))
+             for _ in range(50)]
+    got = [tuple(r) for r in
+           bpe_train(_docs(spark, texts), "text", num_merges=40,
+                     min_pair_count=1).orderBy("step").collect()]
+    want, _, _ = _naive(texts, 40, min_pair_count=1)
+    assert got == want
+    assert len(got) > 20  # the corpus actually sustains deep merging
+
+
+def test_tokenizer_cache_is_bounded():
+    # r09 ADVICE: the per-task word memo must not grow without limit on
+    # high-cardinality streams. Shrink the cap and overflow it.
+    tok = LearnedBpeTokenizer([("a", "b")])
+    tok._CACHE_CAP = 8
+    for i in range(100):
+        tok.encode_len(f"word{i}ab")
+    assert len(tok._cache) <= 8
+    # correctness unaffected by eviction: 'ab' merges to one symbol
+    assert tok.encode_len("abab") == 2

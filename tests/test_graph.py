@@ -107,3 +107,22 @@ def test_local_and_distributed_paths_agree(spark):
     dist = {(r.node, r.component)
             for r in connected_components(e, local_threshold=0).collect()}
     assert local == dist and local
+
+
+def test_non_integral_ids_raise(spark):
+    # r09 ADVICE: string ids would cast to NULL and silently drop every
+    # edge; the guard raises instead.
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="must be integral"):
+        connected_components(e)
+
+
+def test_semantic_dedup_kmeans_rejects_string_ids(spark):
+    from pydata_vector_search_spark.operators.clustering import \
+        semantic_dedup_kmeans
+    df = spark.createDataFrame(
+        [(f"d{i}", [float(i), float(i % 3)]) for i in range(8)],
+        "sid string, v array<double>")
+    with pytest.raises(TypeError, match="must be integral"):
+        semantic_dedup_kmeans(df, "v", "sid", k=2, iterations=1,
+                              threshold=0.5).collect()
