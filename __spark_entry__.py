@@ -3282,6 +3282,101 @@ def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_summary(pairs, src="id_1", dst="id_2")
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER-EXACT k-means assignment (r10; staged + oracle-validated
+    r09): fixed-iteration Lloyd over the embeddings table — the
+    clustering primitive SemDeDup, cluster-balanced sampling, and
+    IVF-style partitioning all build on
+    (operators/clustering.py:149,208). Coordinates quantized as
+    positive-domain longs so Spark ``div`` and DuckDB ``//`` agree on
+    the integer centroid means; assignment is argmin of exact int64
+    squared L2 with a (dist, cid) tie-break; empty clusters keep their
+    previous centroid. Hashes the FULL (vec_id, cluster_id, dist_units)
+    assignment against the unrolled-CTE replay (a recursive CTE cannot
+    express the recurrence — each round reads the previous centroids
+    twice). Scale shape: the k·d model rides in the task closure, the
+    per-iteration shuffle is partitions·k·d (posexplode + map-side
+    combine), assignment is one Arrow argmin pass with no shuffle —
+    probe-flat at the 100x ladder (README)."""
+    from pydata_vector_search_spark.operators.clustering import (
+        kmeans_assign, kmeans_train)
+    emb = _t(spark, sf_dir, "embeddings")
+    model = kmeans_train(emb, "embedding", "vec_id", k=8, iterations=3)
+    return (kmeans_assign(emb, model, "embedding")
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("cluster_id").cast("int").alias("cluster_id"),
+                    F.col("dist_units").cast("long").alias("dist_units"))
+            .orderBy("vec_id"))
+
+
+def q_kmeans_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (r10; staged + oracle-validated r09):
+    the k-means assignment composed with the whale-safe salted
+    tournament top-n (operators/sampling.py:51,87) — keep
+    ``per_cluster`` rows per semantic cluster ranked by (md5(id), id),
+    a seedless partition-independent uniform draw. The tournament
+    (salt_buckets=4 here) provably equals the single-window spelling
+    the DuckDB oracle runs, while bounding per-task input at
+    |cluster|/salt_buckets — the straggler/OOM contract for the
+    billions-of-rows whale cluster a 100 TB corpus produces."""
+    from pydata_vector_search_spark.operators.sampling import cluster_sample
+    emb = _t(spark, sf_dir, "embeddings")
+    return (cluster_sample(emb, "embedding", "vec_id", k=8, iterations=3,
+                           per_cluster=10, salt_buckets=4)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("cluster_id").cast("int").alias("cluster_id"),
+                    F.col("dist_units").cast("long").alias("dist_units"))
+            .orderBy("cluster_id", "vec_id"))
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (r10; staged + oracle-validated r09)
+    over the part co-purchase graph — parts linked when they share an
+    order (bounded ~C(7,2) pairs per order at any TPC-H scale), the
+    local-clustering signal that complements components (membership)
+    and PageRank (centrality) on the same pair inputs. Exact integers;
+    the oracle is a naive canonical-edge three-way self-join
+    (tools/triangle_oracle_draft.sql, validated EXACT at two SFs).
+    Scale design (operators/graph.py:238): degree-ordered orientation
+    (Suri & Vassilvitskii WWW'11) bounds every out-neighbourhood at
+    O(sqrt(|E|)) regardless of skew, each triangle is generated once at
+    its order-minimal apex, and the closure is one hash equi-join —
+    all codegen, nothing driver-side."""
+    from pydata_vector_search_spark.operators.graph import triangle_count
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("u") < F.col("v"))
+             .select("u", "v").distinct())
+    return (triangle_count(pairs, src="u", dst="v")
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("degree").cast("long").alias("degree"),
+                    F.col("triangles").cast("long").alias("triangles"))
+            .orderBy("node"))
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (r10; staged + oracle-validated r09):
+    learn 12 merges from the documents corpus (Sennrich ACL'16) —
+    tokenizer training as a pipeline stage. The corpus-sized work is
+    ONE map-side-combinable word-frequency aggregate; the driver merge
+    loop is incremental (inverted pair index + lazy heap, r10 — each
+    merge touches only the words containing the winning pair) and
+    bounded by min_count/max_word_types however large the corpus
+    grows. Declared envelope: this query's 12 merges over <= 1M word
+    types cost milliseconds driver-side; the operator's practical
+    envelope is ~30k merges x 1M types (the incremental loop's
+    O(affected words) per merge — see operators/bpe.py). The oracle
+    replays every step in SQL: pair count -> (count desc, left, right)
+    argmax -> greedy left-to-right positional-recursive merge
+    application, early stop cascading through empty CTEs."""
+    from pydata_vector_search_spark.operators.bpe import bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    return (bpe_train(docs, "text", num_merges=12, min_pair_count=2)
+            .orderBy("step"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3304,24 +3399,74 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-9 rotation (the r08 verdict's forward constraint):
-        # --- (a) the 3 r09-NEW queries (the staged SQL-exact NB corpus
-        # --- classifier with max_vocab set, integer-exact PageRank over
-        # --- the purchase interaction graph, and the winnow-fingerprint
-        # --- clusters composition); (b) queries whose code paths or
-        # --- oracles r09 changed (pack_tokenized — NULL-text coalesce
-        # --- in the oracle; token_budget_dist — the distributed-branch
-        # --- boundary checkpoint; token_budget_select — nearest green
-        # --- query over the edited select_token_budget body, though the
-        # --- small-boundary branch's lines are untouched); (c) ALL 44
-        # --- queries whose latest driver-green row is r06 — they reach
-        # --- the 2-round staleness limit this round
-        # --- (tools/window_audit.py 9). dataloader_epoch also passes
-        # --- through select_token_budget but takes the identical
-        # --- untouched small-boundary branch and is r08-green, age 1;
-        # --- every r07/r08-green query left outside is <= 2 rounds old.
-        "nb_classify": q_nb_classify,
+        # --- Round-10 rotation (the r09 verdict's forward constraint):
+        # --- (a) the 4 r10-NEW queries — the integer-exact k-means
+        # --- assignment, its cluster-balanced-sample composition, the
+        # --- degree-ordered triangle count, and BPE vocabulary
+        # --- induction — all staged in r09 with oracle drafts
+        # --- validated EXACT at two SFs before declaration;
+        # --- (b) pagerank, whose node-encoding code path r10 changed
+        # --- (the parity relabeling closing the r09 ADVICE collision
+        # --- item — rank values provably unchanged, but a changed path
+        # --- gets a driver re-check); (c) ALL 45 queries whose latest
+        # --- driver-green row is r07 — they reach the 2-round
+        # --- staleness limit this round (tools/window_audit.py 10).
+        # --- Every query left outside is r08/r09-green, <= 2 rounds
+        # --- old. bpe_train's operator loop was rewritten this round
+        # --- (incremental pair counting) and is declared fresh here,
+        # --- so the new loop lands directly under the driver hash.
+        "kmeans": q_kmeans,
+        "graph_triangles": q_graph_triangles,
+        "bpe_train": q_bpe_train,
+        "kmeans_sample": q_kmeans_sample,
         "pagerank": q_pagerank,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "array_functions": q_array_functions,
+        "asof_join": q_asof_join,
+        "chunk_summary": q_chunk_summary,
+        "cube_agg": q_cube_agg,
+        "date_functions": q_date_functions,
+        "distinct_agg": q_distinct_agg,
+        "events_json_window": q_events_json_window,
+        "exists_subquery": q_exists_subquery,
+        "filter_like_project": q_filter_like_project,
+        "from_json_stats": q_from_json_stats,
+        "group_topk": q_group_topk,
+        "hard_negatives": q_hard_negatives,
+        "having": q_having,
+        "intersect_except": q_intersect_except,
+        "join_agg": q_join_agg,
+        "join_multiway": q_join_multiway,
+        "lang_id": q_lang_id,
+        "lm_perplexity": q_lm_perplexity,
+        "log_retention": q_log_retention,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_meta": q_multimodal_meta,
+        "orc_roundtrip": q_orc_roundtrip,
+        "outer_join_agg": q_outer_join_agg,
+        "percentiles": q_percentiles,
+        "pivot": q_pivot,
+        "promo_revenue": q_promo_revenue,
+        "range_join": q_range_join,
+        "rollup_agg": q_rollup_agg,
+        "salted_agg": q_salted_agg,
+        "semi_anti_join": q_semi_anti_join,
+        "session_windows": q_session_windows,
+        "set_ops": q_set_ops,
+        "sliding_windows": q_sliding_windows,
+        "span_dedup": q_span_dedup,
+        "stream_dedup": q_stream_dedup,
+        "stream_index_patch": q_stream_index_patch,
+        "stream_stream_join": q_stream_stream_join,
+        "string_functions": q_string_functions,
+        "text_stats": q_text_stats,
+        "unpivot": q_unpivot,
+        "upsert_merge": q_upsert_merge,
+        "window_ranks": q_window_ranks,
+        "window_running": q_window_running,
+        "window_topk_per_group": q_window_topk_per_group,
+        # --- end of the 50-query driver window ---------------------------
+        "nb_classify": q_nb_classify,
         "winnow_clusters": q_winnow_clusters,
         "pack_tokenized": q_pack_tokenized,
         "token_budget_dist": q_token_budget_dist,
@@ -3370,7 +3515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "vector_knn_sql": q_vector_knn_sql,
         "hybrid_prefilter": q_hybrid_prefilter,
         "vector_knn_l2": q_vector_knn_l2,
-        # --- end of the 50-query driver window ---------------------------
         "jaccard_auto": q_jaccard_auto,
         "jaccard_auto_heavy": q_jaccard_auto_heavy,
         "dataloader_epoch": q_dataloader_epoch,
@@ -3418,51 +3562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "embed_hash": q_embed_hash,
         "winnow_neardup": q_winnow_neardup,
         "paragraph_dedup": q_paragraph_dedup,
-        "stream_index_patch": q_stream_index_patch,
-        "hard_negatives": q_hard_negatives,
-        "span_dedup": q_span_dedup,
-        "lm_perplexity": q_lm_perplexity,
-        "orc_roundtrip": q_orc_roundtrip,
-        "log_retention": q_log_retention,
-        "upsert_merge": q_upsert_merge,
-        "chunk_summary": q_chunk_summary,
-        "stream_dedup": q_stream_dedup,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_audio": q_multimodal_audio,
-        "salted_agg": q_salted_agg,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "lang_id": q_lang_id,
-        "text_stats": q_text_stats,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "session_windows": q_session_windows,
-        "sliding_windows": q_sliding_windows,
-        "events_json_window": q_events_json_window,
-        "group_topk": q_group_topk,
-        "percentiles": q_percentiles,
-        "filter_like_project": q_filter_like_project,
-        "join_agg": q_join_agg,
-        "join_multiway": q_join_multiway,
-        "semi_anti_join": q_semi_anti_join,
-        "window_topk_per_group": q_window_topk_per_group,
-        "window_ranks": q_window_ranks,
-        "set_ops": q_set_ops,
-        "intersect_except": q_intersect_except,
-        "distinct_agg": q_distinct_agg,
-        "pivot": q_pivot,
-        "exists_subquery": q_exists_subquery,
-        "having": q_having,
-        "date_functions": q_date_functions,
-        "rollup_agg": q_rollup_agg,
-        "window_running": q_window_running,
-        "promo_revenue": q_promo_revenue,
-        "from_json_stats": q_from_json_stats,
-        "outer_join_agg": q_outer_join_agg,
-        "array_functions": q_array_functions,
-        "string_functions": q_string_functions,
-        "cube_agg": q_cube_agg,
-        "stream_stream_join": q_stream_stream_join,
-        "unpivot": q_unpivot,
     }
 
 
@@ -3802,6 +3901,182 @@ _INCR_MM_SQL = """
                    round(max(x), 2) AS max_price
             FROM final GROUP BY g ORDER BY g
         """
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3,
+                       scale: int = 10 ** 6, offset: float = 1.0) -> str:
+    """Integer-exact Lloyd's k-means replayed as an unrolled CTE chain
+    (promoted from tools/kmeans_oracle_draft.py, validated EXACT at
+    sf0.001+sf0.01 in r09; the draft now imports this builder). One
+    recursive CTE cannot express the recurrence — each round reads the
+    previous centroids twice (assignment AND the empty-cluster
+    fallback), so the chain is unrolled per iteration: quantized
+    squared-L2 cross join -> row_number argmin with (dist, cid)
+    tie-break -> per-dimension integer mean with LEFT JOIN COALESCE
+    for empty clusters. ``CAST(x AS DOUBLE)`` inside the quantizer
+    lambda is load-bearing: DuckDB narrows float*double-literal to
+    FLOAT32 otherwise."""
+    parts = [f"""WITH q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor((CAST(x AS DOUBLE) + {offset!r}) * {float(scale)!r})
+              AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+)"""]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        parts.append(f"""d{it} AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(generate_series(1, len(q.qv)),
+                                 i -> (q.qv[i] - c.cv[i])
+                                      * (q.qv[i] - c.cv[i]))) AS d
+  FROM q CROSS JOIN c{p} c
+), a{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{it}) WHERE rn = 1
+), s{it} AS (
+  SELECT a.cid, t.i AS pos, SUM(q.qv[t.i])::BIGINT AS s,
+         COUNT(*)::BIGINT AS n
+  FROM a{it} a JOIN q USING (vec_id),
+       unnest(generate_series(1, len(q.qv))) t(i)
+  GROUP BY a.cid, t.i
+), n{it} AS (
+  SELECT cid, list(s // n ORDER BY pos) AS cv FROM s{it} GROUP BY cid
+), c{it} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv
+  FROM c{p} p LEFT JOIN n{it} nc ON nc.cid = p.cid
+)""")
+    parts.append(f"""df AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(generate_series(1, len(q.qv)),
+                                 i -> (q.qv[i] - c.cv[i])
+                                      * (q.qv[i] - c.cv[i]))) AS d
+  FROM q CROSS JOIN c{iterations} c
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id,
+       CAST(d AS BIGINT) AS dist_units
+FROM (SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cid) AS rn
+      FROM df) WHERE rn = 1
+ORDER BY vec_id""")
+    return ",\n".join(parts)
+
+
+def _cluster_sample_oracle_sql(k: int = 8, iterations: int = 3,
+                               per_cluster: int = 10) -> str:
+    """Cluster-balanced sample replay: the kmeans assignment chain +
+    per-cluster (md5(id), id) row_number <= per_cluster — the single-
+    window spelling the salted tournament provably equals (pinned in
+    tests/test_sampling.py)."""
+    return f"""WITH assigned AS (
+{_kmeans_oracle_sql(k=k, iterations=iterations)}
+)
+SELECT vec_id, cluster_id, dist_units FROM (
+  SELECT vec_id, cluster_id, dist_units,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                     vec_id) AS rn
+  FROM assigned) WHERE rn <= {per_cluster}
+ORDER BY cluster_id, vec_id"""
+
+
+# Per-node triangle counts over the part co-purchase graph, replayed as
+# a naive canonical-edge three-way self-join (promoted verbatim from
+# tools/triangle_oracle_draft.sql, validated EXACT at sf0.001+sf0.01 by
+# tools/validate_triangle_draft.py in r09).
+_TRIANGLE_ORACLE_SQL = """
+WITH pair0 AS (
+  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM pair0 UNION ALL SELECT v AS node FROM pair0
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pair0 e1
+  JOIN pair0 e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pair0 e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+per AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node, d.degree, COALESCE(p.triangles, 0) AS triangles
+FROM deg d LEFT JOIN per p USING (node)
+ORDER BY node
+"""
+
+
+def _bpe_oracle_sql(num_merges: int = 12, min_count: int = 1,
+                    min_pair_count: int = 2,
+                    max_word_types: int = 1_000_000) -> str:
+    """BPE training replayed step-by-step in SQL (promoted from
+    tools/bpe_oracle_draft.py, validated EXACT at sf0.001+sf0.01 in
+    r09; the draft now imports this builder): the word-frequency table
+    (same BPE_ISH_PATTERN pre-tokenization, same count-desc/word-asc
+    cap), then ``num_merges`` unrolled stages of [adjacent-pair count
+    -> (count desc, left, right) argmax -> greedy LEFT-TO-RIGHT merge
+    application as a positional recursive CTE]. Early stop
+    (best < min_pair_count) cascades through empty CTEs, so the SQL
+    stops exactly where the operator stops."""
+    pat = T.BPE_ISH_PATTERN.replace("'", "''")
+    parts = [f"""WITH RECURSIVE
+seq0 AS MATERIALIZED (
+  SELECT word, cnt, string_split(word, '') AS syms FROM (
+    SELECT word, COUNT(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+      FROM documents
+    ) WHERE length(word) > 0
+    GROUP BY word HAVING COUNT(*) >= {min_count}
+    ORDER BY cnt DESC, word LIMIT {max_word_types}
+  )
+)"""]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT syms[t.i] AS l, syms[t.i+1] AS r, SUM(cnt)::BIGINT AS c
+  FROM seq{p}, unnest(generate_series(1, len(syms) - 1)) t(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k}
+         WHERE c >= {min_pair_count}
+         ORDER BY c DESC, l, r LIMIT 1),
+a{k}(word, i, out) AS (
+  SELECT word, 1, []::VARCHAR[] FROM seq{p}
+  UNION ALL
+  SELECT a.word,
+    CASE WHEN a.i < len(s.syms) AND s.syms[a.i] = b.l
+              AND s.syms[a.i+1] = b.r THEN a.i + 2 ELSE a.i + 1 END,
+    CASE WHEN a.i < len(s.syms) AND s.syms[a.i] = b.l
+              AND s.syms[a.i+1] = b.r THEN list_append(a.out, b.l || b.r)
+         ELSE list_append(a.out, s.syms[a.i]) END
+  FROM a{k} a JOIN seq{p} s USING (word) CROSS JOIN b{k} b
+  WHERE a.i <= len(s.syms)
+),
+seq{k} AS MATERIALIZED (
+  SELECT a.word, s.cnt, a.out AS syms
+  FROM a{k} a JOIN seq{p} s USING (word)
+  WHERE a.i = len(s.syms) + 1
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS step, l AS \"left\", r AS \"right\", "
+        f"c AS pair_count FROM b{k}" for k in range(1, num_merges + 1))
+    parts.append(f"""merges AS (
+  {unions}
+)""")
+    return ",\n".join(parts) + "\nSELECT * FROM merges ORDER BY step"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6180,4 +6455,12 @@ def oracle_sql() -> dict[str, str]:
                    max(n) AS max_member
             FROM comp GROUP BY cluster_id ORDER BY cluster_id
         """
+    # r10 declarations — each builder validated EXACT at sf0.001+sf0.01
+    # in r09 before promotion (tools/kmeans_oracle_draft.py,
+    # tools/validate_triangle_draft.py, tools/bpe_oracle_draft.py).
+    d["kmeans"] = _kmeans_oracle_sql(k=8, iterations=3)
+    d["kmeans_sample"] = _cluster_sample_oracle_sql(k=8, iterations=3,
+                                                    per_cluster=10)
+    d["graph_triangles"] = _TRIANGLE_ORACLE_SQL
+    d["bpe_train"] = _bpe_oracle_sql(num_merges=12, min_pair_count=2)
     return d

@@ -23,61 +23,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pydata_vector_search_spark.functions.text import BPE_ISH_PATTERN  # noqa: E402
-
 
 def build_bpe_oracle_sql(num_merges: int = 12, min_count: int = 1,
                          min_pair_count: int = 2,
                          max_word_types: int = 1_000_000,
                          table: str = "documents",
                          text_col: str = "text") -> str:
-    pat = BPE_ISH_PATTERN.replace("'", "''")
-    parts = [f"""WITH RECURSIVE
-seq0 AS MATERIALIZED (
-  SELECT word, cnt, string_split(word, '') AS syms FROM (
-    SELECT word, COUNT(*)::BIGINT AS cnt FROM (
-      SELECT unnest(regexp_extract_all(lower({text_col}), '{pat}')) AS word
-      FROM {table}
-    ) WHERE length(word) > 0
-    GROUP BY word HAVING COUNT(*) >= {min_count}
-    ORDER BY cnt DESC, word LIMIT {max_word_types}
-  )
-)"""]
-    for k in range(1, num_merges + 1):
-        p = k - 1
-        parts.append(f"""p{k} AS MATERIALIZED (
-  SELECT syms[t.i] AS l, syms[t.i+1] AS r, SUM(cnt)::BIGINT AS c
-  FROM seq{p}, unnest(generate_series(1, len(syms) - 1)) t(i)
-  GROUP BY 1, 2
-),
-b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k}
-         WHERE c >= {min_pair_count}
-         ORDER BY c DESC, l, r LIMIT 1),
-a{k}(word, i, out) AS (
-  SELECT word, 1, []::VARCHAR[] FROM seq{p}
-  UNION ALL
-  SELECT a.word,
-    CASE WHEN a.i < len(s.syms) AND s.syms[a.i] = b.l
-              AND s.syms[a.i+1] = b.r THEN a.i + 2 ELSE a.i + 1 END,
-    CASE WHEN a.i < len(s.syms) AND s.syms[a.i] = b.l
-              AND s.syms[a.i+1] = b.r THEN list_append(a.out, b.l || b.r)
-         ELSE list_append(a.out, s.syms[a.i]) END
-  FROM a{k} a JOIN seq{p} s USING (word) CROSS JOIN b{k} b
-  WHERE a.i <= len(s.syms)
-),
-seq{k} AS MATERIALIZED (
-  SELECT a.word, s.cnt, a.out AS syms
-  FROM a{k} a JOIN seq{p} s USING (word)
-  WHERE a.i = len(s.syms) + 1
-)""")
-        # steps after an early stop see empty seq{k} -> empty b -> no row
-    unions = "\n  UNION ALL ".join(
-        f"SELECT {k}::BIGINT AS step, l AS \"left\", r AS \"right\", "
-        f"c AS pair_count FROM b{k}" for k in range(1, num_merges + 1))
-    parts.append(f"""merges AS (
-  {unions}
-)""")
-    return ",\n".join(parts) + "\nSELECT * FROM merges ORDER BY step"
+    """Promoted to __spark_entry__._bpe_oracle_sql in r10 (the declared
+    `bpe_train` query) — this wrapper delegates so the draft validator
+    and the declared oracle can never diverge."""
+    assert (table, text_col) == ("documents", "text"), \
+        "the promoted builder is fixed to the documents table"
+    from __spark_entry__ import _bpe_oracle_sql
+    return _bpe_oracle_sql(num_merges=num_merges, min_count=min_count,
+                           min_pair_count=min_pair_count,
+                           max_word_types=max_word_types)
 
 
 def main() -> None:

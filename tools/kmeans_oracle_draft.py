@@ -31,56 +31,15 @@ def build_kmeans_oracle_sql(k: int = 8, iterations: int = 3,
                             table: str = "embeddings",
                             vec_col: str = "embedding",
                             id_col: str = "vec_id") -> str:
-    parts = [f"""WITH q AS MATERIALIZED (
-  SELECT {id_col}, list_transform({vec_col},
-    x -> CAST(floor((CAST(x AS DOUBLE) + {offset!r}) * {float(scale)!r})
-              AS BIGINT)) AS qv
-  FROM {table}
-), c0 AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, qv AS cv
-  FROM (SELECT {id_col}, qv FROM q ORDER BY {id_col} LIMIT {k})
-)"""]
-    for it in range(1, iterations + 1):
-        p = it - 1
-        parts.append(f"""d{it} AS (
-  SELECT q.{id_col}, c.cid,
-         list_sum(list_transform(generate_series(1, len(q.qv)),
-                                 i -> (q.qv[i] - c.cv[i])
-                                      * (q.qv[i] - c.cv[i]))) AS d
-  FROM q CROSS JOIN c{p} c
-), a{it} AS MATERIALIZED (
-  SELECT {id_col}, cid FROM (
-    SELECT {id_col}, cid,
-           row_number() OVER (PARTITION BY {id_col} ORDER BY d, cid) AS rn
-    FROM d{it}) WHERE rn = 1
-), s{it} AS (
-  SELECT a.cid, t.i AS pos, SUM(q.qv[t.i])::BIGINT AS s,
-         COUNT(*)::BIGINT AS n
-  FROM a{it} a JOIN q USING ({id_col}),
-       unnest(generate_series(1, len(q.qv))) t(i)
-  GROUP BY a.cid, t.i
-), n{it} AS (
-  SELECT cid, list(s // n ORDER BY pos) AS cv FROM s{it} GROUP BY cid
-), c{it} AS MATERIALIZED (
-  SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv
-  FROM c{p} p LEFT JOIN n{it} nc ON nc.cid = p.cid
-)""")
-    fin = iterations
-    parts.append(f"""df AS (
-  SELECT q.{id_col}, c.cid,
-         list_sum(list_transform(generate_series(1, len(q.qv)),
-                                 i -> (q.qv[i] - c.cv[i])
-                                      * (q.qv[i] - c.cv[i]))) AS d
-  FROM q CROSS JOIN c{fin} c
-)
-SELECT {id_col}, CAST(cid AS INTEGER) AS cluster_id,
-       CAST(d AS BIGINT) AS dist_units
-FROM (SELECT {id_col}, cid, d,
-             row_number() OVER (PARTITION BY {id_col}
-                                ORDER BY d, cid) AS rn
-      FROM df) WHERE rn = 1
-ORDER BY {id_col}""")
-    return ",\n".join(parts)
+    """Promoted to __spark_entry__._kmeans_oracle_sql in r10 (the
+    declared `kmeans` query) — this wrapper delegates so the draft
+    validator and the declared oracle can never diverge."""
+    assert (table, vec_col, id_col) == ("embeddings", "embedding",
+                                        "vec_id"), \
+        "the promoted builder is fixed to the embeddings table"
+    from __spark_entry__ import _kmeans_oracle_sql
+    return _kmeans_oracle_sql(k=k, iterations=iterations, scale=scale,
+                              offset=offset)
 
 
 def build_cluster_sample_oracle_sql(k: int = 8, iterations: int = 3,
@@ -90,22 +49,15 @@ def build_cluster_sample_oracle_sql(k: int = 8, iterations: int = 3,
                                     table: str = "embeddings",
                                     vec_col: str = "embedding",
                                     id_col: str = "vec_id") -> str:
-    """Cluster-balanced sample replay: the kmeans assignment chain +
-    per-cluster (md5(id), id) row_number <= per_cluster — the single-
-    window spelling the salted tournament provably equals."""
-    base = build_kmeans_oracle_sql(k=k, iterations=iterations, scale=scale,
-                                   offset=offset, table=table,
-                                   vec_col=vec_col, id_col=id_col)
-    return f"""WITH assigned AS (
-{base}
-)
-SELECT {id_col}, cluster_id, dist_units FROM (
-  SELECT {id_col}, cluster_id, dist_units,
-         row_number() OVER (PARTITION BY cluster_id
-                            ORDER BY md5(CAST({id_col} AS VARCHAR)),
-                                     {id_col}) AS rn
-  FROM assigned) WHERE rn <= {per_cluster}
-ORDER BY cluster_id, {id_col}"""
+    """Promoted to __spark_entry__._cluster_sample_oracle_sql in r10
+    (the declared `kmeans_sample` query) — delegating wrapper, see
+    above."""
+    assert (table, vec_col, id_col, scale, offset) == (
+        "embeddings", "embedding", "vec_id", 10 ** 6, 1.0), \
+        "the promoted builder is fixed to the embeddings-table defaults"
+    from __spark_entry__ import _cluster_sample_oracle_sql
+    return _cluster_sample_oracle_sql(k=k, iterations=iterations,
+                                      per_cluster=per_cluster)
 
 
 def build_semdedup_kmeans_oracle_sql(k: int = 8, iterations: int = 3,

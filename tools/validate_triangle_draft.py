@@ -22,10 +22,9 @@ def main() -> None:
 
     spark = get_spark("triangle_draft")
     spark.sparkContext.setLogLevel("ERROR")
-    sql = open(os.path.join(os.path.dirname(__file__),
-                            "triangle_oracle_draft.sql")).read()
-    sql = "\n".join(ln for ln in sql.splitlines()
-                    if not ln.lstrip().startswith("--"))
+    # promoted in r10: the declared oracle constant IS the draft SQL —
+    # validate the live copy so the two can never diverge
+    from __spark_entry__ import _TRIANGLE_ORACLE_SQL as sql
     for d in dirs:
         li = spark.read.parquet(f"{d}/lineitem.parquet")
         a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
