@@ -215,7 +215,9 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
 
 def domain_token_cap(df: DataFrame, text_col: str, id_col: str,
                      domain_col: str, cap_tokens: int,
-                     quality_col=None) -> DataFrame:
+                     quality_col=None,
+                     distributed: bool = False,
+                     prefix_buckets: int = 64) -> DataFrame:
     """Per-DOMAIN token cap: within every ``domain_col`` group keep the
     highest-quality documents until that domain has spent
     ``cap_tokens`` tokens — the per-host/per-source downsampling gate
@@ -229,13 +231,47 @@ def domain_token_cap(df: DataFrame, text_col: str, id_col: str,
     Deterministic total order per domain: (rounded quality DESC — NULLs
     last, like the global op — then id ASC); a document is kept iff its
     inclusive running token total fits the cap (NULL token counts add
-    0). Scale shape: ONE window partitioned by domain — domains shard
-    across tasks, nothing global. A single WHALE domain puts its rows
-    through one task (the grouped-window bound `operators/sampling`
-    documents); at that regime pre-slice the whale with
-    ``select_token_budget``'s sub-bucket prefix-sum machinery or raise
-    ``cap_tokens`` granularity — for the many-modest-domains shape this
-    gate exists for, the plain partitioned window IS the right plan."""
+    0).
+
+    Scale shape, default path: ONE window partitioned by domain —
+    domains shard across tasks, nothing global; for the
+    many-modest-domains shape this gate exists for, that IS the right
+    plan. A single WHALE domain, however, puts its rows through one
+    task (the grouped-window bound ``operators/sampling`` documents) —
+    and the salted top-n TOURNAMENT is provably LOSSY for a running-sum
+    cap (a locally-over-cap doc removed at level 1 subtracts its token
+    mass from every later doc's cumulative sum, so docs past the true
+    boundary sneak back in — prefix sums are not order-local the way
+    ranks are; pinned by a counterexample in tests). The whale-safe
+    spelling is ``distributed=True``: the per-domain sibling of
+    ``select_token_budget``'s histogram routing, with the driver-side
+    histogram replaced by BUCKET-LEVEL WINDOWS so there is no
+    per-domain driver state at all (a collected histogram would be
+    |domains| x |buckets| rows — not metadata-sized at web scale):
+
+    1. one aggregate: (domain, rounded-quality bucket) token totals +
+       id ranges — map-side combinable, bucket-table-sized;
+    2. a window over the BUCKET table partitioned by domain computes
+       inclusive/exclusive running bucket totals in quality order —
+       per-task input is one domain's bucket count, never its rows —
+       and routes each bucket: fully-kept (inclusive total <= cap),
+       boundary (exclusive < cap < inclusive, residual = cap -
+       exclusive), dropped;
+    3. fully-kept buckets pass with one hash join; ONLY boundary-bucket
+       rows run a running-sum window, partitioned by (domain, bucket,
+       id-range sub-bucket) with per-sub-bucket offsets computed by a
+       second bucket-level window (``prefix_buckets`` deterministic
+       id-range slices — the ``select_token_budget`` r08 machinery,
+       driver-free) — so no task ever sees more than
+       ~|boundary bucket|/prefix_buckets rows, even when a whale
+       domain's docs all share one quality value.
+
+    The distributed branch needs an integral ``id_col`` for the
+    id-range arithmetic (the same contract as ``select_token_budget``)
+    and returns EXACTLY the default path's rows (equality pinned in
+    tests, including the all-one-quality whale). Cost: two extra
+    bucket-sized shuffles — insurance to buy when domains can exceed a
+    task, not by default."""
     from pyspark.sql import Window
 
     from pydata_vector_search_spark.functions.text import (quality_score,
@@ -247,9 +283,87 @@ def domain_token_cap(df: DataFrame, text_col: str, id_col: str,
     base = (df.withColumn("__qb", F.round(q, 6))
               .withColumn("__nt", F.coalesce(
                   token_count(text_col).cast("long"), F.lit(0))))
-    w = (Window.partitionBy(domain_col)
-         .orderBy(F.col("__qb").desc_nulls_last(), F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (base.withColumn("__cum", F.sum("__nt").over(w))
-                .filter(F.col("__cum") <= cap_tokens)
-                .drop("__qb", "__nt", "__cum"))
+    if not distributed:
+        w = (Window.partitionBy(domain_col)
+             .orderBy(F.col("__qb").desc_nulls_last(), F.col(id_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (base.withColumn("__cum", F.sum("__nt").over(w))
+                    .filter(F.col("__cum") <= cap_tokens)
+                    .drop("__qb", "__nt", "__cum"))
+
+    if prefix_buckets < 1:
+        raise ValueError(f"domain_token_cap: prefix_buckets must be "
+                         f">= 1, got {prefix_buckets}")
+    from pyspark.sql import types as _T
+    id_dt = df.schema[id_col].dataType
+    if not isinstance(id_dt, (_T.ByteType, _T.ShortType, _T.IntegerType,
+                              _T.LongType)):
+        raise TypeError(
+            f"domain_token_cap(distributed=True): id column {id_col!r} "
+            f"has type {id_dt.simpleString()}; the id-range sub-bucket "
+            "arithmetic needs an integral id — use the default path or "
+            "derive a dense long id first")
+    # the base lineage feeds the bucket aggregate AND both output
+    # branches — materialize the quality/token expressions once
+    # (the select_token_budget boundary_src lesson, r08 ADVICE)
+    base = base.localCheckpoint(eager=False)
+    dom, qb = F.col(domain_col), F.col("__qb")
+    # 1. bucket stats (map-side combinable; bucket-table-sized)
+    bstats = (base.groupBy(dom.alias("__d"), qb.alias("__b"))
+              .agg(F.sum("__nt").alias("__bt"),
+                   F.min(F.col(id_col).cast("long")).alias("__bmin"),
+                   F.max(F.col(id_col).cast("long")).alias("__bmax")))
+    # 2. bucket-level routing window: per-task input = one domain's
+    # bucket count (<= distinct rounded qualities), never its rows
+    wq = (Window.partitionBy("__d")
+          .orderBy(F.col("__b").desc_nulls_last())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    routed = (bstats
+              .withColumn("__inc", F.sum("__bt").over(wq))
+              .withColumn("__exc", F.col("__inc") - F.col("__bt")))
+    keep_b = (routed.filter(F.col("__inc") <= cap_tokens)
+              .select("__d", "__b"))
+    bound_b = (routed.filter((F.col("__exc") <= cap_tokens)
+                             & (F.col("__inc") > cap_tokens))
+               .select("__d", "__b",
+                       (F.lit(cap_tokens).cast("long") - F.col("__exc"))
+                       .alias("__res"), "__bmin",
+                       # exact LONG division (`div`), never through a
+                       # double — ids beyond 2^53 keep exact sub-bucket
+                       # identity (the select_token_budget discipline)
+                       F.greatest(
+                           F.lit(1).cast("long"),
+                           F.expr(f"((__bmax - __bmin) div "
+                                  f"{int(prefix_buckets)}L) + 1L"))
+                       .alias("__width")))
+    # NULL-safe join keys on BOTH columns: a NULL domain forms its own
+    # group in the default path's window partitioning, and __qb is NULL
+    # for NULL-quality docs — eqNullSafe keeps both joinable
+    kept = base.join(keep_b, dom.eqNullSafe(F.col("__d"))
+                     & qb.eqNullSafe(F.col("__b"))) \
+               .drop("__d", "__b")
+    # 3. boundary rows only: id-range sub-buckets + a second
+    # bucket-level window for the exclusive prefix offsets (driver-free)
+    brows = (base.join(bound_b, dom.eqNullSafe(F.col("__d"))
+                       & qb.eqNullSafe(F.col("__b")))
+             .withColumn("__pb",
+                         F.expr(f"(cast(`{id_col.replace('`', '``')}` "
+                                "as bigint) - __bmin) div __width"))
+             .localCheckpoint(eager=False))
+    sstats = (brows.groupBy("__d", "__b", "__pb")
+              .agg(F.sum("__nt").alias("__ss")))
+    wp = (Window.partitionBy("__d", "__b").orderBy("__pb")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (sstats.withColumn("__off", F.coalesce(F.sum("__ss").over(wp),
+                                                  F.lit(0).cast("long")))
+            .select("__d", "__b", "__pb", "__off"))
+    wi = (Window.partitionBy(F.col("__d"), F.col("__b"), F.col("__pb"))
+          .orderBy(F.col(id_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary = (brows.join(offs, ["__d", "__b", "__pb"])
+                .withColumn("__cum", F.col("__off")
+                            + F.sum("__nt").over(wi))
+                .filter(F.col("__cum") <= F.col("__res"))
+                .drop("__d", "__b", "__pb", "__off", "__cum",
+                      "__res", "__bmin", "__width"))
+    return kept.unionByName(boundary).drop("__qb", "__nt")

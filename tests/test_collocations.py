@@ -12,37 +12,9 @@ from pydata_vector_search_spark.operators.collocations import \
 
 SF = "/root/testdata/sf0.01"
 
-_ORACLE = r"""
-WITH toks AS (
-  SELECT regexp_split_to_array(trim(regexp_replace(lower(text),
-                                                   '\s+', ' ', 'g')),
-                               ' ') AS tk
-  FROM documents
-), big AS (
-  SELECT tk[i] || ' ' || tk[i+1] AS bg
-  FROM (SELECT generate_subscripts(tk, 1) AS i, tk FROM toks)
-  WHERE i < len(tk)
-), bc AS (
-  SELECT bg, count(*)::BIGINT AS c FROM big GROUP BY bg
-), nn AS (
-  SELECT sum(c)::BIGINT AS n FROM bc
-), lefts AS (
-  SELECT split_part(bg, ' ', 1) AS w, sum(c)::BIGINT AS cl
-  FROM bc GROUP BY 1
-), rights AS (
-  SELECT split_part(bg, ' ', 2) AS w, sum(c)::BIGINT AS cr
-  FROM bc GROUP BY 1
-)
-SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
-       c AS pair_count,
-       floor(ln((c::DOUBLE * n) / (cl::DOUBLE * cr))
-             * 1000000 + 0.5)::BIGINT AS pmi_micro
-FROM bc
-JOIN lefts  ON split_part(bg, ' ', 1) = lefts.w
-JOIN rights ON split_part(bg, ' ', 2) = rights.w, nn
-WHERE c >= {mc}
-ORDER BY pmi_micro DESC, pair_count DESC, w1, w2 LIMIT {k}
-"""
+# the oracle SQL lives in tools/collocations_oracle_draft.py (the
+# r11 declaration draft) — imported so test and draft cannot diverge
+from tools.collocations_oracle_draft import _ORACLE  # noqa: E402
 
 
 def test_pmi_matches_duckdb_on_testdata(spark):

@@ -73,3 +73,93 @@ def test_domain_cap_independent_domains(spark):
             domain_token_cap(df, "text", "doc_id", "src",
                              cap_tokens=100).collect()}
     assert 100 in kept and len(kept & set(range(10))) == 2  # 2*50 <= 100
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_distributed_path_equals_default_on_real_data(spark):
+    # r10: the driver-free bucket-routed whale path must return EXACTLY
+    # the single-window rows, on real data with NULL texts included.
+    docs = read_table(spark, SF, "documents")
+    for cap in (0, 600, 5_000):
+        got = _ids(domain_token_cap(docs, "text", "doc_id", "source",
+                                    cap_tokens=cap, distributed=True))
+        want = _ids(domain_token_cap(docs, "text", "doc_id", "source",
+                                     cap_tokens=cap))
+        assert got == want, cap
+
+
+def test_distributed_path_one_quality_whale(spark):
+    # whale domain where every doc shares ONE quality value: the
+    # boundary bucket IS the whole domain, so the id-range sub-bucket
+    # machinery alone bounds per-task input — and must stay exact,
+    # including the mid-sub-bucket cutoff.
+    rows = [(i, "same same same", "whale") for i in range(500)] + \
+           [(1000, "other words here", "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    for cap in (7, 100, 3 * 137, 10_000):
+        got = _ids(domain_token_cap(df, "text", "doc_id", "src",
+                                    cap_tokens=cap, distributed=True,
+                                    prefix_buckets=8))
+        want = _ids(domain_token_cap(df, "text", "doc_id", "src",
+                                     cap_tokens=cap))
+        assert got == want, cap
+
+
+def test_distributed_path_null_domain_and_quality(spark):
+    # NULL domain is its own group; NULL text is the NULL-quality
+    # bucket sorting last — both must survive the null-safe joins.
+    rows = [(1, "alpha beta gamma delta", None),
+            (2, None, None),
+            (3, "words words", "a"),
+            (4, None, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    for cap in (0, 2, 10_000):
+        got = _ids(domain_token_cap(df, "text", "doc_id", "src",
+                                    cap_tokens=cap, distributed=True))
+        want = _ids(domain_token_cap(df, "text", "doc_id", "src",
+                                     cap_tokens=cap))
+        assert got == want, cap
+
+
+def test_distributed_path_guards(spark):
+    df = spark.createDataFrame([("x", "t", "a")],
+                               "doc_id string, text string, src string")
+    with pytest.raises(TypeError, match="integral"):
+        domain_token_cap(df, "text", "doc_id", "src", cap_tokens=5,
+                         distributed=True)
+    ok = spark.createDataFrame([(1, "t", "a")],
+                               "doc_id long, text string, src string")
+    with pytest.raises(ValueError, match="prefix_buckets"):
+        domain_token_cap(ok, "text", "doc_id", "src", cap_tokens=5,
+                         distributed=True, prefix_buckets=0)
+
+
+def test_tournament_is_lossy_for_running_sums(spark):
+    # The counterexample the docstring cites: cap=10, one bucket holds
+    # [11] (over cap alone), another holds [5] ranked after it. True
+    # semantics drop BOTH (the first doc busts the cap, so every later
+    # doc's inclusive cum > cap); a salted level-1 local-cum filter
+    # would remove the 11-token doc and let the 5-token doc's survivor
+    # cum pass. Pins WHY domain_token_cap has no tournament branch.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    rows = [(1, 11, "d"), (2, 5, "d")]
+    df = spark.createDataFrame(rows, "doc_id long, nt long, src string")
+    cap = 10
+    w = (Window.partitionBy("src").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    true_kept = _ids(df.withColumn("c", F.sum("nt").over(w))
+                     .filter(F.col("c") <= cap))
+    assert true_kept == []
+    # tournament: salt doc 1 and doc 2 into different buckets
+    salted = df.withColumn("salt", F.col("doc_id") % 2)
+    w1 = (Window.partitionBy("src", "salt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lvl1 = (salted.withColumn("c1", F.sum("nt").over(w1))
+            .filter(F.col("c1") <= cap))
+    lvl2 = (lvl1.withColumn("c2", F.sum("nt").over(w))
+            .filter(F.col("c2") <= cap))
+    assert _ids(lvl2) == [2]  # wrongly kept — the lossiness witness

@@ -30,7 +30,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CC_QUERIES = ("dedup_clusters", "dedup_clusters_dist",
-              "dedup_keep_best", "semantic_dedup")
+              "dedup_keep_best", "semantic_dedup",
+              # r11-staged: activates automatically once declared (its
+              # draft oracle embeds the same reach/comp idiom and an
+              # `edges(u, v)` CTE — verified against
+              # tools/kmeans_oracle_draft.build_semdedup_kmeans_oracle_sql)
+              "semdedup_kmeans")
 
 # the shared closure idiom every CC oracle embeds, verbatim shape:
 #   ), reach AS ( ... recursive ... ), comp AS (
@@ -93,6 +98,8 @@ def main() -> None:
     qs, oracles = entry.queries(), entry.oracle_sql()
     results, failures = {}, []
     for name in CC_QUERIES:
+        if name not in oracles:        # staged, not yet declared
+            continue
         t0 = time.time()
         prefix, ncol, label, tail = _split(oracles[name])
         edges = con.sql(prefix + ") SELECT u, v FROM edges").fetchall()
