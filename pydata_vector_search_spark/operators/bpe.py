@@ -91,37 +91,24 @@ def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def bpe_train(df: DataFrame, text_col: str, num_merges: int = 50,
-              min_count: int = 1, min_pair_count: int = 2,
-              max_word_types: int = 1_000_000) -> DataFrame:
-    """Learn ``num_merges`` BPE merges from the corpus; returns the
-    merge table ``(step, left, right, pair_count)`` — step is 1-based
-    learned order (= application priority), ``pair_count`` the exact
-    summed frequency that won the step.
+def _learn_merges(freq: list[tuple[str, int]], num_merges: int,
+                  min_pair_count: int) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge induction over a word-frequency table.
 
-    The returned table is merges-sized (tiny); the corpus is scanned
-    exactly once by ``word_frequencies``."""
-    if num_merges < 0:
-        raise ValueError(f"bpe_train: num_merges must be >= 0, "
-                         f"got {num_merges}")
-    freq = [(r["word"], r["cnt"])
-            for r in word_frequencies(df, text_col, min_count=min_count,
-                                      max_word_types=max_word_types)
-            .collect()]
-    spark = df.sparkSession
-    schema = "step long, left string, right string, pair_count long"
-    if not freq:
-        return spark.createDataFrame([], schema)
-    # INCREMENTAL pair counting (the standard fast-BPE structure, r09
-    # verdict watch item): one full pass builds (a) the global pair
-    # counts, (b) an inverted index pair -> word indices, (c) a lazy
-    # max-heap over (-count, left, right). Each merge then touches ONLY
-    # the words containing the winning pair — their old pair multiset
-    # is subtracted, the merge applied, the new multiset added — so a
-    # step costs O(affected words * word length + log heap), not the
-    # previous O(all words * total symbols) full recount. 30k-merge
-    # tokenizer runs become driver-feasible; output is bit-identical
-    # (the brute-force recount stays pinned as a test reference).
+    INCREMENTAL pair counting (the standard fast-BPE structure, r09
+    verdict watch item): one full pass builds (a) the global pair
+    counts, (b) an inverted index pair -> word indices, (c) a lazy
+    max-heap over (-count, left, right). Each merge then touches ONLY
+    the words containing the winning pair — their old pair multiset
+    is subtracted, the merge applied, the new multiset added — so a
+    step costs O(affected words * word length + log heap), not a full
+    O(all words * total symbols) recount per step. Measured on a
+    synthetic 192k-type Zipf vocabulary at 2,000 merges
+    (tools/bpe_deep_bench.py): incremental 49.5 s vs 2,296 s projected
+    for the recount loop — 46x, putting a 30k-merge tokenizer run at
+    ~12 driver-minutes where the recount shape was hours; output is
+    bit-identical (the brute-force recount stays pinned as a test
+    reference and re-asserted by the bench tool)."""
     import heapq
 
     seqs: list[tuple[list[str], int]] = [(list(w), c) for w, c in freq]
@@ -183,6 +170,31 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int = 50,
             merged = _merge_word(syms, left, right)
             seqs[i] = (merged, c)
             _account(i, merged, c, +1)
+    return merges
+
+
+def bpe_train(df: DataFrame, text_col: str, num_merges: int = 50,
+              min_count: int = 1, min_pair_count: int = 2,
+              max_word_types: int = 1_000_000) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    merge table ``(step, left, right, pair_count)`` — step is 1-based
+    learned order (= application priority), ``pair_count`` the exact
+    summed frequency that won the step.
+
+    The returned table is merges-sized (tiny); the corpus is scanned
+    exactly once by ``word_frequencies``."""
+    if num_merges < 0:
+        raise ValueError(f"bpe_train: num_merges must be >= 0, "
+                         f"got {num_merges}")
+    freq = [(r["word"], r["cnt"])
+            for r in word_frequencies(df, text_col, min_count=min_count,
+                                      max_word_types=max_word_types)
+            .collect()]
+    spark = df.sparkSession
+    schema = "step long, left string, right string, pair_count long"
+    if not freq:
+        return spark.createDataFrame([], schema)
+    merges = _learn_merges(freq, num_merges, min_pair_count)
     return spark.createDataFrame(merges, schema)
 
 

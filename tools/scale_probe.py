@@ -7,7 +7,7 @@ skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
 paragraph span lm lm_capped dsir budget winnow classify pagerank
 pagerank_capped pagerank_linear kmeans semdedup_kmeans topn
-triangles triangles_linear bpe.
+triangles triangles_linear bpe domaincap.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -40,7 +40,7 @@ def main() -> None:
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
                      "lm_capped", "dsir", "budget", "winnow", "classify",
                      "pagerank", "pagerank_capped", "pagerank_linear", "topn",
-                     "triangles", "triangles_linear", "bpe")
+                     "triangles", "triangles_linear", "bpe", "domaincap")
     need_emb = want("knn", "matmul", "semantic", "ivfpq", "kmeans",
                     "semdedup_kmeans")
     bd = be = None
@@ -351,6 +351,29 @@ def main() -> None:
                   budget_tokens=n_copies * 120_000,
                   quality_col=one, max_boundary_task_rows=0,
                   prefix_buckets=64).count())
+    if want("domaincap"):
+        # r10: per-domain token cap, WHALE shape — one synthetic domain
+        # holds half the corpus (the regime the distributed branch
+        # exists for), the rest shard across 20 modest domains. Times
+        # the default single-window path against the bucket-routed
+        # driver-free branch; both must return the same row count.
+        from pydata_vector_search_spark.operators.text_ops import \
+            domain_token_cap
+        dsrc = bd.withColumn(
+            "dom", F.when(F.col("doc_id") % 2 == 0, F.lit("whale"))
+                    .otherwise(F.concat(F.lit("d"),
+                                        (F.col("doc_id") % 20)
+                                        .cast("string"))))
+        cap = n_copies * 30_000
+        res = {}
+        timed("domain cap DEFAULT (whale domain through one task)",
+              lambda: res.setdefault("a", domain_token_cap(
+                  dsrc, "text", "doc_id", "dom", cap_tokens=cap).count()))
+        timed("domain cap DISTRIBUTED (bucket-routed, driver-free)",
+              lambda: res.setdefault("b", domain_token_cap(
+                  dsrc, "text", "doc_id", "dom", cap_tokens=cap,
+                  distributed=True).count()))
+        assert res["a"] == res["b"], res
     if want("classify"):
         # r08: NB corpus classifier — train on the replicated corpus's
         # lang labels, score the whole corpus; counts map-side
