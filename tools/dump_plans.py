@@ -312,6 +312,45 @@ NOTES = {
         "driver-side in a microsecond union-find — at 100 TB the same "
         "call runs the O(log n) pointer-jumping loop, identical "
         "labels (pinned in tests)."),
+    "kmeans": (
+        "Integer-exact k-means assignment (r10): the plan is the FINAL "
+        "assignment pass only — one Arrow-batched pandas_udf argmin "
+        "over the checkpointed projection, no shuffle, no join (the "
+        "k·d model rides in the task closure). The three training "
+        "iterations each ran posexplode + a map-side-combined hash "
+        "aggregate whose shuffle is partitions·k·d rows; their "
+        "lineage is gone from this plan by construction."),
+    "kmeans_sample": (
+        "Cluster-balanced sampling (r10): the k-means argmin pass "
+        "feeding the salted TOURNAMENT — two window stages, the first "
+        "partitioned by (cluster, salt) so per-task input is bounded "
+        "at |cluster|/salt_buckets, the second over the <= salt·n "
+        "survivors. No whale-cluster single-task sort anywhere; the "
+        "DuckDB oracle runs the single-window spelling the tournament "
+        "provably equals."),
+    "graph_triangles": (
+        "Edge-iterator triangle counting (r10): degree-ordered "
+        "orientation (two broadcast-able degree joins), out-adjacency "
+        "arrays via collect_list (bounded O(sqrt E) per node by the "
+        "orientation), then each oriented edge hash-joins both "
+        "endpoints' arrays and intersects them in a catalyst "
+        "expression — candidate wedges are never materialized as "
+        "rows (the wedge spelling's 72M-row exchange on this graph; "
+        "3.7x slower, heap-bound at the 100x probe). The explode "
+        "feeds partial aggregation in the same stage. The dumped "
+        "plan shows only the post-checkpoint scan — the result is "
+        "eagerly materialized and lineage-truncated inside the "
+        "operator (the pagerank discipline), so the executed stages "
+        "live behind the ExistingRDD barrier."),
+    "bpe_train": (
+        "BPE vocabulary induction (r10): the ONLY corpus-sized work "
+        "in the plan is the word-frequency aggregate (explode + "
+        "map-side-combined count, shuffled by word type, capped by a "
+        "deterministic (count desc, word) TakeOrdered); the merge "
+        "loop is driver-side over that bounded table — incremental "
+        "pair counting, O(affected words) per merge — and the "
+        "returned merge table is merges-sized, re-parallelized via "
+        "createDataFrame."),
 }
 
 
