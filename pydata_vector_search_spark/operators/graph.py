@@ -75,11 +75,19 @@ def connected_components(edges: DataFrame, src: str = "src",
     from pyspark.sql import types as T
     for c in (src, dst):
         dt = edges.schema[c].dataType
-        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
-                               T.LongType)):
+        # scale-0 decimals with <= 18 digits (common in parquet/TPC-H
+        # writers) cast to long exactly, so they stay allowed; wider or
+        # fractional decimals would overflow/truncate to NULL, which is
+        # the silent-no-op failure this guard exists for (r09/r10 ADVICE)
+        integral = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                                   T.LongType)) or (
+            isinstance(dt, T.DecimalType)
+            and dt.scale == 0 and dt.precision <= 18)
+        if not integral:
             raise TypeError(
                 f"connected_components: edge column {c!r} has type "
-                f"{dt.simpleString()}; node ids must be integral — map "
+                f"{dt.simpleString()}; node ids must be integral (or "
+                "decimal(<=18, 0), which casts to long exactly) — map "
                 "string/other ids to longs first (e.g. a dense id via "
                 "zipWithIndex/monotonically_increasing_id + join back)")
     e = edges.select(F.col(src).cast("long").alias("u"),

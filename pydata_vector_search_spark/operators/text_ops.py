@@ -255,8 +255,9 @@ def domain_token_cap(df: DataFrame, text_col: str, id_col: str,
        inclusive/exclusive running bucket totals in quality order —
        per-task input is one domain's bucket count, never its rows —
        and routes each bucket: fully-kept (inclusive total <= cap),
-       boundary (exclusive < cap < inclusive, residual = cap -
-       exclusive), dropped;
+       boundary (exclusive <= cap < inclusive, residual = cap -
+       exclusive; the <= keeps zero-token rows when a bucket boundary
+       lands exactly on the cap), dropped;
     3. fully-kept buckets pass with one hash join; ONLY boundary-bucket
        rows run a running-sum window, partitioned by (domain, bucket,
        id-range sub-bucket) with per-sub-bucket offsets computed by a
@@ -354,16 +355,24 @@ def domain_token_cap(df: DataFrame, text_col: str, id_col: str,
               .agg(F.sum("__nt").alias("__ss")))
     wp = (Window.partitionBy("__d", "__b").orderBy("__pb")
           .rowsBetween(Window.unboundedPreceding, -1))
+    # __d is NULL for the NULL domain and __b for the NULL-quality
+    # bucket (both legitimate groups in the default path's window) — a
+    # plain equi-join would silently drop their boundary rows, so every
+    # key joins eqNullSafe (__pb included: a NULL id yields a NULL
+    # sub-bucket, mirroring its NULLS-FIRST slot in the default order)
     offs = (sstats.withColumn("__off", F.coalesce(F.sum("__ss").over(wp),
                                                   F.lit(0).cast("long")))
-            .select("__d", "__b", "__pb", "__off"))
+            .select(F.col("__d").alias("__od"), F.col("__b").alias("__ob"),
+                    F.col("__pb").alias("__opb"), "__off"))
     wi = (Window.partitionBy(F.col("__d"), F.col("__b"), F.col("__pb"))
           .orderBy(F.col(id_col))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    boundary = (brows.join(offs, ["__d", "__b", "__pb"])
+    boundary = (brows.join(offs, F.col("__d").eqNullSafe(F.col("__od"))
+                           & F.col("__b").eqNullSafe(F.col("__ob"))
+                           & F.col("__pb").eqNullSafe(F.col("__opb")))
                 .withColumn("__cum", F.col("__off")
                             + F.sum("__nt").over(wi))
                 .filter(F.col("__cum") <= F.col("__res"))
-                .drop("__d", "__b", "__pb", "__off", "__cum",
-                      "__res", "__bmin", "__width"))
+                .drop("__d", "__b", "__pb", "__od", "__ob", "__opb",
+                      "__off", "__cum", "__res", "__bmin", "__width"))
     return kept.unionByName(boundary).drop("__qb", "__nt")

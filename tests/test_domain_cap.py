@@ -124,6 +124,55 @@ def test_distributed_path_null_domain_and_quality(spark):
         assert got == want, cap
 
 
+def test_distributed_null_keys_in_keepable_boundary_bucket(spark):
+    # r10 ADVICE repro: the boundary-offset join must be NULL-safe on
+    # __d AND __b. Quality ladder 0.9 (1 tok) -> 0.5 (2 tok) -> NULL
+    # bucket (0 tok + 3 tok) with cap=5: the NULL-quality bucket is the
+    # BOUNDARY bucket (exc=3 <= 5 < inc=6) and its zero-token doc 3
+    # fits the residual — a plain equi-join silently dropped it. Run
+    # the same shape with a real domain and with a NULL domain.
+    from pyspark.sql import functions as F
+    for dom in ("a", None):
+        rows = [(1, "w", 0.9, dom), (2, "w w", 0.5, dom),
+                (3, "", None, dom), (4, "w w w", None, dom)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, q double, src string")
+        want = _ids(domain_token_cap(df, "text", "doc_id", "src",
+                                     cap_tokens=5, quality_col=F.col("q")))
+        assert want == [1, 2, 3], dom   # boundary-keep really exercised
+        got = _ids(domain_token_cap(df, "text", "doc_id", "src",
+                                    cap_tokens=5, quality_col=F.col("q"),
+                                    distributed=True))
+        assert got == want, dom
+
+
+def test_distributed_equality_fuzz_with_null_keys(spark):
+    # seeded fuzz (r10 ADVICE follow-up): random corpora where NULL
+    # domains and NULL qualities routinely land in boundary buckets,
+    # swept across caps; distributed must equal default every time.
+    import random
+
+    from pyspark.sql import functions as F
+    rng = random.Random(11)
+    for trial in range(4):
+        rows = [(i,
+                 "" if rng.random() < 0.15
+                 else "w " * rng.randrange(1, 6),
+                 None if rng.random() < 0.3
+                 else round(rng.choice([0.2, 0.5, 0.9]), 6),
+                 rng.choice([None, "a", "b"]))
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, q double, src string")
+        for cap in (0, 1, 4, 9, 50):
+            kw = dict(cap_tokens=cap, quality_col=F.col("q"))
+            got = _ids(domain_token_cap(df, "text", "doc_id", "src",
+                                        distributed=True,
+                                        prefix_buckets=4, **kw))
+            want = _ids(domain_token_cap(df, "text", "doc_id", "src", **kw))
+            assert got == want, (trial, cap)
+
+
 def test_distributed_path_guards(spark):
     df = spark.createDataFrame([("x", "t", "a")],
                                "doc_id string, text string, src string")

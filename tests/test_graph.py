@@ -117,6 +117,24 @@ def test_non_integral_ids_raise(spark):
         connected_components(e)
 
 
+def test_scale0_decimal_ids_allowed(spark):
+    # r10 ADVICE: decimal(p<=18, 0) ids (common in parquet/TPC-H
+    # writers) cast to long exactly — they must keep working; wide or
+    # fractional decimals still raise.
+    from pyspark.sql import functions as F
+    e = (spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "s long, d long")
+         .select(F.col("s").cast("decimal(18,0)").alias("src"),
+                 F.col("d").cast("decimal(18,0)").alias("dst")))
+    got = {(r.node, r.component) for r in connected_components(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    bad = e.select(F.col("src").cast("decimal(20,0)").alias("src"), "dst")
+    with pytest.raises(TypeError, match="must be integral"):
+        connected_components(bad)
+    frac = e.select(F.col("src").cast("decimal(10,2)").alias("src"), "dst")
+    with pytest.raises(TypeError, match="must be integral"):
+        connected_components(frac)
+
+
 def test_semantic_dedup_kmeans_rejects_string_ids(spark):
     from pydata_vector_search_spark.operators.clustering import \
         semantic_dedup_kmeans
