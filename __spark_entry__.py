@@ -3377,6 +3377,70 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("step"))
 
 
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with its ACTUAL k-means partitioner (r11; staged +
+    oracle-validated r10): the paper-faithful pipeline (Abbas et al.
+    2023, arXiv:2303.09540) the clustering family was built for —
+    integer-exact k-means clusters, within-cluster rounded-cosine
+    pairs, connected-components transitive hull, min-id survivor —
+    composed from the three independently-declared primitives (kmeans,
+    the semantic_dedup tail, CC) into one lineage
+    (operators/clustering.py:273). The oracle replays the whole chain:
+    the unrolled kmeans CTE feeding a pair self-join + recursive-CTE
+    components + anti-join, rolled up per label so survivor MEMBERSHIP
+    is value-hash checked. Scale shape: pair generation is one
+    cluster-key shuffle with per-task input |cluster| (the Arrow
+    triu pass), components is O(log n) pointer-jump rounds, the doomed
+    side is dup-count-sized (AQE broadcast)."""
+    from pydata_vector_search_spark.operators.clustering import \
+        semantic_dedup_kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = semantic_dedup_kmeans(emb, "embedding", "vec_id", k=8,
+                                 iterations=3, threshold=0.3, round_to=6)
+    return (kept.groupBy("label")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                     F.sum("vec_id").cast("long").alias("id_sum"))
+                .orderBy("label"))
+
+
+def q_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token cap (r11; staged + oracle-validated r10),
+    declared on the DISTRIBUTED branch — the whale-safe bucket-routed
+    spelling (operators/text_ops.py:216) that puts the scale path
+    under the driver hash (the kmeans_sample precedent): per-domain
+    quality-ordered running token total <= cap, with bucket-level
+    windows replacing both the per-domain driver state AND the
+    single-task whale window; only boundary-bucket rows run a
+    running-sum window, partitioned down to id-range sub-buckets. The
+    oracle is the naive per-domain window the branch provably equals
+    (NULL-key joins eqNullSafe — the r10 ADVICE fix — with the repro
+    and a NULL-key fuzz pinned in tests/test_domain_cap.py)."""
+    from pydata_vector_search_spark.operators.text_ops import \
+        domain_token_cap
+    docs = _t(spark, sf_dir, "documents")
+    kept = domain_token_cap(docs, "text", "doc_id", "source",
+                            cap_tokens=600, distributed=True)
+    return (kept.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "source")
+                .orderBy("doc_id"))
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (r11; staged + oracle-validated r10):
+    top-30 adjacent-bigram collocations by pointwise mutual
+    information (operators/collocations.py:43) — corpus-level phrase
+    discovery, the statistics complement of the bigram-LM scorer.
+    Exact long counts; the one float is a single ln of the fixed-
+    association integer ratio floored to micro-nats, so the DuckDB
+    replay is bit-identical. Scale shape: one exploded bigram hash
+    aggregate (map-side combined), marginals aggregated over the
+    distinct-PAIR table, TakeOrderedAndProject top-k."""
+    from pydata_vector_search_spark.operators.collocations import \
+        collocations_pmi
+    docs = _t(spark, sf_dir, "documents")
+    return collocations_pmi(docs, "text", min_count=5, top_k=30)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3399,30 +3463,123 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-10 rotation (the r09 verdict's forward constraint):
-        # --- (a) the 4 r10-NEW queries — the integer-exact k-means
-        # --- assignment, its cluster-balanced-sample composition, the
-        # --- degree-ordered triangle count, and BPE vocabulary
-        # --- induction — all staged in r09 with oracle drafts
-        # --- validated EXACT at two SFs before declaration;
-        # --- (b) pagerank, whose node-encoding code path r10 changed
-        # --- (the parity relabeling closing the r09 ADVICE collision
-        # --- item — rank values provably unchanged, but a changed path
-        # --- gets a driver re-check); (c) ALL 45 queries whose latest
-        # --- driver-green row is r07 — they reach the 2-round
-        # --- staleness limit this round (tools/window_audit.py 10).
-        # --- Every query left outside is r08/r09-green, <= 2 rounds
-        # --- old. bpe_train's operator loop was rewritten this round
-        # --- (incremental pair counting) and is declared fresh here,
-        # --- so the new loop lands directly under the driver hash.
-        "kmeans": q_kmeans,
-        "graph_triangles": q_graph_triangles,
-        "bpe_train": q_bpe_train,
-        "kmeans_sample": q_kmeans_sample,
-        "pagerank": q_pagerank,
+        # --- Round-11 rotation: (a) the 3 r11-NEW queries — the full
+        # --- SemDeDup composition over k-means clusters, the per-domain
+        # --- token cap declared on its DISTRIBUTED whale-safe branch,
+        # --- and PMI collocation mining — all staged in r10 with oracle
+        # --- drafts validated EXACT at two SFs before declaration (and
+        # --- domain_token_cap's boundary join made NULL-safe this round,
+        # --- the r10 ADVICE high item, before going under the hash);
+        # --- (b) ALL 47 queries whose latest driver-green row is r08 —
+        # --- they reach the 2-round staleness limit this round
+        # --- (tools/window_audit.py 11). Every query left outside is
+        # --- r09/r10-green, <= 2 rounds old. This is the last round
+        # --- with 3 free slots; r12 has exactly 1, r13+ zero (the
+        # --- window-saturation arithmetic in CHANGES_r10.md).
+        "semdedup_kmeans": q_semdedup_kmeans,
+        "domain_token_cap": q_domain_token_cap,
+        "collocations_pmi": q_collocations_pmi,
+        "approx_percentile": q_approx_percentile,
+        "bucketed_join": q_bucketed_join,
+        "chunk_embed_knn": q_chunk_embed_knn,
+        "clean_pipeline": q_clean_pipeline,
+        "clustered_scan": q_clustered_scan,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_topk_pairs": q_cosine_topk_pairs,
+        "cross_dedup": q_cross_dedup,
+        "csv_external": q_csv_external,
+        "dataloader_epoch": q_dataloader_epoch,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "dsir_select": q_dsir_select,
+        "embed_hash": q_embed_hash,
+        "full_outer_join": q_full_outer_join,
+        "funnel": q_funnel,
+        "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        "incremental_read": q_incremental_read,
+        "jaccard_auto": q_jaccard_auto,
+        "jaccard_auto_heavy": q_jaccard_auto_heavy,
+        "jaccard_join": q_jaccard_join,
+        "jaccard_prefix": q_jaccard_prefix,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "knn_join": q_knn_join,
+        "label_centroids": q_label_centroids,
+        "maintenance_cycle": q_maintenance_cycle,
+        "merge_clauses": q_merge_clauses,
+        "merge_partitioned": q_merge_partitioned,
+        "minhash_neardup": q_minhash_neardup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "range_frame_window": q_range_frame_window,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "sequence_pack": q_sequence_pack,
+        "simhash_neardup": q_simhash_neardup,
+        "stateful_totals": q_stateful_totals,
+        "stream_cdc": q_stream_cdc,
+        "stream_tumbling": q_stream_tumbling,
+        "stream_upsert": q_stream_upsert,
+        "table_lifecycle": q_table_lifecycle,
+        "temperature_mix_tokens": q_temperature_mix_tokens,
+        "time_travel_read": q_time_travel_read,
+        "vector_knn": q_vector_knn,
+        "vector_knn_join": q_vector_knn_join,
+        "vector_topk_per_group": q_vector_topk_per_group,
+        "winnow_neardup": q_winnow_neardup,
+        # --- end of the 50-query driver window -------------------------
+        "ann_after_upsert": q_ann_after_upsert,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "ann_ivf_knn": q_ann_ivf_knn,
+        "approx_distinct": q_approx_distinct,
+        "bm25_search": q_bm25_search,
+        "case_buckets": q_case_buckets,
+        "constraint_checks": q_constraint_checks,
+        "corpus_filter": q_corpus_filter,
+        "dedup_clusters_dist": q_dedup_clusters_dist,
+        "dedup_keep_best": q_dedup_keep_best,
+        "explode_tokens": q_explode_tokens,
+        "first_last_window": q_first_last_window,
+        "grouping_sets": q_grouping_sets,
+        "hybrid_postfilter": q_hybrid_postfilter,
+        "hybrid_prefilter": q_hybrid_prefilter,
+        "hybrid_rrf": q_hybrid_rrf,
+        "incremental_agg": q_incremental_agg,
+        "incremental_agg_minmax": q_incremental_agg_minmax,
+        "ivfpq_knn": q_ivfpq_knn,
+        "keyed_delete": q_keyed_delete,
+        "knn_join_ivf": q_knn_join_ivf,
+        "mmr_rerank": q_mmr_rerank,
+        "multimodal_frames": q_multimodal_frames,
+        "nb_classify": q_nb_classify,
+        "ntile_buckets": q_ntile_buckets,
+        "pack_tokenized": q_pack_tokenized,
+        "pq_knn": q_pq_knn,
+        "purge_erasure": q_purge_erasure,
+        "regexp_extract_agg": q_regexp_extract_agg,
+        "salted_join": q_salted_join,
+        "scalar_subquery": q_scalar_subquery,
+        "semantic_dedup": q_semantic_dedup,
+        "sessionize": q_sessionize,
+        "shard_shuffle": q_shard_shuffle,
+        "shipping_priority": q_shipping_priority,
+        "stratified_sample": q_stratified_sample,
+        "stream_static_join": q_stream_static_join,
+        "table_profile": q_table_profile,
+        "temperature_mix": q_temperature_mix,
+        "token_budget_dist": q_token_budget_dist,
+        "token_budget_select": q_token_budget_select,
+        "token_counts": q_token_counts,
+        "variant_json": q_variant_json,
+        "vector_knn_dot": q_vector_knn_dot,
+        "vector_knn_l2": q_vector_knn_l2,
+        "vector_knn_sql": q_vector_knn_sql,
+        "vector_knn_tvf": q_vector_knn_tvf,
+        "winnow_clusters": q_winnow_clusters,
+        "zorder_scan": q_zorder_scan,
         "agg_pricing_summary": q_agg_pricing_summary,
         "array_functions": q_array_functions,
         "asof_join": q_asof_join,
+        "bpe_train": q_bpe_train,
         "chunk_summary": q_chunk_summary,
         "cube_agg": q_cube_agg,
         "date_functions": q_date_functions,
@@ -3431,12 +3588,15 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "exists_subquery": q_exists_subquery,
         "filter_like_project": q_filter_like_project,
         "from_json_stats": q_from_json_stats,
+        "graph_triangles": q_graph_triangles,
         "group_topk": q_group_topk,
         "hard_negatives": q_hard_negatives,
         "having": q_having,
         "intersect_except": q_intersect_except,
         "join_agg": q_join_agg,
         "join_multiway": q_join_multiway,
+        "kmeans": q_kmeans,
+        "kmeans_sample": q_kmeans_sample,
         "lang_id": q_lang_id,
         "lm_perplexity": q_lm_perplexity,
         "log_retention": q_log_retention,
@@ -3444,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "multimodal_meta": q_multimodal_meta,
         "orc_roundtrip": q_orc_roundtrip,
         "outer_join_agg": q_outer_join_agg,
+        "pagerank": q_pagerank,
         "percentiles": q_percentiles,
         "pivot": q_pivot,
         "promo_revenue": q_promo_revenue,
@@ -3464,104 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "upsert_merge": q_upsert_merge,
         "window_ranks": q_window_ranks,
         "window_running": q_window_running,
-        "window_topk_per_group": q_window_topk_per_group,
-        # --- end of the 50-query driver window ---------------------------
-        "nb_classify": q_nb_classify,
-        "winnow_clusters": q_winnow_clusters,
-        "pack_tokenized": q_pack_tokenized,
-        "token_budget_dist": q_token_budget_dist,
-        "token_budget_select": q_token_budget_select,
-        "temperature_mix": q_temperature_mix,
-        "shard_shuffle": q_shard_shuffle,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_clusters_dist": q_dedup_clusters_dist,
-        "ivfpq_knn": q_ivfpq_knn,
-        "mmr_rerank": q_mmr_rerank,
-        "incremental_agg_minmax": q_incremental_agg_minmax,
-        "hybrid_postfilter": q_hybrid_postfilter,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "variant_json": q_variant_json,
-        "multimodal_frames": q_multimodal_frames,
-        "ntile_buckets": q_ntile_buckets,
-        "explode_tokens": q_explode_tokens,
-        "scalar_subquery": q_scalar_subquery,
-        "case_buckets": q_case_buckets,
-        "first_last_window": q_first_last_window,
-        "shipping_priority": q_shipping_priority,
-        "grouping_sets": q_grouping_sets,
-        "regexp_extract_agg": q_regexp_extract_agg,
-        "corpus_filter": q_corpus_filter,
-        "approx_distinct": q_approx_distinct,
-        "stream_static_join": q_stream_static_join,
-        "token_counts": q_token_counts,
-        "vector_knn_tvf": q_vector_knn_tvf,
-        "vector_knn_dot": q_vector_knn_dot,
-        "salted_join": q_salted_join,
-        "constraint_checks": q_constraint_checks,
-        "table_profile": q_table_profile,
-        "pq_knn": q_pq_knn,
-        "ann_ivf_knn": q_ann_ivf_knn,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "ann_after_upsert": q_ann_after_upsert,
-        "knn_join_ivf": q_knn_join_ivf,
-        "purge_erasure": q_purge_erasure,
-        "incremental_agg": q_incremental_agg,
-        "semantic_dedup": q_semantic_dedup,
-        "bm25_search": q_bm25_search,
-        "hybrid_rrf": q_hybrid_rrf,
-        "zorder_scan": q_zorder_scan,
-        "keyed_delete": q_keyed_delete,
-        "vector_knn_sql": q_vector_knn_sql,
-        "hybrid_prefilter": q_hybrid_prefilter,
-        "vector_knn_l2": q_vector_knn_l2,
-        "jaccard_auto": q_jaccard_auto,
-        "jaccard_auto_heavy": q_jaccard_auto_heavy,
-        "dataloader_epoch": q_dataloader_epoch,
-        "clean_pipeline": q_clean_pipeline,
-        "sequence_pack": q_sequence_pack,
-        "temperature_mix_tokens": q_temperature_mix_tokens,
-        "incremental_read": q_incremental_read,
-        "dsir_select": q_dsir_select,
-        "dedup_clusters": q_dedup_clusters,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "merge_partitioned": q_merge_partitioned,
-        "stream_upsert": q_stream_upsert,
-        "stream_cdc": q_stream_cdc,
-        "jaccard_prefix": q_jaccard_prefix,
-        "merge_clauses": q_merge_clauses,
-        "time_travel_read": q_time_travel_read,
-        "vector_knn": q_vector_knn,
-        "hyperplane_lsh_neardup": q_hyperplane_lsh,
-        "redact_pii": q_redact_pii,
-        "cross_dedup": q_cross_dedup,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "csv_external": q_csv_external,
-        "approx_percentile": q_approx_percentile,
-        "table_lifecycle": q_table_lifecycle,
-        "label_centroids": q_label_centroids,
-        "funnel": q_funnel,
-        "maintenance_cycle": q_maintenance_cycle,
-        "vector_topk_per_group": q_vector_topk_per_group,
-        "stateful_totals": q_stateful_totals,
-        "clustered_scan": q_clustered_scan,
-        "chunk_embed_knn": q_chunk_embed_knn,
-        "full_outer_join": q_full_outer_join,
-        "range_frame_window": q_range_frame_window,
-        "bucketed_join": q_bucketed_join,
-        "cosine_topk_pairs": q_cosine_topk_pairs,
-        "cosine_neardup": q_cosine_neardup,
-        "vector_knn_join": q_vector_knn_join,
-        "knn_join": q_knn_join,
-        "stream_tumbling": q_stream_tumbling,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "jaccard_join": q_jaccard_join,
-        "dedup_exact": q_dedup_exact,
-        "embed_hash": q_embed_hash,
-        "winnow_neardup": q_winnow_neardup,
-        "paragraph_dedup": q_paragraph_dedup,
+        "window_topk_per_group": q_window_topk_per_group
     }
 
 
@@ -4079,8 +4143,137 @@ seq{k} AS MATERIALIZED (
     return ",\n".join(parts) + "\nSELECT * FROM merges ORDER BY step"
 
 
+def _semdedup_kmeans_oracle_sql(k: int = 8, iterations: int = 3,
+                                threshold: float = 0.3,
+                                round_to: int = 6) -> str:
+    """Paper-faithful SemDeDup replay (promoted from
+    tools/kmeans_oracle_draft.py ``build_semdedup_kmeans_oracle_sql``,
+    validated EXACT at sf0.001+sf0.01 in r10; the draft now imports
+    this builder): the unrolled kmeans assignment chain + within-
+    cluster rounded-cosine pairs + recursive transitive hull +
+    min-id-survives anti-join, rolled up per label — the
+    `semantic_dedup` declared-query tail verbatim with k-means
+    clusters in place of hyperplane-LSH buckets. CC-family at sf0.1
+    (the reach recursion — closed by tools/cc_check_sf01.py's
+    union-find third algorithm), cheap at sf0.001/0.01."""
+    return f"""WITH RECURSIVE assigned AS (
+{_kmeans_oracle_sql(k=k, iterations=iterations)}
+), pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]),
+              {round_to}) >= {threshold!r}
+), edges AS (
+  SELECT id_1 AS u, id_2 AS v FROM pairs
+  UNION
+  SELECT id_2, id_1 FROM pairs
+), reach AS (
+  SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+), comp AS (
+  SELECT n, min(m) AS root FROM reach GROUP BY n
+), doomed AS (
+  SELECT n FROM comp WHERE n != root
+)
+SELECT label, count(*)::BIGINT AS n_kept, sum(vec_id)::BIGINT AS id_sum
+FROM embeddings
+WHERE vec_id NOT IN (SELECT n FROM doomed)
+GROUP BY label ORDER BY label"""
+
+
+# quality_score (functions/text.py) replayed verbatim at the
+# operator's 6-dp bucketing round — the text_stats oracle expression.
+# NULL text -> NULL quality (sorts last, like Spark desc_nulls_last).
+_DOMAIN_CAP_QUALITY_SQL = r"""round(0.4 * least(length(text) / 200.0, 1.0)
+       + 0.3 * (CASE WHEN length(text)::DOUBLE
+                          / len(regexp_split_to_array(trim(text), '\s+'))
+                     BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+       + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text,
+                    '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+                            / length(text), 1.0)), 6)"""
+
+
+def _domain_cap_oracle_sql(cap_tokens: int = 600) -> str:
+    """Per-domain token cap replayed as the naive per-domain
+    running-sum window (promoted from tools/domain_cap_oracle_draft.py,
+    validated EXACT at sf0.001+sf0.01 in r10; the draft now imports
+    this builder). The declared Spark side is the DISTRIBUTED branch —
+    the oracle is the single-window spelling it provably equals:
+    (quality DESC NULLS LAST, id) order, inclusive running total <=
+    cap, token counts coalesced to 0."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {_DOMAIN_CAP_QUALITY_SQL} AS qb,
+         coalesce(len(regexp_split_to_array(trim(text),
+                                            '\\s+'))::BIGINT, 0) AS nt
+  FROM documents
+), cum AS (
+  SELECT doc_id, source,
+         sum(nt) OVER (PARTITION BY source
+                       ORDER BY qb DESC NULLS LAST, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c
+  FROM scored
+)
+SELECT doc_id, source FROM cum WHERE c <= {cap_tokens}
+ORDER BY doc_id
+"""
+
+
+def _collocations_oracle_sql(min_count: int = 5, top_k: int = 30) -> str:
+    """PMI collocations replayed exactly (promoted from
+    tools/collocations_oracle_draft.py, validated EXACT at
+    sf0.001+sf0.01 in r10; the draft AND tests/test_collocations.py
+    import this builder): exact long bigram counts, marginals over the
+    distinct-PAIR table, one ln of the fixed-association integer ratio
+    ``(c12 * N) / (cl * cr)`` floored into micro-nats, total output
+    order (pmi_micro DESC, pair_count DESC, w1, w2)."""
+    return rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                               ' ') AS tk
+  FROM documents
+), big AS (
+  SELECT tk[i] || ' ' || tk[i+1] AS bg
+  FROM (SELECT generate_subscripts(tk, 1) AS i, tk FROM toks)
+  WHERE i < len(tk)
+), bc AS (
+  SELECT bg, count(*)::BIGINT AS c FROM big GROUP BY bg
+), nn AS (
+  SELECT sum(c)::BIGINT AS n FROM bc
+), lefts AS (
+  SELECT split_part(bg, ' ', 1) AS w, sum(c)::BIGINT AS cl
+  FROM bc GROUP BY 1
+), rights AS (
+  SELECT split_part(bg, ' ', 2) AS w, sum(c)::BIGINT AS cr
+  FROM bc GROUP BY 1
+)
+SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+       c AS pair_count,
+       floor(ln((c::DOUBLE * n) / (cl::DOUBLE * cr))
+             * 1000000 + 0.5)::BIGINT AS pmi_micro
+FROM bc
+JOIN lefts  ON split_part(bg, ' ', 1) = lefts.w
+JOIN rights ON split_part(bg, ' ', 2) = rights.w, nn
+WHERE c >= {min_count}
+ORDER BY pmi_micro DESC, pair_count DESC, w1, w2 LIMIT {top_k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
+        "semdedup_kmeans": _semdedup_kmeans_oracle_sql(
+            k=8, iterations=3, threshold=0.3, round_to=6),
+        "domain_token_cap": _domain_cap_oracle_sql(cap_tokens=600),
+        "collocations_pmi": _collocations_oracle_sql(min_count=5,
+                                                     top_k=30),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "cross_dedup": _cross_dedup_oracle(),
         "purge_erasure": """

@@ -14,7 +14,8 @@ SF = "/root/testdata/sf0.01"
 
 # the oracle SQL lives in tools/collocations_oracle_draft.py (the
 # r11 declaration draft) — imported so test and draft cannot diverge
-from tools.collocations_oracle_draft import _ORACLE  # noqa: E402
+from tools.collocations_oracle_draft import \
+    build_collocations_oracle_sql  # noqa: E402
 
 
 def test_pmi_matches_duckdb_on_testdata(spark):
@@ -25,7 +26,7 @@ def test_pmi_matches_duckdb_on_testdata(spark):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
     want = [tuple(r) for r in
-            con.execute(_ORACLE.format(mc=5, k=30)).fetchall()]
+            con.execute(build_collocations_oracle_sql(5, 30)).fetchall()]
     assert got == want and len(got) == 30
 
 

@@ -22,42 +22,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_ORACLE = r"""
-WITH toks AS (
-  SELECT regexp_split_to_array(trim(regexp_replace(lower(text),
-                                                   '\s+', ' ', 'g')),
-                               ' ') AS tk
-  FROM documents
-), big AS (
-  SELECT tk[i] || ' ' || tk[i+1] AS bg
-  FROM (SELECT generate_subscripts(tk, 1) AS i, tk FROM toks)
-  WHERE i < len(tk)
-), bc AS (
-  SELECT bg, count(*)::BIGINT AS c FROM big GROUP BY bg
-), nn AS (
-  SELECT sum(c)::BIGINT AS n FROM bc
-), lefts AS (
-  SELECT split_part(bg, ' ', 1) AS w, sum(c)::BIGINT AS cl
-  FROM bc GROUP BY 1
-), rights AS (
-  SELECT split_part(bg, ' ', 2) AS w, sum(c)::BIGINT AS cr
-  FROM bc GROUP BY 1
-)
-SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
-       c AS pair_count,
-       floor(ln((c::DOUBLE * n) / (cl::DOUBLE * cr))
-             * 1000000 + 0.5)::BIGINT AS pmi_micro
-FROM bc
-JOIN lefts  ON split_part(bg, ' ', 1) = lefts.w
-JOIN rights ON split_part(bg, ' ', 2) = rights.w, nn
-WHERE c >= {mc}
-ORDER BY pmi_micro DESC, pair_count DESC, w1, w2 LIMIT {k}
-"""
-
-
 def build_collocations_oracle_sql(min_count: int = 5,
                                   top_k: int = 30) -> str:
-    return _ORACLE.format(mc=min_count, k=top_k)
+    """Promoted to __spark_entry__._collocations_oracle_sql in r11 (the
+    declared `collocations_pmi` query) — delegating wrapper so the
+    draft validator, the parity test (tests/test_collocations.py
+    imports this builder) and the declared oracle can never diverge."""
+    from __spark_entry__ import _collocations_oracle_sql
+    return _collocations_oracle_sql(min_count=min_count, top_k=top_k)
 
 
 def main() -> None:

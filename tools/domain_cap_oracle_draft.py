@@ -22,39 +22,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# quality_score (functions/text.py:92) replayed verbatim — the
-# text_stats declared oracle's expression, rounded to 6 dp here (the
-# operator's bucketing round). NULL text -> NULL quality (sorts last).
-_QUALITY_SQL = r"""round(0.4 * least(length(text) / 200.0, 1.0)
-       + 0.3 * (CASE WHEN length(text)::DOUBLE
-                          / len(regexp_split_to_array(trim(text), '\s+'))
-                     BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-       + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text,
-                    '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
-                            / length(text), 1.0)), 6)"""
-
-_TOKENS_SQL = r"""coalesce(len(regexp_split_to_array(trim(text),
-                                                     '\s+'))::BIGINT, 0)"""
-
-
 def build_domain_cap_oracle_sql(cap_tokens: int = 600) -> str:
-    return f"""
-WITH scored AS (
-  SELECT doc_id, source,
-         {_QUALITY_SQL} AS qb,
-         {_TOKENS_SQL} AS nt
-  FROM documents
-), cum AS (
-  SELECT doc_id, source,
-         sum(nt) OVER (PARTITION BY source
-                       ORDER BY qb DESC NULLS LAST, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS c
-  FROM scored
-)
-SELECT doc_id, source FROM cum WHERE c <= {cap_tokens}
-ORDER BY doc_id
-"""
+    """Promoted to __spark_entry__._domain_cap_oracle_sql in r11 (the
+    declared `domain_token_cap` query) — delegating wrapper so the
+    draft validator and the declared oracle can never diverge."""
+    from __spark_entry__ import _domain_cap_oracle_sql
+    return _domain_cap_oracle_sql(cap_tokens=cap_tokens)
 
 
 def main() -> None:

@@ -68,43 +68,16 @@ def build_semdedup_kmeans_oracle_sql(k: int = 8, iterations: int = 3,
                                      table: str = "embeddings",
                                      vec_col: str = "embedding",
                                      id_col: str = "vec_id") -> str:
-    """Paper-faithful SemDeDup replay: the kmeans assignment chain +
-    within-cluster rounded-cosine pairs + recursive transitive hull +
-    min-id-survives anti-join, rolled up per label — the
-    `semantic_dedup` declared-query tail verbatim with k-means clusters
-    in place of hyperplane-LSH buckets. CC-family at sf0.1 (the reach
-    recursion), cheap at sf0.001/0.01."""
-    base = build_kmeans_oracle_sql(k=k, iterations=iterations, scale=scale,
-                                   offset=offset, table=table,
-                                   vec_col=vec_col, id_col=id_col)
-    return f"""WITH RECURSIVE assigned AS (
-{base}
-), pairs AS (
-  SELECT a.{id_col} AS id_1, b.{id_col} AS id_2
-  FROM assigned a JOIN assigned b
-    ON a.cluster_id = b.cluster_id AND a.{id_col} < b.{id_col}
-  JOIN {table} ea ON ea.{id_col} = a.{id_col}
-  JOIN {table} eb ON eb.{id_col} = b.{id_col}
-  WHERE round(list_cosine_similarity(ea.{vec_col}::DOUBLE[],
-                                     eb.{vec_col}::DOUBLE[]),
-              {round_to}) >= {threshold!r}
-), edges AS (
-  SELECT id_1 AS u, id_2 AS v FROM pairs
-  UNION
-  SELECT id_2, id_1 FROM pairs
-), reach AS (
-  SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
-), comp AS (
-  SELECT n, min(m) AS root FROM reach GROUP BY n
-), doomed AS (
-  SELECT n FROM comp WHERE n != root
-)
-SELECT label, count(*)::BIGINT AS n_kept, sum({id_col})::BIGINT AS id_sum
-FROM {table}
-WHERE {id_col} NOT IN (SELECT n FROM doomed)
-GROUP BY label ORDER BY label"""
+    """Promoted to __spark_entry__._semdedup_kmeans_oracle_sql in r11
+    (the declared `semdedup_kmeans` query) — delegating wrapper so the
+    draft validator and the declared oracle can never diverge."""
+    assert (table, vec_col, id_col, scale, offset) == (
+        "embeddings", "embedding", "vec_id", 10 ** 6, 1.0), \
+        "the promoted builder is fixed to the embeddings-table defaults"
+    from __spark_entry__ import _semdedup_kmeans_oracle_sql
+    return _semdedup_kmeans_oracle_sql(k=k, iterations=iterations,
+                                       threshold=threshold,
+                                       round_to=round_to)
 
 
 def main() -> None:
