@@ -168,8 +168,11 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
 
     # distributed prefix sum: deterministic id-range sub-buckets (pure
     # arithmetic on the key — min/max came free with the histogram), one
-    # tiny per-sub-bucket aggregate, driver prefix offsets, then a
-    # PARTITIONED window + offset add-back.
+    # tiny per-sub-bucket aggregate whose exclusive prefix offsets come
+    # from a window over that aggregate (driver-free — the
+    # domain_token_cap spelling, unified r11; the former driver-side
+    # offsets dict chained up to prefix_buckets F.when branches into
+    # the plan), then a PARTITIONED window + offset add-back.
     lo, hi = int(brow["__bmin"]), int(brow["__bmax"])
     width = max(1, (hi - lo) // prefix_buckets + 1)   # __pb in [0, K-1]
     idq = id_col.replace("`", "``")
@@ -185,31 +188,28 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
     # bucket — ~1/10^bucket_decimals of the corpus — not corpus-sized.
     bsrc = (boundary_src.withColumn("__pb", pb)
             .localCheckpoint(eager=False))
-    parts = (bsrc.groupBy("__pb")
-                 .agg(F.sum("__nt").alias("__ps"),
-                      F.count("__nt").alias("__pk"))   # non-NULL count
-                 .collect())
-    parts.sort(key=lambda r: r["__pb"])
     # nullable running offsets preserve the single-window NULL contract:
     # a row's global cum is NULL iff NO non-NULL token precedes it
-    # (leading-NULL rows drop on `NULL <= residual`, same as the oracle)
-    offsets: dict[int, int | None] = {}
-    running: int | None = None
-    for r in parts:
-        offsets[r["__pb"]] = running
-        if r["__pk"]:
-            running = (running or 0) + (r["__ps"] or 0)
-    off = F.lit(None).cast("long")
-    for b, v in offsets.items():
-        if v is not None:
-            off = F.when(F.col("__pb") == b, F.lit(v)).otherwise(off)
+    # (leading-NULL rows drop on `NULL <= residual`, same as the
+    # oracle). F.sum skips NULLs and returns NULL over an all-NULL (or
+    # empty) frame, so the exclusive window below IS that semantics:
+    # __off is NULL exactly until some preceding sub-bucket holds a
+    # non-NULL token count. The offset window is over the sub-bucket
+    # AGGREGATE (<= prefix_buckets rows), not corpus rows — its lack of
+    # a partition key is bounded by construction.
+    sstats = bsrc.groupBy("__pb").agg(F.sum("__nt").alias("__ps"))
+    wp = Window.orderBy("__pb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (sstats.withColumn("__off", F.sum("__ps").over(wp))
+            .select(F.col("__pb").alias("__opb"), "__off"))
     w = Window.partitionBy("__pb").orderBy(F.col(id_col).asc())
     cum_in = F.sum("__nt").over(w)
+    off = F.col("__off")
     cum_g = F.when(off.isNull(), cum_in) \
              .otherwise(off + F.coalesce(cum_in, F.lit(0)))
-    boundary = (bsrc.withColumn("__cum", cum_g)
+    boundary = (bsrc.join(offs, F.col("__pb").eqNullSafe(F.col("__opb")))
+                    .withColumn("__cum", cum_g)
                     .filter(F.col("__cum") <= residual)
-                    .drop("__cum", "__pb"))
+                    .drop("__cum", "__pb", "__opb", "__off"))
     return above.unionByName(boundary).drop("__qb", "__nt")
 
 
