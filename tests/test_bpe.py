@@ -157,6 +157,51 @@ def test_heavy_fuzz_matches_naive_incremental(spark):
     assert len(got) > 20  # the corpus actually sustains deep merging
 
 
+def test_deep_fuzz_incremental_matches_recount_200_merges():
+    # r10 verdict watch item: the incremental loop's lazy-heap /
+    # inverted-index invariants (push-on-every-update, where-set
+    # add/discard symmetry) previously had their deep fuzz only in
+    # tools/bpe_deep_bench.py. This is the default-path version:
+    # driver-only (no Spark session), a 400-type Zipf-ish random
+    # vocabulary fuzzed through 200 merges against the full-recount
+    # reference, bit-exact on the entire merge table. Runs in ~1 s.
+    import random
+
+    from pydata_vector_search_spark.operators.bpe import (_learn_merges,
+                                                          _merge_word)
+
+    def recount(freq, num_merges, min_pair_count):
+        seqs = [(list(w), c) for w, c in freq]
+        merges = []
+        for step in range(1, num_merges + 1):
+            counts = {}
+            for syms, c in seqs:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + c
+            if not counts:
+                break
+            (left, right), best = min(counts.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))
+            if best < min_pair_count:
+                break
+            merges.append((step, left, right, best))
+            seqs = [(_merge_word(s, left, right) if left in s else s, c)
+                    for s, c in seqs]
+        return merges
+
+    for seed in (3, 1009):
+        rng = random.Random(seed)
+        best = {}
+        for r in range(1, 401):
+            w = "".join(rng.choices("abcdefg", k=rng.randint(2, 12)))
+            best[w] = max(best.get(w, 0), max(1, 100_000 // r))
+        freq = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = _learn_merges(freq, 200, 1)
+        want = recount(freq, 200, 1)
+        assert got == want, seed
+        assert len(got) == 200, seed  # the vocab sustains all 200
+
+
 def test_tokenizer_cache_is_bounded():
     # r09 ADVICE: the per-task word memo must not grow without limit on
     # high-cardinality streams. Shrink the cap and overflow it.
