@@ -1,0 +1,151 @@
+"""r12 declaration draft (staged r11): DuckDB oracle for a
+`curation_chain` query — the full corpus-curation composition a
+pretraining run executes BEFORE the dataloader stage, as one lineage:
+
+    1. per-domain token cap  (domain_token_cap, cap_tokens=2000 —
+       the CCNet/RefinedWeb per-source downsampling gate)
+    2. exact dedup           (min doc_id per normalized-text md5
+       fingerprint over the SURVIVORS — real pipeline order)
+    3. quality gate          (round(quality_score, 2) >= 0.5 — the
+       clean_pipeline discipline)
+    4. global token budget   (select_token_budget, budget_tokens=5000
+       — "the best 5k tokens of what's left")
+
+Every stage is the identical operator its standalone green oracle
+pins (domain_token_cap / dedup_exact / corpus_filter /
+token_budget_select); the chained oracle replays all four, so the
+value hash also pins the STAGE BOUNDARIES — cap survivors feed the
+fingerprint dedup, dedup survivors feed the gate, gate survivors feed
+the budget ranking. Together with dataloader_epoch (mix -> budget ->
+pack -> shard) this closes the corpus-to-epoch story end to end.
+
+This is the LAST free window slot ever (the 50-slot / 2-round-
+staleness saturation arithmetic: r12 has exactly 1 free slot, r13+
+zero), chosen per the r10 verdict's guidance: a composition that
+closes an end-to-end story rather than a new primitive.
+
+Output is doc-level membership (doc_id, lang, source) — the strongest
+hash for a selection pipeline.
+
+Run as a script to validate at sf0.001 and sf0.01:
+    python tools/curation_chain_oracle_draft.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# quality_score (functions/text.py) replayed verbatim, parametrized on
+# the rounding each consumer applies (domain cap buckets at 6 dp, the
+# gate thresholds at 2 dp, the budget buckets at 3 dp).
+_QUALITY_BODY = r"""0.4 * least(length(text) / 200.0, 1.0)
+       + 0.3 * (CASE WHEN length(text)::DOUBLE
+                          / len(regexp_split_to_array(trim(text), '\s+'))
+                     BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+       + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text,
+                    '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+                            / length(text), 1.0))"""
+
+_NT_SQL = r"""coalesce(len(regexp_split_to_array(trim(text),
+                                                 '\s+'))::BIGINT, 0)"""
+
+
+def build_curation_chain_oracle_sql(cap_tokens: int = 2000,
+                                    min_quality: float = 0.5,
+                                    budget_tokens: int = 5000) -> str:
+    q = _QUALITY_BODY
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         round({q}, 6) AS qb6, {_NT_SQL} AS nt
+  FROM documents
+), capped AS (
+  SELECT doc_id, lang, source, text, nt FROM (
+    SELECT *, sum(nt) OVER (PARTITION BY source
+                            ORDER BY qb6 DESC NULLS LAST, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS c
+    FROM scored) WHERE c <= {cap_tokens}
+), fp AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM capped
+), deduped AS (
+  SELECT doc_id, lang, source, text, nt FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY f) AS md FROM fp)
+  WHERE doc_id = md
+), gated AS (
+  SELECT doc_id, lang, source, text, nt FROM deduped
+  WHERE round({q}, 2) >= {min_quality!r}
+), ranked AS (
+  SELECT doc_id, lang, source,
+         sum(nt) OVER (ORDER BY round({q}, 3) DESC NULLS LAST, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c
+  FROM gated
+)
+SELECT doc_id, lang, source FROM ranked WHERE c <= {budget_tokens}
+ORDER BY doc_id
+"""
+
+
+def curation_chain(docs, cap_tokens: int = 2000, min_quality: float = 0.5,
+                   budget_tokens: int = 5000):
+    """The Spark lineage under declaration (promoted to
+    __spark_entry__.q_curation_chain in r12): four proven operators
+    chained as ONE Catalyst plan."""
+    from pyspark.sql import Window, functions as F
+
+    from pydata_vector_search_spark.functions.text import (fingerprint_md5,
+                                                           quality_score)
+    from pydata_vector_search_spark.operators.text_ops import (
+        domain_token_cap, select_token_budget)
+
+    capped = domain_token_cap(docs, "text", "doc_id", "source",
+                              cap_tokens=cap_tokens)
+    # exact dedup over the survivors: keep the min doc_id per
+    # normalized-text fingerprint (the dedup_exact rule, applied to
+    # ROWS — fingerprint-key-partitioned window, no global state)
+    wfp = Window.partitionBy("__fp")
+    deduped = (capped.withColumn("__fp", fingerprint_md5("text"))
+               .withColumn("__md", F.min("doc_id").over(wfp))
+               .filter(F.col("doc_id") == F.col("__md"))
+               .drop("__fp", "__md"))
+    gated = deduped.filter(F.round(quality_score("text"), 2)
+                           >= min_quality)
+    sel = select_token_budget(gated, "text", "doc_id",
+                              budget_tokens=budget_tokens)
+    return (sel.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "lang", "source")
+               .orderBy("doc_id"))
+
+
+def main() -> None:
+    import duckdb
+
+    from pydata_vector_search_spark.session import get_spark
+
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    spark = get_spark("curation_chain_draft")
+    spark.sparkContext.setLogLevel("ERROR")
+    for d in dirs:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        got = [tuple(r) for r in curation_chain(docs).collect()]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        want = [tuple(r) for r in
+                con.execute(build_curation_chain_oracle_sql()).fetchall()]
+        assert got == want, (
+            f"{d}: MISMATCH — {len(got)} spark vs {len(want)} duckdb; "
+            f"first diff "
+            f"{next(((g, w) for g, w in zip(got, want) if g != w), None)}")
+        n_src = len({s for _, _, s in got})
+        print(f"{d}: EXACT — {len(got)} curated docs across "
+              f"{n_src} sources")
+
+
+if __name__ == "__main__":
+    main()
