@@ -16,6 +16,12 @@ from pydata_vector_search_spark.operators import knn, upsert as upsert_op
 
 
 class Engine:
+    """The user-facing facade: a catalog of governed tables (commit
+    log, upsert/CDC/time-travel) plus every operator family — vector
+    and hybrid search, ANN/PQ indexes, dedup, graph, clustering,
+    curation gates, streaming — behind one object. Construct with a
+    SparkSession and a storage root; see `examples/quickstart.py`."""
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.catalog = Catalog(spark, root)
@@ -23,10 +29,14 @@ class Engine:
     # -- ingest (reference EP1: createDataFrame → hudi write, c8) ---------
     def ingest(self, df: DataFrame, table: str, key: str | None = None,
                mode: str = "overwrite", partition_by: list[str] | None = None):
+        """Write a DataFrame into the engine catalog as ``table``
+        (parquet + commit log; ``key`` enables keyed upsert/delete/CDC
+        later). See Catalog.write."""
         return self.catalog.write(table, df, key=key, mode=mode,
                                   partition_by=partition_by)
 
     def table(self, name: str) -> DataFrame:
+        """Load a catalog table's current snapshot as a DataFrame."""
         return self.catalog.load(name)
 
     def sql(self, query: str) -> DataFrame:
@@ -53,12 +63,18 @@ class Engine:
                       query_vec: Sequence[float] | Column, k: int = 10,
                       metric: str = "cosine", filter: Column | None = None,
                       **kw) -> DataFrame:
+        """Exact top-k vector search (cosine/dot/l2, all JVM-codegen
+        expressions); ``filter`` prunes BEFORE the distance top-k — the
+        pre-filter hybrid the reference post-filters for (demo.ipynb
+        c13). See operators.knn.vector_search."""
         df = self.table(table) if isinstance(table, str) else table
         return knn.vector_search(df, vector_col, query_vec, k=k,
                                  metric=metric, filter=filter, **kw)
 
     # -- upsert (reference U1: Hudi keyed upsert, c8:17-23) ---------------
     def upsert(self, table: str, new: DataFrame, key: str | None = None) -> None:
+        """Keyed last-write-wins upsert into a catalog table (COW; one
+        commit). See operators.upsert.upsert_table."""
         upsert_op.upsert_table(self.catalog, table, new, key=key)
 
     def delete_where(self, table: str, predicate) -> int:
@@ -85,6 +101,8 @@ class Engine:
                                              latest_only=latest_only)
 
     def current_commit(self, table: str) -> int:
+        """The table's latest commit id (monotone; feed to
+        ``read_incremental`` / ``read_asof``)."""
         return self.catalog.current_commit(table)
 
     def read_asof(self, table: str, commit: int) -> DataFrame:
@@ -116,6 +134,9 @@ class Engine:
     # -- embedding pipeline (reference V5/V6, executor-side) --------------
     def embed(self, df: DataFrame, text_col: str, out_col: str = "embedding",
               encoder=None, **kw) -> DataFrame:
+        """Executor-side batch embedding (Arrow mapInPandas); the
+        default deterministic HashEncoder stands in where no model
+        runtime is installed. See operators.embedding.embed_text."""
         from pydata_vector_search_spark.operators.embedding import (HashEncoder,
                                                                     embed_text)
         return embed_text(df, text_col, out_col,
@@ -217,12 +238,18 @@ class Engine:
     # -- LLM-pipeline ops (driver mandate) --------------------------------
     def dedup_exact(self, table: str | DataFrame, text_col: str,
                     id_col: str) -> DataFrame:
+        """Exact dedup by normalized-text fingerprint — keep the min-id
+        row per fingerprint. See operators.dedup.exact_dedup."""
         from pydata_vector_search_spark.operators.dedup import exact_dedup
         df = self.table(table) if isinstance(table, str) else table
         return exact_dedup(df, text_col, id_col)
 
     def neardup_pairs(self, table: str | DataFrame, text_col: str, id_col: str,
                       method: str = "minhash", **kw) -> DataFrame:
+        """Near-duplicate candidate pairs by the chosen sketch family
+        (minhash / simhash / jaccard / ppjoin / auto / cosine /
+        winnow) — all banded/blocked, never all-pairs. See
+        operators.dedup."""
         from pydata_vector_search_spark.operators import dedup
         df = self.table(table) if isinstance(table, str) else table
         fns = {"minhash": dedup.minhash_neardup_pairs,
@@ -329,6 +356,9 @@ class Engine:
     # -- temporal joins ---------------------------------------------------
     def asof_join(self, left: str | DataFrame, right: str | DataFrame,
                   on: str, time_col: str, **kw) -> DataFrame:
+        """As-of join: each left row picks the latest right row at or
+        before its timestamp (union + last-over-window, ONE shuffle —
+        no per-key driver loop). See operators.joins.asof_join."""
         from pydata_vector_search_spark.operators.joins import asof_join
         l = self.table(left) if isinstance(left, str) else left
         r = self.table(right) if isinstance(right, str) else right
@@ -337,6 +367,9 @@ class Engine:
     def range_join(self, left: str | DataFrame, right: str | DataFrame,
                    on: str, time_col: str, start_col: str, end_col: str,
                    **kw) -> DataFrame:
+        """Interval join: left rows matched to right rows whose
+        [start, end] window contains the left timestamp. See
+        operators.joins.range_join."""
         from pydata_vector_search_spark.operators.joins import range_join
         l = self.table(left) if isinstance(left, str) else left
         r = self.table(right) if isinstance(right, str) else right
@@ -345,11 +378,17 @@ class Engine:
 
     # -- streaming --------------------------------------------------------
     def stream_events(self, path: str, **kw) -> DataFrame:
+        """Structured-streaming source over the events table (file
+        stream; sniffs the parquet timestamp unit). See
+        streaming.read_events_stream."""
         from pydata_vector_search_spark.streaming import read_events_stream
         return read_events_stream(self.spark, path, **kw)
 
     def stream_upsert(self, stream_df: DataFrame, table: str, key: str,
                       checkpoint: str, **kw):
+        """foreachBatch sink applying each micro-batch as a keyed LWW
+        upsert into a catalog table (exactly-once via the checkpoint).
+        See streaming.stream_upsert_sink."""
         from pydata_vector_search_spark.streaming import stream_upsert_sink
         return stream_upsert_sink(stream_df, self.catalog, table, key=key,
                                   checkpoint=checkpoint, **kw)
