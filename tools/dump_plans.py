@@ -351,6 +351,33 @@ NOTES = {
         "pair counting, O(affected words) per merge — and the "
         "returned merge table is merges-sized, re-parallelized via "
         "createDataFrame."),
+    "semdedup_kmeans": (
+        "Paper-faithful SemDeDup (r11): the kmeans argmin pass feeds "
+        "ONE cluster-key shuffle into the Arrow triu pair pass (per-"
+        "task input = one cluster, never the corpus), components is "
+        "the O(log n) pointer-jump loop behind its checkpoint "
+        "barrier, and the survivors join is a left_anti against the "
+        "dup-count-sized doomed side (AQE broadcast). The dumped "
+        "plan shows the rollup over the post-barrier join — the "
+        "iterative stages are lineage-truncated by construction."),
+    "domain_token_cap": (
+        "Whale-safe per-domain token cap (r11, the DISTRIBUTED "
+        "branch): bucket stats are one map-side-combined aggregate; "
+        "the routing window runs over the BUCKET table partitioned "
+        "by domain (per-task input = one domain's bucket count, "
+        "never its rows); fully-kept buckets pass through one "
+        "null-safe hash join; only boundary-bucket rows run a "
+        "running-sum window, partitioned down to (domain, bucket, "
+        "id-range sub-bucket) with window-computed offsets — no "
+        "per-domain driver state, no whale single-task window."),
+    "collocations_pmi": (
+        "PMI collocations (r11): one exploded-bigram hash aggregate "
+        "(map-side combine bounds the shuffle at partitions x "
+        "distinct pairs) behind its checkpoint; marginals are two "
+        "aggregates over the PAIR table (distinct-pair-sized, not "
+        "corpus-sized) that AQE broadcasts into the final join; "
+        "top-k is TakeOrderedAndProject — per-partition heaps, no "
+        "global sort."),
 }
 
 
