@@ -491,6 +491,22 @@ class Engine:
         return domain_token_cap(df, text_col, id_col, domain_col,
                                 cap_tokens, **kw)
 
+    def curate_corpus(self, table: str | DataFrame, text_col: str,
+                      id_col: str, domain_col: str,
+                      cap_tokens: int = 2000, min_quality: float = 0.5,
+                      budget_tokens: int = 5000, **kw) -> DataFrame:
+        """The full curation chain as one plan: per-domain token cap →
+        exact dedup over survivors → quality gate → global token budget
+        (see operators/curation.curate_corpus); feed the output to the
+        dataloader composition (mix → budget → pack → shard)."""
+        from pydata_vector_search_spark.operators.curation import \
+            curate_corpus
+        df = self.table(table) if isinstance(table, str) else table
+        return curate_corpus(df, text_col, id_col, domain_col,
+                             cap_tokens=cap_tokens,
+                             min_quality=min_quality,
+                             budget_tokens=budget_tokens, **kw)
+
     def cluster_sample(self, table: str | DataFrame, vector_col: str,
                        id_col: str, k: int = 8, per_cluster: int = 100,
                        **kw) -> DataFrame:

@@ -1,0 +1,60 @@
+"""Full curation chain (operators/curation.curate_corpus): DuckDB
+parity on real testdata via the r12-staged draft oracle, stage
+semantics, and the distributed-cap equality."""
+
+import duckdb
+
+from pydata_vector_search_spark.catalog import read_table
+from pydata_vector_search_spark.operators.curation import curate_corpus
+
+SF = "/root/testdata/sf0.01"
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_chain_matches_draft_oracle(spark):
+    # imports the r12-staged oracle builder, so the test and the
+    # staged declaration can never diverge (the collocations pattern)
+    from tools.curation_chain_oracle_draft import \
+        build_curation_chain_oracle_sql
+    docs = read_table(spark, SF, "documents")
+    got = _ids(curate_corpus(docs, "text", "doc_id", "source"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(r[0] for r in
+                  con.execute(build_curation_chain_oracle_sql()).fetchall())
+    assert got == want and 0 < len(got)
+
+
+def test_distributed_cap_stage_identical(spark):
+    docs = read_table(spark, SF, "documents")
+    default = _ids(curate_corpus(docs, "text", "doc_id", "source"))
+    dist = _ids(curate_corpus(docs, "text", "doc_id", "source",
+                              distributed=True))
+    assert default == dist
+
+
+def test_stage_semantics_small(spark):
+    # 1 domain over cap (only best-quality survives the cap), an exact
+    # duplicate pair (min id kept), a low-quality doc (gate), and a
+    # budget that then cuts the tail.
+    good = ("solid informative sentence with plenty of words and "
+            "reasonable structure here") * 3
+    rows = [(1, good + " one", "a"),
+            (2, good + " one", "a"),          # exact dup of 1 -> dropped
+            (3, "spam!!!! ????? ..... !!!!", "a"),   # low quality -> gate
+            (4, good + " four", "b"),
+            (5, good + " five", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    kept = _ids(curate_corpus(df, "text", "doc_id", "src",
+                              cap_tokens=200, min_quality=0.5,
+                              budget_tokens=10_000))
+    assert 2 not in kept and 3 not in kept and 1 in kept
+    # budget cut: tiny budget keeps only the best-ranked survivor(s)
+    tight = _ids(curate_corpus(df, "text", "doc_id", "src",
+                               cap_tokens=200, min_quality=0.5,
+                               budget_tokens=40))
+    assert set(tight) < set(kept) and len(tight) >= 1

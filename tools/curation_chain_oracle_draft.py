@@ -92,34 +92,27 @@ ORDER BY doc_id
 
 
 def curation_chain(docs, cap_tokens: int = 2000, min_quality: float = 0.5,
-                   budget_tokens: int = 5000):
-    """The Spark lineage under declaration (promoted to
-    __spark_entry__.q_curation_chain in r12): four proven operators
-    chained as ONE Catalyst plan."""
-    from pyspark.sql import Window, functions as F
+                   budget_tokens: int = 5000, distributed: bool = True):
+    """The Spark lineage under declaration (promotes to
+    __spark_entry__.q_curation_chain in r12) — delegates to the
+    promoted operator (operators/curation.curate_corpus, r11) with the
+    declared projection. ``distributed=True``: the declared config runs
+    the cap stage's whale-safe spelling (identical rows — pinned by
+    tests/test_domain_cap.py — so the single-window oracle is
+    unchanged; the kmeans_sample/domain_token_cap pin-the-scale-path
+    precedent)."""
+    from pyspark.sql import functions as F
 
-    from pydata_vector_search_spark.functions.text import (fingerprint_md5,
-                                                           quality_score)
-    from pydata_vector_search_spark.operators.text_ops import (
-        domain_token_cap, select_token_budget)
+    from pydata_vector_search_spark.operators.curation import curate_corpus
 
-    capped = domain_token_cap(docs, "text", "doc_id", "source",
-                              cap_tokens=cap_tokens)
-    # exact dedup over the survivors: keep the min doc_id per
-    # normalized-text fingerprint (the dedup_exact rule, applied to
-    # ROWS — fingerprint-key-partitioned window, no global state)
-    wfp = Window.partitionBy("__fp")
-    deduped = (capped.withColumn("__fp", fingerprint_md5("text"))
-               .withColumn("__md", F.min("doc_id").over(wfp))
-               .filter(F.col("doc_id") == F.col("__md"))
-               .drop("__fp", "__md"))
-    gated = deduped.filter(F.round(quality_score("text"), 2)
-                           >= min_quality)
-    sel = select_token_budget(gated, "text", "doc_id",
-                              budget_tokens=budget_tokens)
+    sel = curate_corpus(docs, "text", "doc_id", "source",
+                        cap_tokens=cap_tokens, min_quality=min_quality,
+                        budget_tokens=budget_tokens,
+                        distributed=distributed)
     return (sel.select(F.col("doc_id").cast("long").alias("doc_id"),
                        "lang", "source")
                .orderBy("doc_id"))
+
 
 
 def main() -> None:
