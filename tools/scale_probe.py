@@ -7,7 +7,7 @@ skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
 paragraph span lm lm_capped dsir budget winnow classify pagerank
 pagerank_capped pagerank_linear kmeans semdedup_kmeans topn
-triangles triangles_linear bpe domaincap.
+triangles triangles_linear bpe domaincap curation.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -40,7 +40,8 @@ def main() -> None:
                      "cc", "bm25", "cross", "paragraph", "span", "lm",
                      "lm_capped", "dsir", "budget", "winnow", "classify",
                      "pagerank", "pagerank_capped", "pagerank_linear", "topn",
-                     "triangles", "triangles_linear", "bpe", "domaincap")
+                     "triangles", "triangles_linear", "bpe", "domaincap",
+                     "curation")
     need_emb = want("knn", "matmul", "semantic", "ivfpq", "kmeans",
                     "semdedup_kmeans")
     bd = be = None
@@ -374,6 +375,21 @@ def main() -> None:
                   dsrc, "text", "doc_id", "dom", cap_tokens=cap,
                   distributed=True).count()))
         assert res["a"] == res["b"], res
+    if want("curation"):
+        # r11: the full curation chain (r12-staged declaration) on the
+        # replicated corpus, cap stage in the whale-safe distributed
+        # spelling — the scaling claim is: every stage is an aggregate,
+        # a key-partitioned window, or histogram-routed, so wall-clock
+        # grows ~linearly with the corpus (budget residual work is
+        # bounded by one quality bucket regardless of N).
+        from pydata_vector_search_spark.operators.curation import \
+            curate_corpus
+        timed("curation chain (cap->dedup->gate->budget, dist cap)",
+              lambda: curate_corpus(
+                  bd, "text", "doc_id", "source",
+                  cap_tokens=n_copies * 2000, min_quality=0.5,
+                  budget_tokens=n_copies * 5000,
+                  distributed=True).count())
     if want("classify"):
         # r08: NB corpus classifier — train on the replicated corpus's
         # lang labels, score the whole corpus; counts map-side
