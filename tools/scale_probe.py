@@ -7,7 +7,8 @@ skipping unneeded table builds): knn minhash simhash matmul jaccard
 ppjoin zorder merge cc bm25 semantic cross ivm purge ivfpq ivm_mm
 paragraph span lm lm_capped dsir budget winnow classify pagerank
 pagerank_capped pagerank_linear kmeans semdedup_kmeans topn
-triangles triangles_linear bpe domaincap curation.
+triangles triangles_linear bpe domaincap curation
+collocations.
 
 Results from the round-1 run at N=10 are recorded in README.md."""
 
@@ -41,7 +42,7 @@ def main() -> None:
                      "lm_capped", "dsir", "budget", "winnow", "classify",
                      "pagerank", "pagerank_capped", "pagerank_linear", "topn",
                      "triangles", "triangles_linear", "bpe", "domaincap",
-                     "curation")
+                     "curation", "collocations")
     need_emb = want("knn", "matmul", "semantic", "ivfpq", "kmeans",
                     "semdedup_kmeans")
     bd = be = None
@@ -390,6 +391,18 @@ def main() -> None:
                   cap_tokens=n_copies * 2000, min_quality=0.5,
                   budget_tokens=n_copies * 5000,
                   distributed=True).count())
+    if want("collocations"):
+        # r11: PMI collocations on the replicated corpus — one exploded
+        # bigram aggregate (map-side combined) + pair-table marginals;
+        # the claim is wall tracks the corpus scan, and the marginal/
+        # join work stays distinct-pair-sized (replicas add v{i} tokens,
+        # so the pair table grows mildly, not N-fold).
+        from pydata_vector_search_spark.operators.collocations import \
+            collocations_pmi
+        timed("PMI collocations (min_count scaled)",
+              lambda: collocations_pmi(bd, "text",
+                                       min_count=5 * n_copies,
+                                       top_k=30).count())
     if want("classify"):
         # r08: NB corpus classifier — train on the replicated corpus's
         # lang labels, score the whole corpus; counts map-side
