@@ -37,6 +37,59 @@ def test_distributed_cap_stage_identical(spark):
     assert default == dist
 
 
+def test_null_text_and_domain_flow(spark):
+    # Pins the NULL semantics the chain inherits: NULL texts all share
+    # the NULL fingerprint, so dedup keeps exactly ONE (min id) across
+    # the corpus; quality_score(NULL) is 0.55 in BOTH engines (Spark
+    # and DuckDB least() ignore NULLs: 0.4*1.0 + 0.3*0.5 + 0.3*0.0),
+    # so the survivor passes a 0.5 gate and dies at a 0.6 gate. NULL
+    # domains form their own cap group (the r11 NULL-safe distributed
+    # joins included).
+    good = ("solid informative sentence with plenty of words and "
+            "reasonable structure here") * 3
+    rows = [(1, good + " one", None), (2, None, None),
+            (3, good + " three", "a"), (4, None, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    for dist in (False, True):
+        kept = _ids(curate_corpus(df, "text", "doc_id", "src",
+                                  cap_tokens=10_000, min_quality=0.5,
+                                  budget_tokens=10_000,
+                                  distributed=dist))
+        assert kept == [1, 2, 3], dist     # 4 = NULL-fp dup of 2
+        strict = _ids(curate_corpus(df, "text", "doc_id", "src",
+                                    cap_tokens=10_000, min_quality=0.6,
+                                    budget_tokens=10_000,
+                                    distributed=dist))
+        assert strict == [1, 3], dist      # higher gate kills NULL text
+
+
+def test_null_corpus_matches_oracle(spark):
+    # the synthetic NULL corpus above, hash-compared against the
+    # staged DuckDB oracle itself (both gates) — cross-engine proof of
+    # the NULL semantics, not just Spark-internal consistency
+    import pandas as pd
+
+    from tools.curation_chain_oracle_draft import (
+        build_curation_chain_oracle_sql, curation_chain)
+    good = ("solid informative sentence with plenty of words and "
+            "reasonable structure here") * 3
+    rows = [(1, good + " one", "en", None), (2, None, "en", None),
+            (3, good + " three", "de", "a"), (4, None, "de", "a")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]))
+    for mq in (0.5, 0.6):
+        got = [tuple(r) for r in
+               curation_chain(df, cap_tokens=10_000, min_quality=mq,
+                              budget_tokens=10_000).collect()]
+        want = [tuple(r) for r in con.execute(
+            build_curation_chain_oracle_sql(10_000, mq,
+                                            10_000)).fetchall()]
+        assert got == want, mq
+
+
 def test_stage_semantics_small(spark):
     # 1 domain over cap (only best-quality survives the cap), an exact
     # duplicate pair (min id kept), a low-quality doc (gate), and a
