@@ -4188,7 +4188,11 @@ GROUP BY label ORDER BY label"""
 
 # quality_score (functions/text.py) replayed verbatim at the
 # operator's 6-dp bucketing round — the text_stats oracle expression.
-# NULL text -> NULL quality (sorts last, like Spark desc_nulls_last).
+# quality_score(NULL text) = 0.55 in BOTH engines: least()/greatest()
+# IGNORE NULL arguments (Spark and DuckDB alike), so term 1 reads
+# least(NULL, 1.0) = 1.0 and term 3's least(NULL, 1.0) = 1.0 — the
+# total is 0.4*1.0 + 0.3*0.5 + 0.3*0.0 = 0.55, never NULL (the
+# verify-skill least/greatest parity note; r12 ADVICE-low fix).
 _DOMAIN_CAP_QUALITY_SQL = r"""round(0.4 * least(length(text) / 200.0, 1.0)
        + 0.3 * (CASE WHEN length(text)::DOUBLE
                           / len(regexp_split_to_array(trim(text), '\s+'))

@@ -114,8 +114,25 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
     NULL bucket is handled explicitly rather than conflated with the
     "everything fits" case.
 
+    NULL-token contract (r12, closing the r11 ADVICE family): the naive
+    window's running sum SKIPS NULL token counts and stays NULL until
+    the first non-NULL one in the (quality DESC NULLS LAST, id) total
+    order, and ``NULL <= budget`` keeps nothing — so a NULL-token row
+    is kept iff SOME non-NULL-token row precedes it in that order (its
+    running sum is then the prefix of real tokens). The histogram
+    router reproduces this exactly: the per-bucket aggregate also
+    records the min id of non-NULL-token rows, the driver locates the
+    globally first non-NULL token, LEADING NULL-token rows (all-NULL
+    buckets ahead of it, plus earlier ids inside its bucket) are
+    filtered out of every branch — including the "everything fits"
+    return and the kept-outright above-cutoff slice — and a
+    NULL-running-sum row in the boundary bucket is KEPT when any
+    non-NULL token exists in a higher bucket (its naive running sum is
+    the above-bucket total, which fits by construction).
+
     Results equal the naive global-window spelling exactly (the declared
-    query's DuckDB oracle IS that spelling)."""
+    query's DuckDB oracle IS that spelling), NULL-token corners
+    included."""
     from pydata_vector_search_spark.functions.text import (quality_score,
                                                            token_count)
     from pyspark.sql import Window
@@ -128,7 +145,9 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
                 F.sum("__nt").alias("__bt"),
                 F.count(F.lit(1)).alias("__bn"),
                 F.min(F.col(id_col)).alias("__bmin"),
-                F.max(F.col(id_col)).alias("__bmax"))
+                F.max(F.col(id_col)).alias("__bmax"),
+                F.min(F.when(F.col("__nt").isNotNull(), F.col(id_col)))
+                 .alias("__bfirst"))
                 .collect())
     # quality DESC, NULL bucket last (matches Spark desc() / DuckDB
     # default null order) — sorted driver-side so the placement never
@@ -137,32 +156,59 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
                              -r["__qb"] if r["__qb"] is not None else 0.0))
     cum = 0
     found = False                 # distinct from cutoff=None == NULL bucket
-    cutoff, residual, brow = None, 0, None
-    for r in hist:
+    cutoff, residual, brow, cut_idx = None, 0, None, len(hist)
+    for i, r in enumerate(hist):
         bt = r["__bt"] or 0       # all-NULL-token bucket sums to NULL
         if cum + bt <= budget_tokens:
             cum += bt
         else:
             found, cutoff, residual = True, r["__qb"], budget_tokens - cum
-            brow = r
+            brow, cut_idx = r, i
             break
-    if not found:                           # whole corpus fits the budget
-        return base.drop("__qb", "__nt")
 
     qb = F.col("__qb")
+    # naive-window NULL-token contract (see docstring): find the bucket
+    # holding the globally FIRST non-NULL token count; rows that
+    # precede it in the total order are the leading NULL-token rows the
+    # naive running sum drops (their cum is NULL), in EVERY branch.
+    first_idx = next((i for i, r in enumerate(hist)
+                      if r["__bt"] is not None), None)
+    if first_idx is None:       # every token count NULL: naive keeps nothing
+        return base.filter(F.lit(False)).drop("__qb", "__nt")
+    fb = hist[first_idx]
+    before_first = (qb.isNotNull() if fb["__qb"] is None
+                    else qb.isNotNull() & (qb > fb["__qb"]))
+    # eqNullSafe: a NULL __qb must read FALSE (not SQL NULL) against a
+    # non-NULL first bucket, or `~leading` would drop NULL-quality rows
+    in_first = (qb.isNull() if fb["__qb"] is None
+                else qb.eqNullSafe(F.lit(fb["__qb"])))
+    leading = before_first | (in_first & F.col("__nt").isNull()
+                              & (F.col(id_col) < fb["__bfirst"]))
+    # a NULL running sum inside the boundary bucket means "no non-NULL
+    # token in the bucket prefix"; the naive global sum is then the
+    # above-bucket token total — non-NULL (row kept; the total fits by
+    # cutoff construction) iff some bucket above holds a real token.
+    above_has_tokens = first_idx < cut_idx
+
+    if not found:                           # whole corpus fits the budget
+        return base.filter(~leading).drop("__qb", "__nt")
+
     if cutoff is None:           # boundary bucket IS the NULL-quality one:
-        above = base.filter(qb.isNotNull())      # every real bucket fits
+        above = base.filter(qb.isNotNull() & ~leading)   # real buckets fit
         boundary_src = base.filter(qb.isNull())
     else:
-        above = base.filter(qb > cutoff)     # NULL __qb correctly excluded
+        above = base.filter((qb > cutoff) & ~leading)  # NULL __qb excluded
         boundary_src = base.filter(qb == cutoff)
+
+    def _keep_cum(c):
+        return (c <= residual) | (c.isNull() & F.lit(above_has_tokens))
 
     if brow["__bn"] <= max_boundary_task_rows:
         # small boundary bucket: one bounded-size task is cheapest
         w = Window.orderBy(F.col(id_col).asc())
         boundary = (boundary_src
                     .withColumn("__cum", F.sum("__nt").over(w))
-                    .filter(F.col("__cum") <= residual)
+                    .filter(_keep_cum(F.col("__cum")))
                     .drop("__cum"))
         return above.unionByName(boundary).drop("__qb", "__nt")
 
@@ -208,7 +254,7 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
              .otherwise(off + F.coalesce(cum_in, F.lit(0)))
     boundary = (bsrc.join(offs, F.col("__pb").eqNullSafe(F.col("__opb")))
                     .withColumn("__cum", cum_g)
-                    .filter(F.col("__cum") <= residual)
+                    .filter(_keep_cum(F.col("__cum")))
                     .drop("__cum", "__pb", "__opb", "__off"))
     return above.unionByName(boundary).drop("__qb", "__nt")
 

@@ -90,6 +90,68 @@ def test_null_corpus_matches_oracle(spark):
         assert got == want, mq
 
 
+def test_null_text_in_budget_boundary_bucket(spark):
+    # r12 ADVICE-medium repro: a NULL-text survivor (quality 0.55)
+    # holding the MIN id inside the budget stage's boundary bucket.
+    # Its running token sum is NULL (sum skips NULL, nothing non-NULL
+    # precedes it in the bucket or above), and `NULL <= budget` keeps
+    # nothing — BOTH engines must drop it. The old draft oracle fed the
+    # budget stage a coalesce(nt, 0), kept doc 1, and would have broken
+    # the r12 declaration's cross-engine hash on such corpora.
+    import pandas as pd
+
+    from tools.curation_chain_oracle_draft import (
+        build_curation_chain_oracle_sql, curation_chain)
+
+    # crafted quality EXACTLY 0.55 (the NULL-text score): len 50 ->
+    # 0.4*0.25; avg word len 2 (outside [3,12]) -> 0.3*0.5; zero
+    # punctuation -> 0.3*1.0 == 0.1 + 0.15 + 0.3. Same 3-dp budget
+    # bucket as the NULL doc in both engines (verbatim-replayed arith).
+    def t(tail):
+        return "a " * 24 + tail                    # 50 chars, 25 tokens
+    rows = [(1, None, "en", "s"), (2, t("ab"), "en", "s"),
+            (3, t("ac"), "en", "s"), (4, t("ad"), "en", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]))
+    got = [tuple(r) for r in
+           curation_chain(df, cap_tokens=10_000, min_quality=0.5,
+                          budget_tokens=30).collect()]
+    want = [tuple(r) for r in con.execute(
+        build_curation_chain_oracle_sql(10_000, 0.5, 30)).fetchall()]
+    # budget 30 admits exactly one 25-token doc; the NULL-text doc 1
+    # ahead of it in the order contributes a NULL running sum and drops
+    assert got == want == [(2, "en", "s")]
+
+
+def test_null_text_leads_order_everything_fits(spark):
+    # the "everything fits" branch must ALSO drop leading NULL-token
+    # rows: with every real doc scoring below 0.55, the NULL-text doc
+    # heads the quality order and its running sum never leaves NULL —
+    # the naive window (and DuckDB oracle) keep nothing of it even
+    # though the budget is never exhausted.
+    import pandas as pd
+
+    from tools.curation_chain_oracle_draft import (
+        build_curation_chain_oracle_sql, curation_chain)
+
+    rows = [(1, None, "en", "s"),
+            (2, "spam!!!! ????? ..... !!!! more spam!!!!", "en", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]))
+    got = [tuple(r) for r in
+           curation_chain(df, cap_tokens=10_000, min_quality=0.0,
+                          budget_tokens=10_000).collect()]
+    want = [tuple(r) for r in con.execute(
+        build_curation_chain_oracle_sql(10_000, 0.0, 10_000)).fetchall()]
+    assert got == want == [(2, "en", "s")]
+
+
 def test_stage_semantics_small(spark):
     # 1 domain over cap (only best-quality survives the cap), an exact
     # duplicate pair (min id kept), a low-quality doc (gate), and a

@@ -219,6 +219,60 @@ def test_select_token_budget_null_quality(spark):
     assert ids(30) == {1, 2, 3}
 
 
+def test_select_token_budget_null_token_corners(spark):
+    """r12: the naive global window's NULL-token contract in EVERY
+    branch of the histogram router. The naive running sum SKIPS NULL
+    token counts and stays NULL until the first non-NULL one, so a
+    NULL-token row is kept iff some non-NULL-token row precedes it in
+    (quality DESC NULLS LAST, id) order: leading NULLs drop even from
+    kept-outright above-cutoff buckets and from the everything-fits
+    return; a NULL running sum in the boundary bucket is KEPT when a
+    higher bucket holds real tokens (its naive sum is the above total,
+    which fits). Checked against the naive window spelling itself, on
+    both the single-task and the forced-distributed boundary paths."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pydata_vector_search_spark.functions.text import token_count
+    from pydata_vector_search_spark.operators.text_ops import \
+        select_token_budget
+
+    rows = [
+        (0, None, 0.95),          # all-NULL bucket ABOVE everything
+        (1, None, 0.9),           # leading NULL inside the first real bucket
+        (2, "w1 w2 w3", 0.9),     # 3 tokens
+        (3, None, 0.9),           # NULL after the bucket's first real token
+        (4, None, 0.5),           # NULL heading the (sometimes) boundary
+        (5, "x1 x2 x3 x4", 0.5),  # 4 tokens
+        (6, None, 0.3),           # NULL-only bucket BELOW
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, q double")
+    w = (Window.orderBy(F.col("q").desc_nulls_last(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = df.withColumn("__c", F.sum(token_count("text")
+                                       .cast("long")).over(w))
+
+    for budget, expect in [(2, set()), (3, {2, 3, 4}), (6, {2, 3, 4}),
+                           (7, {2, 3, 4, 5, 6}), (10**6, {2, 3, 4, 5, 6})]:
+        want = {r.doc_id for r in
+                naive.filter(F.col("__c") <= budget).collect()}
+        assert want == expect, (budget, want)   # the scenario is as labeled
+        for mbtr in (2_000_000, 0):             # single-task + distributed
+            got = {r.doc_id for r in select_token_budget(
+                df, "text", "doc_id", budget, quality_col=F.col("q"),
+                max_boundary_task_rows=mbtr,
+                prefix_buckets=3).collect()}
+            assert got == want, (budget, mbtr, got)
+
+    # an all-NULL-token corpus: the naive running sum never leaves NULL
+    nul = spark.createDataFrame([(1, None, 0.5), (2, None, None)],
+                                "doc_id int, text string, q double")
+    for budget in (1, 10**6):
+        assert select_token_budget(
+            nul, "text", "doc_id", budget,
+            quality_col=F.col("q")).count() == 0
+
+
 def test_redact_pii(spark):
     from pydata_vector_search_spark.functions.text import redact_pii
     df = spark.createDataFrame(

@@ -49,8 +49,14 @@ _QUALITY_BODY = r"""0.4 * least(length(text) / 200.0, 1.0)
                     '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
                             / length(text), 1.0))"""
 
-_NT_SQL = r"""coalesce(len(regexp_split_to_array(trim(text),
-                                                 '\s+'))::BIGINT, 0)"""
+# RAW token count — NULL text keeps a NULL nt. The budget stage's
+# running sum must SKIP NULLs (leading NULL-token rows drop on
+# `NULL <= budget`), matching select_token_budget's naive-window NULL
+# contract and the declared token_budget_select oracle; ONLY the cap
+# stage coalesces (domain_token_cap's contract counts NULL text as 0
+# tokens). r12 ADVICE-medium fix — the old draft fed the budget stage
+# a coalesced nt, which kept a leading NULL-text row Spark drops.
+_NT_SQL = r"""len(regexp_split_to_array(trim(text), '\s+'))::BIGINT"""
 
 
 def build_curation_chain_oracle_sql(cap_tokens: int = 2000,
@@ -64,7 +70,7 @@ WITH scored AS (
   FROM documents
 ), capped AS (
   SELECT doc_id, lang, source, text, nt FROM (
-    SELECT *, sum(nt) OVER (PARTITION BY source
+    SELECT *, sum(coalesce(nt, 0)) OVER (PARTITION BY source
                             ORDER BY qb6 DESC NULLS LAST, doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS c
