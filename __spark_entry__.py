@@ -3441,6 +3441,35 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_pmi(docs, "text", min_count=5, top_k=30)
 
 
+def q_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-curation chain (r12 — the LAST free window slot;
+    staged + oracle-validated at three SFs in r11): per-domain token
+    cap -> exact dedup over the survivors -> quality gate -> global
+    token budget, composed as ONE Catalyst plan
+    (operators/curation.py:38, Engine.curate_corpus). Declared on the
+    cap stage's DISTRIBUTED branch (whale-safe bucket routing — the
+    domain_token_cap precedent); the budget stage routes through the
+    quality histogram with the distributed-prefix-sum escape and the
+    naive-window NULL-token contract (leading NULL rows drop — r12
+    ADVICE-medium, pinned cross-engine in tests/test_curation.py).
+    The chained oracle replays all four stages, so the value hash pins
+    the stage BOUNDARIES, closing the corpus-to-epoch story begun by
+    dataloader_epoch (mix -> budget -> pack -> shard). Output is
+    doc-level membership (doc_id, lang, source) — the strongest hash
+    for a selection pipeline. Skew note: the dedup stage's min-id
+    window partitions by fingerprint; an all-identical corpus
+    concentrates ONE group in one task — the same bound exact dedup
+    has anywhere (documented in operators/curation.py)."""
+    from pydata_vector_search_spark.operators.curation import curate_corpus
+    docs = _t(spark, sf_dir, "documents")
+    sel = curate_corpus(docs, "text", "doc_id", "source",
+                        cap_tokens=2000, min_quality=0.5,
+                        budget_tokens=5000, distributed=True)
+    return (sel.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "lang", "source")
+               .orderBy("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3463,70 +3492,22 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-11 rotation: (a) the 3 r11-NEW queries — the full
-        # --- SemDeDup composition over k-means clusters, the per-domain
-        # --- token cap declared on its DISTRIBUTED whale-safe branch,
-        # --- and PMI collocation mining — all staged in r10 with oracle
-        # --- drafts validated EXACT at two SFs before declaration (and
-        # --- domain_token_cap's boundary join made NULL-safe this round,
-        # --- the r10 ADVICE high item, before going under the hash);
-        # --- (b) ALL 47 queries whose latest driver-green row is r08 —
+        # --- Round-12 rotation: (a) the 1 r12-NEW query — the full
+        # --- curation chain (cap -> dedup -> gate -> budget as ONE
+        # --- Catalyst plan), staged in r11 with its chained oracle
+        # --- validated EXACT at three SFs, declared after the r12
+        # --- NULL-token-contract fix (ADVICE-medium) landed with its
+        # --- cross-engine repro tests — the LAST free slot ever under
+        # --- the 50-slot / 2-round-staleness saturation arithmetic;
+        # --- (b) ALL 49 queries whose latest driver-green row is r09 —
         # --- they reach the 2-round staleness limit this round
-        # --- (tools/window_audit.py 11). Every query left outside is
-        # --- r09/r10-green, <= 2 rounds old. This is the last round
-        # --- with 3 free slots; r12 has exactly 1, r13+ zero (the
-        # --- window-saturation arithmetic in CHANGES_r10.md).
-        "semdedup_kmeans": q_semdedup_kmeans,
-        "domain_token_cap": q_domain_token_cap,
-        "collocations_pmi": q_collocations_pmi,
-        "approx_percentile": q_approx_percentile,
-        "bucketed_join": q_bucketed_join,
-        "chunk_embed_knn": q_chunk_embed_knn,
-        "clean_pipeline": q_clean_pipeline,
-        "clustered_scan": q_clustered_scan,
-        "cosine_neardup": q_cosine_neardup,
-        "cosine_topk_pairs": q_cosine_topk_pairs,
-        "cross_dedup": q_cross_dedup,
-        "csv_external": q_csv_external,
-        "dataloader_epoch": q_dataloader_epoch,
-        "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "dsir_select": q_dsir_select,
-        "embed_hash": q_embed_hash,
-        "full_outer_join": q_full_outer_join,
-        "funnel": q_funnel,
-        "hyperplane_lsh_neardup": q_hyperplane_lsh,
-        "incremental_read": q_incremental_read,
-        "jaccard_auto": q_jaccard_auto,
-        "jaccard_auto_heavy": q_jaccard_auto_heavy,
-        "jaccard_join": q_jaccard_join,
-        "jaccard_prefix": q_jaccard_prefix,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "knn_join": q_knn_join,
-        "label_centroids": q_label_centroids,
-        "maintenance_cycle": q_maintenance_cycle,
-        "merge_clauses": q_merge_clauses,
-        "merge_partitioned": q_merge_partitioned,
-        "minhash_neardup": q_minhash_neardup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "range_frame_window": q_range_frame_window,
-        "redact_pii": q_redact_pii,
-        "repetition_stats": q_repetition_stats,
-        "sequence_pack": q_sequence_pack,
-        "simhash_neardup": q_simhash_neardup,
-        "stateful_totals": q_stateful_totals,
-        "stream_cdc": q_stream_cdc,
-        "stream_tumbling": q_stream_tumbling,
-        "stream_upsert": q_stream_upsert,
-        "table_lifecycle": q_table_lifecycle,
-        "temperature_mix_tokens": q_temperature_mix_tokens,
-        "time_travel_read": q_time_travel_read,
-        "vector_knn": q_vector_knn,
-        "vector_knn_join": q_vector_knn_join,
-        "vector_topk_per_group": q_vector_topk_per_group,
-        "winnow_neardup": q_winnow_neardup,
-        # --- end of the 50-query driver window -------------------------
+        # --- (tools/window_audit.py 12). This includes the two
+        # --- token-budget queries whose code path changed again in the
+        # --- r12 NULL fix (token_budget_dist, token_budget_select) —
+        # --- scheduled exactly where the r11 verdict asked. Every
+        # --- query left outside is r10/r11-green, <= 2 rounds old.
+        # --- r13+ has ZERO free slots.
+        "curation_chain": q_curation_chain,
         "ann_after_upsert": q_ann_after_upsert,
         "ann_ivf_int8": q_ann_ivf_int8,
         "ann_ivf_knn": q_ann_ivf_knn,
@@ -3576,56 +3557,107 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "vector_knn_tvf": q_vector_knn_tvf,
         "winnow_clusters": q_winnow_clusters,
         "zorder_scan": q_zorder_scan,
+        # --- end of the 50-query driver window -------------------------
         "agg_pricing_summary": q_agg_pricing_summary,
+        "approx_percentile": q_approx_percentile,
         "array_functions": q_array_functions,
         "asof_join": q_asof_join,
         "bpe_train": q_bpe_train,
+        "bucketed_join": q_bucketed_join,
+        "chunk_embed_knn": q_chunk_embed_knn,
         "chunk_summary": q_chunk_summary,
+        "clean_pipeline": q_clean_pipeline,
+        "clustered_scan": q_clustered_scan,
+        "collocations_pmi": q_collocations_pmi,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_topk_pairs": q_cosine_topk_pairs,
+        "cross_dedup": q_cross_dedup,
+        "csv_external": q_csv_external,
         "cube_agg": q_cube_agg,
+        "dataloader_epoch": q_dataloader_epoch,
         "date_functions": q_date_functions,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
         "distinct_agg": q_distinct_agg,
+        "domain_token_cap": q_domain_token_cap,
+        "dsir_select": q_dsir_select,
+        "embed_hash": q_embed_hash,
         "events_json_window": q_events_json_window,
         "exists_subquery": q_exists_subquery,
         "filter_like_project": q_filter_like_project,
         "from_json_stats": q_from_json_stats,
+        "full_outer_join": q_full_outer_join,
+        "funnel": q_funnel,
         "graph_triangles": q_graph_triangles,
         "group_topk": q_group_topk,
         "hard_negatives": q_hard_negatives,
         "having": q_having,
+        "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        "incremental_read": q_incremental_read,
         "intersect_except": q_intersect_except,
+        "jaccard_auto": q_jaccard_auto,
+        "jaccard_auto_heavy": q_jaccard_auto_heavy,
+        "jaccard_join": q_jaccard_join,
+        "jaccard_prefix": q_jaccard_prefix,
         "join_agg": q_join_agg,
         "join_multiway": q_join_multiway,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "kmeans": q_kmeans,
         "kmeans_sample": q_kmeans_sample,
+        "knn_join": q_knn_join,
+        "label_centroids": q_label_centroids,
         "lang_id": q_lang_id,
         "lm_perplexity": q_lm_perplexity,
         "log_retention": q_log_retention,
+        "maintenance_cycle": q_maintenance_cycle,
+        "merge_clauses": q_merge_clauses,
+        "merge_partitioned": q_merge_partitioned,
+        "minhash_neardup": q_minhash_neardup,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_meta": q_multimodal_meta,
         "orc_roundtrip": q_orc_roundtrip,
         "outer_join_agg": q_outer_join_agg,
         "pagerank": q_pagerank,
+        "paragraph_dedup": q_paragraph_dedup,
         "percentiles": q_percentiles,
         "pivot": q_pivot,
         "promo_revenue": q_promo_revenue,
+        "range_frame_window": q_range_frame_window,
         "range_join": q_range_join,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
         "rollup_agg": q_rollup_agg,
         "salted_agg": q_salted_agg,
+        "semdedup_kmeans": q_semdedup_kmeans,
         "semi_anti_join": q_semi_anti_join,
+        "sequence_pack": q_sequence_pack,
         "session_windows": q_session_windows,
         "set_ops": q_set_ops,
+        "simhash_neardup": q_simhash_neardup,
         "sliding_windows": q_sliding_windows,
         "span_dedup": q_span_dedup,
+        "stateful_totals": q_stateful_totals,
+        "stream_cdc": q_stream_cdc,
         "stream_dedup": q_stream_dedup,
         "stream_index_patch": q_stream_index_patch,
         "stream_stream_join": q_stream_stream_join,
+        "stream_tumbling": q_stream_tumbling,
+        "stream_upsert": q_stream_upsert,
         "string_functions": q_string_functions,
+        "table_lifecycle": q_table_lifecycle,
+        "temperature_mix_tokens": q_temperature_mix_tokens,
         "text_stats": q_text_stats,
+        "time_travel_read": q_time_travel_read,
         "unpivot": q_unpivot,
         "upsert_merge": q_upsert_merge,
+        "vector_knn": q_vector_knn,
+        "vector_knn_join": q_vector_knn_join,
+        "vector_topk_per_group": q_vector_topk_per_group,
         "window_ranks": q_window_ranks,
         "window_running": q_window_running,
-        "window_topk_per_group": q_window_topk_per_group
+        "window_topk_per_group": q_window_topk_per_group,
+        "winnow_neardup": q_winnow_neardup,
     }
 
 
@@ -4186,20 +4218,28 @@ WHERE vec_id NOT IN (SELECT n FROM doomed)
 GROUP BY label ORDER BY label"""
 
 
-# quality_score (functions/text.py) replayed verbatim at the
-# operator's 6-dp bucketing round — the text_stats oracle expression.
+# quality_score (functions/text.py) replayed verbatim, parametrized on
+# the rounding each consumer applies — the text_stats oracle expression.
 # quality_score(NULL text) = 0.55 in BOTH engines: least()/greatest()
 # IGNORE NULL arguments (Spark and DuckDB alike), so term 1 reads
 # least(NULL, 1.0) = 1.0 and term 3's least(NULL, 1.0) = 1.0 — the
 # total is 0.4*1.0 + 0.3*0.5 + 0.3*0.0 = 0.55, never NULL (the
 # verify-skill least/greatest parity note; r12 ADVICE-low fix).
-_DOMAIN_CAP_QUALITY_SQL = r"""round(0.4 * least(length(text) / 200.0, 1.0)
+_QUALITY_BODY_SQL = r"""0.4 * least(length(text) / 200.0, 1.0)
        + 0.3 * (CASE WHEN length(text)::DOUBLE
                           / len(regexp_split_to_array(trim(text), '\s+'))
                      BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
        + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text,
                     '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
-                            / length(text), 1.0)), 6)"""
+                            / length(text), 1.0))"""
+_DOMAIN_CAP_QUALITY_SQL = f"round({_QUALITY_BODY_SQL}, 6)"
+
+# RAW token count (NULL text -> NULL) for the budget stage's running
+# sum: sum() skips NULLs, so leading NULL-token rows drop on
+# `NULL <= budget` — select_token_budget's naive-window NULL contract
+# (r12 ADVICE-medium). Only the CAP stage coalesces to 0 (the
+# domain_token_cap contract).
+_RAW_NT_SQL = r"""len(regexp_split_to_array(trim(text), '\s+'))::BIGINT"""
 
 
 def _domain_cap_oracle_sql(cap_tokens: int = 600) -> str:
@@ -4271,8 +4311,60 @@ ORDER BY pmi_micro DESC, pair_count DESC, w1, w2 LIMIT {top_k}
 """
 
 
+def _curation_chain_oracle_sql(cap_tokens: int = 2000,
+                               min_quality: float = 0.5,
+                               budget_tokens: int = 5000) -> str:
+    """The full corpus-curation composition replayed as one chained
+    query (promoted from tools/curation_chain_oracle_draft.py,
+    validated EXACT at sf0.001+sf0.01+sf0.1 in r11 and re-validated
+    after the r12 NULL fix; the draft AND tests/test_curation.py
+    import this builder): per-domain token cap (coalesced counts, the
+    domain_token_cap contract) -> exact dedup (min id per
+    normalized-text md5 fingerprint over the cap SURVIVORS) -> quality
+    gate (2-dp rounded threshold) -> global token budget (RAW counts —
+    leading NULL-token rows drop, the select_token_budget naive-window
+    NULL contract, r12 ADVICE-medium). Each stage is the operator its
+    standalone green oracle pins, so the value hash also pins the
+    stage BOUNDARIES."""
+    q = _QUALITY_BODY_SQL
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         round({q}, 6) AS qb6, {_RAW_NT_SQL} AS nt
+  FROM documents
+), capped AS (
+  SELECT doc_id, lang, source, text, nt FROM (
+    SELECT *, sum(coalesce(nt, 0)) OVER (PARTITION BY source
+                            ORDER BY qb6 DESC NULLS LAST, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS c
+    FROM scored) WHERE c <= {cap_tokens}
+), fp AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM capped
+), deduped AS (
+  SELECT doc_id, lang, source, text, nt FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY f) AS md FROM fp)
+  WHERE doc_id = md
+), gated AS (
+  SELECT doc_id, lang, source, text, nt FROM deduped
+  WHERE round({q}, 2) >= {min_quality!r}
+), ranked AS (
+  SELECT doc_id, lang, source,
+         sum(nt) OVER (ORDER BY round({q}, 3) DESC NULLS LAST, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c
+  FROM gated
+)
+SELECT doc_id, lang, source FROM ranked WHERE c <= {budget_tokens}
+ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
+        "curation_chain": _curation_chain_oracle_sql(
+            cap_tokens=2000, min_quality=0.5, budget_tokens=5000),
         "semdedup_kmeans": _semdedup_kmeans_oracle_sql(
             k=8, iterations=3, threshold=0.3, round_to=6),
         "domain_token_cap": _domain_cap_oracle_sql(cap_tokens=600),

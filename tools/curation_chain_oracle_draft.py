@@ -38,63 +38,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# quality_score (functions/text.py) replayed verbatim, parametrized on
-# the rounding each consumer applies (domain cap buckets at 6 dp, the
-# gate thresholds at 2 dp, the budget buckets at 3 dp).
-_QUALITY_BODY = r"""0.4 * least(length(text) / 200.0, 1.0)
-       + 0.3 * (CASE WHEN length(text)::DOUBLE
-                          / len(regexp_split_to_array(trim(text), '\s+'))
-                     BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-       + 0.3 * (1.0 - least(5.0 * length(regexp_replace(text,
-                    '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
-                            / length(text), 1.0))"""
-
-# RAW token count — NULL text keeps a NULL nt. The budget stage's
-# running sum must SKIP NULLs (leading NULL-token rows drop on
-# `NULL <= budget`), matching select_token_budget's naive-window NULL
-# contract and the declared token_budget_select oracle; ONLY the cap
-# stage coalesces (domain_token_cap's contract counts NULL text as 0
-# tokens). r12 ADVICE-medium fix — the old draft fed the budget stage
-# a coalesced nt, which kept a leading NULL-text row Spark drops.
-_NT_SQL = r"""len(regexp_split_to_array(trim(text), '\s+'))::BIGINT"""
-
-
 def build_curation_chain_oracle_sql(cap_tokens: int = 2000,
                                     min_quality: float = 0.5,
                                     budget_tokens: int = 5000) -> str:
-    q = _QUALITY_BODY
-    return f"""
-WITH scored AS (
-  SELECT doc_id, lang, source, text,
-         round({q}, 6) AS qb6, {_NT_SQL} AS nt
-  FROM documents
-), capped AS (
-  SELECT doc_id, lang, source, text, nt FROM (
-    SELECT *, sum(coalesce(nt, 0)) OVER (PARTITION BY source
-                            ORDER BY qb6 DESC NULLS LAST, doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS c
-    FROM scored) WHERE c <= {cap_tokens}
-), fp AS (
-  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-  FROM capped
-), deduped AS (
-  SELECT doc_id, lang, source, text, nt FROM (
-    SELECT *, min(doc_id) OVER (PARTITION BY f) AS md FROM fp)
-  WHERE doc_id = md
-), gated AS (
-  SELECT doc_id, lang, source, text, nt FROM deduped
-  WHERE round({q}, 2) >= {min_quality!r}
-), ranked AS (
-  SELECT doc_id, lang, source,
-         sum(nt) OVER (ORDER BY round({q}, 3) DESC NULLS LAST, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS c
-  FROM gated
-)
-SELECT doc_id, lang, source FROM ranked WHERE c <= {budget_tokens}
-ORDER BY doc_id
-"""
+    """Promoted to __spark_entry__._curation_chain_oracle_sql in r12
+    (the declared `curation_chain` query) — delegating wrapper so the
+    draft validator, tests/test_curation.py, and the declared oracle
+    can never diverge. The budget stage uses RAW (non-coalesced) token
+    counts — the r12 ADVICE-medium fix; only the cap stage coalesces."""
+    from __spark_entry__ import _curation_chain_oracle_sql
+    return _curation_chain_oracle_sql(cap_tokens=cap_tokens,
+                                      min_quality=min_quality,
+                                      budget_tokens=budget_tokens)
 
 
 def curation_chain(docs, cap_tokens: int = 2000, min_quality: float = 0.5,
