@@ -3344,12 +3344,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     all codegen, nothing driver-side."""
     from pydata_vector_search_spark.operators.graph import triangle_count
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    pairs = (a.join(b, "l_orderkey")
-             .filter(F.col("u") < F.col("v"))
-             .select("u", "v").distinct())
-    return (triangle_count(pairs, src="u", dst="v")
+    # pair generation WITHOUT the self-join (r12 perf): one groupBy
+    # shuffle collects each order's distinct parts (bounded ~7 at any
+    # TPC-H SF — no whale arrays), pairs generate IN-TASK from the
+    # sorted array (posexplode + slice keeps it codegen, u < v by
+    # construction), and one distinct dedups across orders. Replaces
+    # self-join(600k x 600k on l_orderkey) + filter + distinct:
+    # measured 2.38 -> 1.40 s warm at sf0.1, identical 1,196,000
+    # edges. Canonical by construction, so triangle_count skips its
+    # re-canonicalizing |E| shuffle (assume_canonical).
+    grp = (li.groupBy("l_orderkey")
+             .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
+             .filter(F.size("__ps") >= 2))
+    e1 = grp.select("__ps", F.posexplode("__ps").alias("__i", "u"))
+    pairs = (e1.select("u", F.explode(
+                 F.slice("__ps", F.col("__i") + F.lit(2), F.size("__ps")))
+                 .alias("v"))
+               .distinct())
+    return (triangle_count(pairs, src="u", dst="v", assume_canonical=True)
             .select(F.col("node").cast("long").alias("node"),
                     F.col("degree").cast("long").alias("degree"),
                     F.col("triangles").cast("long").alias("triangles"))

@@ -457,6 +457,21 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                (dfreq.agg(F.sum(F.col("__df") * (F.col("__df") - 1) / 2)
                            .alias("p")).collect()[0]["p"]) or 0)
         broadcast_candidates = est <= max_broadcast_candidates
+        if not broadcast_candidates:
+            # Tier 3 (r12): the tier-2 bound counts every same-shingle
+            # pair BEFORE prefix/size/positional filtering and can
+            # overshoot the real candidate count by 50x on exactly the
+            # duplicate-heavy corpora this join is recommended for
+            # (sf0.1 doubled: bound 5.3M vs ~80k actual -> demoted to a
+            # shuffle verify measured 1.6x slower). The candidate list
+            # must be computed for the verify either way, so when the
+            # cheap bound fails, materialize it once and gate on its
+            # TRUE size — the checkpoint is the same magnitude the
+            # shuffle files of the demoted join would have been, and
+            # the verify below reuses the materialized blocks instead
+            # of re-running the prefix self-join.
+            cand = cand.localCheckpoint(eager=True)
+            broadcast_candidates = cand.count() <= max_broadcast_candidates
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
     if broadcast_candidates:

@@ -92,7 +92,13 @@ def connected_components(edges: DataFrame, src: str = "src",
                 "zipWithIndex/monotonically_increasing_id + join back)")
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    # symmetrize once; self-loops drop out of the neighbour-min naturally
+    # symmetrize once; self-loops drop out of the neighbour-min
+    # naturally. The union-with-swap embeds the caller's edge lineage
+    # twice in ONE plan, but Catalyst's exchange reuse collapses the
+    # two branches onto a single execution of the upstream pair
+    # generator (verified r12: an explicit eager barrier here measured
+    # 6.4-7.1 s on winnow_clusters vs 6.3-6.7 s without — pure noise,
+    # so the extra materialization job is not worth carrying).
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
          .filter(F.col("u") != F.col("v")).distinct() \
          .localCheckpoint(eager=True)
@@ -262,7 +268,8 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst",
+                   assume_canonical: bool = False) -> DataFrame:
     """Per-node triangle counts over the undirected graph ``edges`` —
     the local-clustering signal of a near-dup / citation / link graph
     (a node whose neighbours all know each other sits inside a dense
@@ -296,12 +303,20 @@ def triangle_count(edges: DataFrame, src: str = "src",
     long arrays."""
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    # canonical undirected edge set: u < v, exactly once
-    canon = (e.filter(F.col("u") != F.col("v"))
-             .select(F.least("u", "v").alias("u"),
-                     F.greatest("u", "v").alias("v"))
-             .distinct()
-             .localCheckpoint(eager=True))  # consumed 2x: deg, orient
+    # canonical undirected edge set: u < v, exactly once.
+    # ``assume_canonical`` (r12): callers whose edge list is ALREADY
+    # u < v and distinct (e.g. a pair generator that emits each
+    # unordered pair once) skip the re-canonicalizing distinct — a
+    # full |E| shuffle that is a no-op on such input (measured 1.2 s
+    # of the 7.5 s sf0.1 co-purchase query).
+    if assume_canonical:
+        canon = e.localCheckpoint(eager=True)  # consumed 2x: deg, orient
+    else:
+        canon = (e.filter(F.col("u") != F.col("v"))
+                 .select(F.least("u", "v").alias("u"),
+                         F.greatest("u", "v").alias("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))  # consumed 2x: deg, orient
     deg = (canon.select(F.col("u").alias("node"))
            .unionByName(canon.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
