@@ -375,9 +375,30 @@ NOTES = {
         "(map-side combine bounds the shuffle at partitions x "
         "distinct pairs) behind its checkpoint; marginals are two "
         "aggregates over the PAIR table (distinct-pair-sized, not "
-        "corpus-sized) that AQE broadcasts into the final join; "
-        "top-k is TakeOrderedAndProject — per-partition heaps, no "
-        "global sort."),
+        "corpus-sized) that AQE broadcasts into the final join "
+        "(past the broadcast threshold the fallback is a word-keyed "
+        "sort-merge over vocabulary-bounded tables — bounded, never "
+        "corpus-sized; the min_count filter is pushed below both "
+        "joins); top-k is TakeOrderedAndProject — per-partition "
+        "heaps, no global sort."),
+    "curation_chain": (
+        "Full curation chain (r12, the final declaration): cap -> "
+        "dedup -> gate -> budget as ONE Catalyst lineage. The cap "
+        "stage is the declared whale-safe distributed branch (bucket "
+        "stats aggregate + domain-partitioned routing window over "
+        "the BUCKET table + null-safe joins + sub-bucketed boundary "
+        "windows — the domain_token_cap plan verbatim); the dedup "
+        "stage is one min-id window partitioned by the md5 text "
+        "fingerprint — dup groups shard across tasks, and its ONLY "
+        "skew exposure is a pathologically all-identical corpus "
+        "concentrating one fingerprint group in one task, the same "
+        "bound exact dedup has anywhere (operators/curation.py "
+        "docstring); the quality gate is a scalar filter fused into "
+        "the same scan; the budget stage routes through the quality "
+        "histogram (driver sees only the bucket table) with the "
+        "distributed-prefix-sum escape and the r12 naive-window "
+        "NULL-token contract (leading NULL rows drop in every "
+        "branch). Probe: sub-linear 9.6 -> 15.4 s over 10x -> 100x."),
 }
 
 
