@@ -110,8 +110,10 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
 
     uni = (toks.select(F.explode("__toks").alias("__w"))
                .groupBy("__w").agg(F.count(F.lit(1)).alias("__c1")))
-    n_total = toks.agg(
-        F.sum(F.size("__toks")).cast("double").alias("__n"))
+    # total token occurrences = the sum of the unigram counts — derive it
+    # from the vocabulary-sized ``uni`` table instead of tokenizing the
+    # corpus a second time (same value by construction)
+    n_total = uni.agg(F.sum("__c1").cast("double").alias("__n"))
 
     bi_occ = toks.select(
         id_col, F.explode(_bigrams_col(F.col("__toks"))).alias("__bg"))
@@ -163,8 +165,12 @@ def dsir_importance(raw: DataFrame, target: DataFrame, text_col: str,
                .cast("long") % num_buckets).alias("__b")
 
     raw_g = grams(raw).select(id_col, bucket)
+    # <= num_buckets rows; materialized once (the emptiness guard below
+    # forces it) so the model join doesn't re-run the target-corpus
+    # explode-aggregate a second time
     tgt_counts = (grams(target).select(bucket)
-                  .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
+                  .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+                  .localCheckpoint(eager=True))
     # a target with zero bigrams would make every model probability NULL
     # and silently return NULL weights — refuse loudly instead (the
     # count runs on the bucket-sized aggregate, not the corpus)
