@@ -142,3 +142,21 @@ def test_nb_broadcast_gate_same_results(spark):
         model, vocab_size=C.BROADCAST_SAFE_VOCAB + 1), "text", "doc_id")
     assert sorted(map(tuple, small.collect())) == \
         sorted(map(tuple, big.collect()))
+
+
+def test_nb_unpersist_recomputes_identically(spark):
+    """NBModel.unpersist releases the cached training-count table; the
+    model's dense lineage must then recompute from the corpus and score
+    identically (the persist is a latency optimization, never a
+    semantic dependency)."""
+    rows = [(i, f"tok{i % 5} shared term", ["x", "y"][i % 2])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    model = nb_train(df, "text", "y", max_vocab=64)
+    before = sorted(map(tuple,
+                        nb_score(df, model, "text", "doc_id").collect()))
+    model.unpersist()
+    after = sorted(map(tuple,
+                       nb_score(df, model, "text", "doc_id").collect()))
+    assert before == after
+    model.unpersist()          # idempotent on an already-released model
