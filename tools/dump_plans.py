@@ -196,19 +196,25 @@ NOTES = {
         "survivors, doc-keyed reassembly via sorted collect_list. "
         "No self-join, no corpus-wide window."),
     "lm_perplexity": (
-        "Bigram-LM scoring (r06): n-gram counting is two map-side-"
-        "combined HashAggregates (unigram + bigram keys); scoring joins "
-        "the DISTINCT-gram cost table (vocabulary-sized, not corpus-"
-        "sized) back to occurrences. Per-gram costs are floored to "
-        "integer micro-nats BEFORE the per-doc sum, so the final "
-        "aggregate is an exact long — order-independent under any "
-        "partitioning, which is what makes the result oracle-hashable."),
+        "Bigram-LM scoring (r06; r12 scan reduction): n-gram counting "
+        "is two map-side-combined HashAggregates (unigram + bigram "
+        "keys); the total-token scalar derives from the unigram table "
+        "(whose exchange the scoring joins share) instead of its own "
+        "corpus sizes-sum pass; scoring joins the DISTINCT-gram cost "
+        "table (vocabulary-sized, not corpus-sized) back to "
+        "occurrences. Per-gram costs are floored to integer micro-nats "
+        "BEFORE the per-doc sum, so the final aggregate is an exact "
+        "long — order-independent under any partitioning, which is "
+        "what makes the result oracle-hashable."),
     "dsir_select": (
-        "DSIR selection (r06): both hashed-bucket models are "
-        "num_buckets-row BroadcastExchange build sides — the corpus "
-        "explode joins them WITHOUT shuffling itself; the only data "
-        "exchange is the per-doc weight aggregate. Top-k is "
-        "TakeOrderedAndProject on the exact integer weight."),
+        "DSIR selection (r06; r12 scan reduction): both hashed-bucket "
+        "models are num_buckets-row BroadcastExchange build sides — "
+        "the corpus explode joins them WITHOUT shuffling itself; the "
+        "target model's count table localCheckpoints once (the "
+        "emptiness guard forces it), so the target corpus is exploded "
+        "exactly once. The only data exchange is the per-doc weight "
+        "aggregate. Top-k is TakeOrderedAndProject on the exact "
+        "integer weight."),
     "shard_shuffle": (
         "Dataloader shuffle+shard (r06): the operator itself is ONE "
         "hash exchange on the shard id + an in-partition sort (no "
@@ -286,14 +292,19 @@ NOTES = {
         "applyInPandas — the only exchange is the block-id hash "
         "shuffle; swapping a real BPE vocab changes no plan shape."),
     "nb_classify": (
-        "NB corpus classification (r09): training is two map-side-"
-        "combinable count aggregates (vocabulary-sized shuffles, not "
-        "corpus-sized); scoring explodes the corpus once, joins the "
-        "BOUNDED dense model (max_vocab=4096 hash buckets — broadcast "
-        "gated on the trained |V|, shuffle-join fallback past "
-        "BROADCAST_SAFE_VOCAB), and shuffles once on the (doc,label) "
-        "partial sums. The unseen-token mass is closed-form from "
-        "per-doc token totals — no dense miss rows materialize."),
+        "NB corpus classification (r09; r12 one-pass training): "
+        "training runs EXACTLY ONE corpus explode-aggregate — the "
+        "vocabulary-sized (label, token) count table persists (same "
+        "magnitude as the dense model) and |V|, per-class totals, and "
+        "the dense vocab spine all derive from it, so neither the "
+        "eager |V| count nor the scoring join re-runs training over "
+        "the corpus (pre-r12 they each did). Scoring explodes the "
+        "corpus once, joins the BOUNDED dense model (max_vocab=4096 "
+        "hash buckets — broadcast gated on the trained |V|, "
+        "shuffle-join fallback past BROADCAST_SAFE_VOCAB), and "
+        "shuffles once on the (doc,label) partial sums. The "
+        "unseen-token mass is closed-form from per-doc token totals — "
+        "no dense miss rows materialize."),
     "pagerank": (
         "Integer-exact PageRank (r09): the edge list (distinct "
         "customer-supplier purchase pairs, symmetrized) barriers ONCE "
