@@ -181,3 +181,50 @@ def test_bigram_lm_max_vocab_invalid_raises(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_vocab"):
         bigram_lm_score(df, "text", "doc_id", max_vocab=0)
+
+
+def test_bigram_lm_null_empty_and_whitespace_corpus_corners(spark):
+    """The r12 n_total refactor (derive the token total from the unigram
+    table instead of a second corpus sizes-sum pass) must hold on the
+    corners where the two spellings could diverge: NULL text (NULL token
+    array — dropped by explode, skipped by sum-of-sizes), empty text,
+    and whitespace-only text. Scores must equal the pure-Python
+    reference computed over the tokens the operator actually sees."""
+    rows = [(1, "the cat sat on the mat"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "the cat sat on the cat"),
+            (6, "solo")]                      # < 2 tokens: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.nll_micro)
+           for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    # mirror tokens_col exactly: NULL text -> no tokens (explode of a
+    # NULL array); empty/whitespace text normalizes to "" and splits to
+    # [""] — ONE empty-string token that counts toward the unigram
+    # model and the token total in BOTH the pre-r12 sizes-sum and the
+    # r12 unigram-sum spellings (verified equal against the old
+    # operator on this exact corpus)
+    import re
+
+    def _tokens(t):
+        return re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+    uni, n = {}, 0
+    toks = {i: _tokens(t) for i, t in rows if t is not None}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+            n += 1
+    ref = {}
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        s = 0
+        for a, b in zip(ts, ts[1:]):
+            bc = sum(1 for ots in toks.values()
+                     for x, y in zip(ots, ots[1:]) if (x, y) == (a, b))
+            p = 0.8 * bc / uni[a] + 0.2 * uni[b] / n
+            s += math.floor(-math.log(p) * _SCALE + 0.5)
+        ref[i] = (len(ts) - 1, s)
+    assert got == ref
