@@ -37,6 +37,26 @@ def main():
             args.append(a)
     n_runs = int(os.environ.get("ISOLATED_RUNS", "2"))
 
+    if len(args) > 1:
+        # one SUBPROCESS per query: a shared session would leak the
+        # earlier queries' residue (dead broadcasts, codegen caches,
+        # shuffle files) into the later measurements — measured 2x on
+        # winnow_clusters behind jaccard_auto_heavy in one session
+        # (14.1 s vs 6.8 s truly isolated). Sequential, with a short
+        # settle so the prior JVM's teardown cannot overlap the next
+        # session's startup.
+        import subprocess
+        for name in args:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name,
+                 f"--sf={sf_dir}"],
+                capture_output=True, text=True, timeout=900)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            time.sleep(8)
+        return
+
     import __spark_entry__ as entry
     from pydata_vector_search_spark.catalog import read_table
     from pydata_vector_search_spark.session import get_spark
