@@ -311,9 +311,13 @@ NOTES = {
         "(localCheckpoint — it is consumed iterations+2 times), then "
         "each iteration is one edges-to-ranks hash join + one "
         "groupBy(dst) sum, O(|E|) shuffled bytes with lineage "
-        "truncated per round; the final plan is the LAST iteration "
-        "only, constant-size regardless of iteration count. Edge/node "
-        "blocks are released when the final ranks materialize."),
+        "truncated every SECOND round (r12: a two-layer "
+        "uncheckpointed segment keeps the plan bounded at half the "
+        "materialization jobs — 4.99 -> 4.31 s warm at sf0.1, "
+        "bit-identical checksums); the final plan is at most the last "
+        "two iterations, bounded regardless of iteration count. "
+        "Edge/node blocks are released when the final ranks "
+        "materialize."),
     "winnow_clusters": (
         "Winnow pairs composed into clusters (r09): the winnow_neardup "
         "lineage verbatim (explode + codegen md5 + doc-partitioned "
