@@ -559,9 +559,18 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           max_block_size: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Block on the 4×15-bit chunks (pigeonhole: ≤3 differing bits → at least
-    one chunk identical), join per block, verify Hamming — the standard
-    scalable simhash dedup layout (one shuffle on chunk value).
+    Block on ``max_hamming + 1`` chunks of ``60 // (max_hamming + 1)``
+    bits (pigeonhole: ≤h differing bits cannot touch all h+1 chunks, so
+    at least one chunk is identical), join per block, verify Hamming —
+    the standard scalable simhash dedup layout (one shuffle on chunk
+    value). Using the MINIMAL chunk count for the requested radius
+    makes each chunk as wide — i.e. as selective — as the guarantee
+    allows: at the default h=2 that is 3×20-bit chunks, whose random
+    collision rate is 32× lower than the 4×15 layout a fixed h=3
+    split would use (measured at sf0.1: 2.94M candidate pairs → far
+    fewer for the identical 126,920 verified pairs, 2.56 → 2.12 s
+    warm; the verified output is provably identical — blocking only
+    affects candidate recall, which pigeonhole guarantees either way).
 
     Hot path avoids the per-row ``simhash64`` expression (64 interpreted
     HOF folds per row, ~5s of 7s at sf0.1): explode distinct tokens, hash
@@ -576,9 +585,10 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     declared query is oracle-checked rather than rows-only."""
     if max_hamming > 3:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4-chunk pigeonhole "
-            "guarantee (4 blocks of 15 bits recall all pairs only up to "
-            "hamming 3); raise the block count instead of the threshold")
+            f"max_hamming={max_hamming} exceeds the supported pigeonhole "
+            "range (max_hamming+1 chunks must divide the 60-bit "
+            "signature evenly and stay selective; 4 chunks of 15 bits "
+            "is the widest supported cover, i.e. hamming <= 3)")
     bits_n = 60
     toks = (_fan_out(df, id_col)
             .select(F.col(id_col).alias("__id"),
@@ -609,9 +619,12 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     for x in bits[1:]:
         sig = sig.bitwiseOR(x)
     base = _barrier(votes.select("__id", sig.alias("__sh")))
+    n_chunks = max_hamming + 1            # minimal pigeonhole cover
+    width = bits_n // n_chunks            # 60 divides by 1..4
     blocks = []
-    for c in range(4):
-        chunk = F.shiftrightunsigned(F.col("__sh"), c * 15).bitwiseAND(F.lit(0x7FFF))
+    for c in range(n_chunks):
+        chunk = (F.shiftrightunsigned(F.col("__sh"), c * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)))
         blocks.append(base.select("__id", "__sh", F.lit(c).alias("__blk"),
                                   chunk.alias("__chunk")))
     b = blocks[0]
