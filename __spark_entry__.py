@@ -3208,12 +3208,22 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                                nb_train)
     docs = _t(spark, sf_dir, "documents")
     model = nb_train(docs, "text", "lang", max_vocab=4096)
-    scored = nb_score(docs, model, "text", "doc_id")
-    return (scored.groupBy("pred_label")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.sum("doc_id").cast("long").alias("id_sum"),
-                 F.sum("score_micro").cast("long").alias("score_sum"))
-            .orderBy("pred_label"))
+    try:
+        scored = nb_score(docs, model, "text", "doc_id")
+        rolled = (scored.groupBy("pred_label")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                       F.sum("doc_id").cast("long").alias("id_sum"),
+                       F.sum("score_micro").cast("long").alias("score_sum"))
+                  .orderBy("pred_label"))
+        # Materialize the |labels|-row rollup eagerly so the cached
+        # vocabulary-sized training-count table can be released HERE
+        # instead of leaking for the session lifetime (r12 ADVICE) —
+        # the corpus-sized work is identical; only the ≤|labels| final
+        # rows cross the driver boundary.
+        rows = rolled.collect()
+    finally:
+        model.unpersist()
+    return spark.createDataFrame(rows, rolled.schema)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -287,7 +287,8 @@ class Engine:
 
     def classify(self, train, score, text_col: str, label_col: str,
                  id_col: str, smoothing: float = 1.0,
-                 max_vocab: int | None = 262_144) -> DataFrame:
+                 max_vocab: int | None = 262_144,
+                 return_model: bool = False):
         """Train the SQL-exact multinomial NB classifier on ``train``
         (labeled) and score ``score`` → (id, pred_label, score_micro)
         — the corpus quality/domain-filter step (see
@@ -300,14 +301,25 @@ class Engine:
         Pass ``max_vocab=None`` for the exact unbucketed vocabulary —
         ``nb_score`` then gates its broadcast on the trained |V|
         (classify.BROADCAST_SAFE_VOCAB) and degrades to a shuffle join
-        past it rather than shipping an unbounded model."""
+        past it rather than shipping an unbounded model.
+
+        CACHE LIFETIME: training persists one vocabulary-sized count
+        table (≤ |max_vocab|·|labels| rows) that the lazy scored plan
+        reads; it stays cached until released. Pass
+        ``return_model=True`` to get ``(scored, model)`` and call
+        ``model.unpersist()`` once the scored result is materialized
+        (the recommended pattern for long-lived sessions / repeated
+        classify calls). With the default ``return_model=False`` the
+        handle is not exposed and the bounded table lives until the
+        session ends or ``spark.catalog.clearCache()``."""
         from pydata_vector_search_spark.operators.classify import (nb_score,
                                                                    nb_train)
         tdf = self.table(train) if isinstance(train, str) else train
         sdf = self.table(score) if isinstance(score, str) else score
         model = nb_train(tdf, text_col, label_col,
                          smoothing=smoothing, max_vocab=max_vocab)
-        return nb_score(sdf, model, text_col, id_col)
+        scored = nb_score(sdf, model, text_col, id_col)
+        return (scored, model) if return_model else scored
 
     def pagerank(self, edges: str | DataFrame, src: str = "src",
                  dst: str = "dst", damping_pct: int = 85,

@@ -583,12 +583,13 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     would overflow DuckDB's BIGINT parse), so the whole pipeline —
     signatures, blocking, Hamming — is reproducible in SQL and the
     declared query is oracle-checked rather than rows-only."""
-    if max_hamming > 3:
+    if not 0 <= max_hamming <= 3:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the supported pigeonhole "
-            "range (max_hamming+1 chunks must divide the 60-bit "
+            f"max_hamming={max_hamming} outside the supported pigeonhole "
+            "range 0..3 (max_hamming+1 chunks must divide the 60-bit "
             "signature evenly and stay selective; 4 chunks of 15 bits "
-            "is the widest supported cover, i.e. hamming <= 3)")
+            "is the widest supported cover, and a negative radius has "
+            "no chunk cover at all)")
     bits_n = 60
     toks = (_fan_out(df, id_col)
             .select(F.col(id_col).alias("__id"),

@@ -217,6 +217,12 @@ def test_simhash_rejects_unguaranteed_hamming(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=4)
+    # negative radius must raise the same clear guard, not divide by
+    # zero in the chunk-width arithmetic (r12 ADVICE)
+    for bad in (-1, -5):
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dedup.simhash_neardup_pairs(df, "text", "doc_id",
+                                        max_hamming=bad)
 
 
 def test_decontaminate_containment_fraction(spark):

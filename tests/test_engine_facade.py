@@ -273,6 +273,25 @@ def test_classify_facade(engine, spark):
     assert via == direct and via
 
 
+def test_classify_facade_return_model(engine, spark):
+    """return_model=True (r12 ADVICE): same scored result, plus the
+    trained model handle so callers can release its persisted
+    training-count table after materializing."""
+    rows = [(i, ("alpha beta" if i % 2 else "gamma delta") + f" w{i}",
+             "odd" if i % 2 else "even") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    scored, model = engine.classify(df, df, "text", "y", "doc_id",
+                                    return_model=True)
+    got = {r.doc_id: (r.pred_label, r.score_micro)
+           for r in scored.collect()}
+    plain = {r.doc_id: (r.pred_label, r.score_micro) for r in
+             engine.classify(df, df, "text", "y", "doc_id").collect()}
+    assert got == plain and got
+    assert model._counts is not None and model._counts.is_cached
+    model.unpersist()
+    assert not model._counts.is_cached
+
+
 def test_pagerank_facade(engine, spark):
     """Engine.pagerank (r09): edge-table routing matches the operator
     called directly, on a DataFrame and a registered table."""

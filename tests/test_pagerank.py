@@ -35,6 +35,20 @@ def test_pagerank_matches_python_reference(spark):
     assert got == _py_pagerank(EDGES, iterations=5)
 
 
+@pytest.mark.parametrize("iters", [1, 2, 3, 4])
+def test_pagerank_checkpoint_cadence_parity(spark, iters):
+    """The every-2nd-iteration checkpoint cadence (r12 perf change)
+    has distinct code paths by iteration-count parity: a single
+    iteration hits only the ``_i == iterations - 1`` arm, an even
+    count ends exactly on a cadence checkpoint, an odd count > 1 ends
+    on the final-iteration arm with a one-deep lazy segment. Pin all
+    parities against the pure-Python integer reference (r12 ADVICE)."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank_units for r in
+           pagerank_exact(df, iterations=iters).collect()}
+    assert got == _py_pagerank(EDGES, iterations=iters)
+
+
 def test_pagerank_matches_duckdb_recursive_cte(spark):
     """The exact same integer recurrence replayed as a DuckDB
     recursive CTE produces identical longs — the oracle a declared

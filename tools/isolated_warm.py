@@ -47,13 +47,28 @@ def main():
         # session's startup.
         import subprocess
         for name in args:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), name,
-                 f"--sf={sf_dir}"],
-                capture_output=True, text=True, timeout=900)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), name,
+                     f"--sf={sf_dir}"],
+                    capture_output=True, text=True, timeout=900)
+            except subprocess.TimeoutExpired:
+                # one hung query must not kill the rest of the sweep
+                print(json.dumps({"query": name, "error": "timeout 900s"}),
+                      flush=True)
+                time.sleep(8)
+                continue
+            emitted = False
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)
+                    emitted = True
+            if out.returncode != 0 or not emitted:
+                # surface the crash instead of silently emitting nothing
+                print(json.dumps({"query": name, "error":
+                                  f"rc={out.returncode}: "
+                                  + out.stderr.strip()[-400:]}),
+                      flush=True)
             time.sleep(8)
         return
 
