@@ -257,18 +257,28 @@ def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
     from urllib.parse import unquote, urlparse
 
     vec = index.vector_col
-    distinct_keys = changes.select(id_col).distinct()
-    n_keys = distinct_keys.limit(max_patch_keys + 1).count()
-    if n_keys > max_patch_keys:
+    # ONE early-terminating job serves both the size guard and the key
+    # list (limit+1 rows: overflow ⇔ more than max_patch_keys keys) —
+    # the CDC lineage (mergeSchema commit-log scan + latest-per-key
+    # window) is not cheap to re-run, and the old separate
+    # count-then-collect paid it twice.
+    head = changes.select(id_col).distinct() \
+                  .limit(max_patch_keys + 1).collect()
+    if len(head) > max_patch_keys:
         raise ValueError(
             f"CDC batch has >{max_patch_keys:,} distinct keys; a "
             "driver-side isin patch at that size risks driver memory and "
             "a slower plan than a full scan. Rebuild the index instead "
             "(ivf_build / on_stale='rebuild'), or raise "
             "max_patch_keys explicitly.")
-    keys = [r[0] for r in distinct_keys.collect()]
+    keys = [r[0] for r in head]
     if not keys:
         return {"removed_partitions": 0, "appended": 0}
+    # Materialize the (now guard-bounded: ≤ max_patch_keys rows after
+    # latest-only dedupe) CDC batch once — the live-row count and the
+    # centroid-assign append below would otherwise each re-run the
+    # incremental lineage end to end.
+    changes = changes.localCheckpoint(eager=True)
 
     data = spark.read.parquet(index.data_path)
     quantized = _CODE in data.columns
