@@ -76,6 +76,17 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
                          f">= 1, got k={k} window={window}")
     from pyspark.sql import Window
 
+    from pydata_vector_search_spark.operators.dedup import _fan_out
+
+    # Fan out on the doc id BEFORE the explode: a small parquet input
+    # arrives as one partition, serializing the per-gram md5 pipeline
+    # onto a single core (dedup.py:_fan_out discipline). The hash
+    # partitioning on the id also satisfies the sliding-min window's
+    # clustering requirement, so the window below adds NO second
+    # exchange — the gram hashing runs at full parallelism and the
+    # only shuffle is this narrow (id, text) one. Measured at sf0.1:
+    # fingerprint stage 3.17 s -> ~1 s for identical 402,382 rows.
+    df = _fan_out(df, id_col)
     t = F.coalesce(normalized_text(text_col), F.lit(""))
     # Gram count clamped to >= 1: for texts shorter than k,
     # substring(t, 1, k) IS the whole text, so position 1 degenerates
