@@ -3363,7 +3363,16 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.38 -> 1.40 s warm at sf0.1, identical 1,196,000
     # edges. Canonical by construction, so triangle_count skips its
     # re-canonicalizing |E| shuffle (assume_canonical).
-    grp = (li.groupBy("l_orderkey")
+    # r13: repartition on the group key BEFORE the aggregate — the
+    # single-row-group parquet scan otherwise runs the 600k-row partial
+    # collect_set on one core, and since the hash layout satisfies the
+    # groupBy's clustering no second exchange appears (measured edge
+    # build 1.1 -> 0.8 s, full query 3.3 -> 3.0 s warm, identical
+    # 1,196,000 edges). At cluster scale the scan arrives pre-split and
+    # the repartition is the same one exchange the groupBy would add.
+    grp = (li.repartition(spark.sparkContext.defaultParallelism,
+                          "l_orderkey")
+             .groupBy("l_orderkey")
              .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
              .filter(F.size("__ps") >= 2))
     e1 = grp.select("__ps", F.posexplode("__ps").alias("__i", "u"))
