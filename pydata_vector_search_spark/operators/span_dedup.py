@@ -177,6 +177,15 @@ def duplicate_span_dedup(df: DataFrame, text_col: str, id_col: str,
     surviving tokens of the normalized form), total token count,
     removed token count, and the number of maximal removed spans.
     """
+    from pydata_vector_search_spark.operators.dedup import _fan_out
+
+    # Fan out on the doc id first: the per-row work below (interpreted
+    # zip_with gram build + one md5 per token window) is winnow-class
+    # heavy, and a single-row-group parquet input would run it all on
+    # one core (fingerprint.py r13 lesson). Measured at sf0.1: 2.4-2.9
+    # -> 1.2-1.3 s warm, identical outputs. The id hash layout is also
+    # what the interval-merge window needs later.
+    df = _fan_out(df, id_col)
     # NULL text behaves as empty text (NULL would propagate through the
     # token array into NULL stats instead of the documented zeros)
     base = df.select(
