@@ -130,7 +130,11 @@ def main():
         results[name] = {"status": "pass", "rows": len(srows),
                          "sec": round(dt, 1)}
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    n_run = len([q for q in qs if (not only or q in only)
+                 and q not in skip])
+    print(f"\n{n_run - len(failures)}/{n_run} pass"
+          + (f" (of {len(qs)} declared; filtered run)"
+             if only or skip else ""))
 
     # Persist a full run (no query filter) as a repo artifact: the driver's
     # per-round gate covers only the first 50 queries() entries, so this
