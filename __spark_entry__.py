@@ -3204,17 +3204,8 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combinable count aggregates; scoring is one corpus
     scan + broadcast join + (doc,label) partial sums — the corpus
     shuffles once (classify.py scale notes)."""
-    from pydata_vector_search_spark.operators.classify import (nb_score,
-                                                               nb_train)
-    docs = _t(spark, sf_dir, "documents")
-    model = nb_train(docs, "text", "lang", max_vocab=4096)
+    model, rolled = _nb_classify_lazy(spark, sf_dir)
     try:
-        scored = nb_score(docs, model, "text", "doc_id")
-        rolled = (scored.groupBy("pred_label")
-                  .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                       F.sum("doc_id").cast("long").alias("id_sum"),
-                       F.sum("score_micro").cast("long").alias("score_sum"))
-                  .orderBy("pred_label"))
         # Materialize the |labels|-row rollup eagerly so the cached
         # vocabulary-sized training-count table can be released HERE
         # instead of leaking for the session lifetime (r12 ADVICE) —
@@ -3224,6 +3215,24 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         model.unpersist()
     return spark.createDataFrame(rows, rolled.schema)
+
+
+def _nb_classify_lazy(spark: SparkSession, sf_dir: str):
+    """(model, lazy rollup plan) behind q_nb_classify — split out so
+    tools/dump_plans.py can show the REAL train+score lineage (the
+    declared query returns a local relation of the collected rollup,
+    whose dumped plan would be just LocalTableScan)."""
+    from pydata_vector_search_spark.operators.classify import (nb_score,
+                                                               nb_train)
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_train(docs, "text", "lang", max_vocab=4096)
+    scored = nb_score(docs, model, "text", "doc_id")
+    rolled = (scored.groupBy("pred_label")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum("doc_id").cast("long").alias("id_sum"),
+                   F.sum("score_micro").cast("long").alias("score_sum"))
+              .orderBy("pred_label"))
+    return model, rolled
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

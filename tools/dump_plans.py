@@ -179,16 +179,21 @@ NOTES = {
         "the plan shows the broadcast semi/anti pair, never a full "
         "rescan-aggregate of unchanged groups feeding the result."),
     "span_dedup": (
-        "Substring-span dedup (r06, Lee et al. '21): the suffix array "
-        "becomes a gram-keyed HashAggregate — (doc,pos) packs into ONE "
-        "long so first-occurrence min is partial_min in a codegen "
+        "Substring-span dedup (r06, Lee et al. '21; r13 fan-out): the "
+        "corpus fans out on the doc id FIRST (the interpreted zip_with "
+        "gram build + per-window md5 otherwise runs on a single "
+        "row-group's one partition — measured 2.4-2.9 -> 1.2-1.3 s at "
+        "sf0.1), then the suffix array becomes a gram-keyed "
+        "HashAggregate — (doc,pos) packs into ONE long so "
+        "first-occurrence min is partial_min in a codegen "
         "HashAggregate, not a SortAggregate over structs; hot "
         "boilerplate grams collapse map-side before the exchange. One "
         "gram-keyed join tags duplicate occurrences (AQE broadcasts at "
         "test SF, sort-merge at scale), the interval merge is a per-doc "
-        "window — partitions stay balanced because each doc's duplicate "
-        "starts are that doc's rows only — and the token rebuild is a "
-        "codegen'd higher-order filter; no Python anywhere."),
+        "window riding the same id hash layout — partitions stay "
+        "balanced because each doc's duplicate starts are that doc's "
+        "rows only — and the token rebuild is a codegen'd higher-order "
+        "filter; no Python anywhere."),
     "paragraph_dedup": (
         "Paragraph dedup (r06): same two-shuffle shape as span_dedup "
         "minus the interval logic — unit-key groupBy-min (partial agg "
@@ -278,13 +283,17 @@ NOTES = {
         "no single task ever sees the whole boundary bucket. The "
         "histogram aggregate below it is map-side combinable."),
     "winnow_neardup": (
-        "Winnowing fingerprints (r08): gram positions EXPLODE so the "
+        "Winnowing fingerprints (r08; r13 fan-out): the corpus fans "
+        "out on the doc id BEFORE the gram explode — the id hash "
+        "layout satisfies the sliding-min window's clustering, so the "
+        "per-gram md5 pipeline runs at full parallelism and the window "
+        "adds NO second exchange (fingerprint stage 3.17 -> 0.56 s at "
+        "sf0.1, identical fingerprints). Gram positions EXPLODE so the "
         "md5 k-gram hash runs inside WholeStageCodegen (the all-array "
         "HOF spelling pays ~9 us/element interpreted — measured 3x "
-        "slower end-to-end); the sliding min is a doc-partitioned "
-        "frame window over one narrow (id, pos, hash) exchange; the "
-        "fingerprint self-join is the dedup family's bounded equi-join "
-        "behind a round-robin barrier the consumers reuse."),
+        "slower end-to-end); the fingerprint self-join is the dedup "
+        "family's bounded equi-join behind a round-robin barrier the "
+        "consumers reuse."),
     "pack_tokenized": (
         "Tokenizer-hook packing (r08): one ArrowEvalPython/MapInPandas "
         "stage computes BPE-ish counts executor-side (tokenizer loads "
@@ -292,7 +301,11 @@ NOTES = {
         "applyInPandas — the only exchange is the block-id hash "
         "shuffle; swapping a real BPE vocab changes no plan shape."),
     "nb_classify": (
-        "NB corpus classification (r09; r12 one-pass training): "
+        "NB corpus classification (r09; r12 one-pass training; r13: "
+        "the declared query materializes this rollup eagerly and "
+        "releases the persisted count table — the plan shown is the "
+        "executed train+score lineage via _nb_classify_lazy, not the "
+        "local relation the query hands the driver): "
         "training runs EXACTLY ONE corpus explode-aggregate — the "
         "vocabulary-sized (label, token) count table persists (same "
         "magnitude as the dense model) and |V|, per-class totals, and "
@@ -344,7 +357,11 @@ NOTES = {
         "DuckDB oracle runs the single-window spelling the tournament "
         "provably equals."),
     "graph_triangles": (
-        "Edge-iterator triangle counting (r10): degree-ordered "
+        "Edge-iterator triangle counting (r10; r13: the edge build "
+        "repartitions on l_orderkey before its collect_set aggregate — "
+        "the single-row-group scan otherwise runs the 600k-row partial "
+        "agg on one core, and the hash layout satisfies the groupBy so "
+        "no extra exchange appears): degree-ordered "
         "orientation (two broadcast-able degree joins), out-adjacency "
         "arrays via collect_list (bounded O(sqrt E) per node by the "
         "orientation), then each oriented edge hash-joins both "
@@ -434,8 +451,16 @@ def main() -> None:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     for name, note in NOTES.items():
-        df = entry.queries()[name](spark, sf)
+        model = None
+        if name == "nb_classify":
+            # the declared query returns a local relation (eager rollup
+            # + model release, r13); dump the REAL train+score lineage
+            model, df = entry._nb_classify_lazy(spark, sf)
+        else:
+            df = entry.queries()[name](spark, sf)
         plan = df._jdf.queryExecution().explainString(mode)
+        if model is not None:
+            model.unpersist()
         head = plan.split("\n\n")[0]
         out += [f"## {name}", "", note, "", "```", head.strip(), "```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(
