@@ -140,3 +140,21 @@ def test_winnow_clusters_composition(spark):
         assert comp[members[0]] == min(members)
     # no cross-base merges
     assert len({comp[m] for m in comp}) == 3
+
+
+def test_winnow_fanout_single_exchange(spark):
+    """r13 fan-out invariant: the fingerprint pipeline's physical plan
+    carries exactly ONE shuffle below the sliding-min window — the id
+    fan-out repartition whose hash layout the window reuses (a second
+    Exchange appearing between the Generate and the Window would mean
+    the gram explode went back to input-file parallelism or the window
+    stopped riding the fan-out layout)."""
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text body")
+         for i in range(100)], "doc_id long, text string")
+    plan = (winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    # strip the AQE header; count shuffle exchanges in the whole plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "Window" in plan and "Generate" in plan, plan
