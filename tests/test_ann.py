@@ -366,3 +366,48 @@ def test_train_centroids_order_insensitive(spark):
     c2 = ann.train_centroids(df.orderBy(F.col("id").desc()), "v", 4,
                              seed=5, sample_size=128)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_patch_removes_emptied_partition(spark, sf_dir, tmp_path):
+    """A tombstone batch that deletes EVERY key of a centroid removes
+    that partition directory entirely (the emptied-dirs branch) and the
+    surviving index still serves exact results — pins the branch the
+    r13 collect-fusion change sits directly above."""
+    import glob
+    import os
+
+    from pydata_vector_search_spark.operators import ann, knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = ann.ivf_build(emb, "embedding", str(tmp_path / "emptied"),
+                        num_centroids=4, seed=1)
+    data = spark.read.parquet(idx.data_path)
+    # pick the smallest centroid and tombstone all of its keys
+    cid, n_cid = min(
+        ((r["__cid"], r["n"]) for r in
+         data.groupBy("__cid").agg(F.count(F.lit(1)).alias("n")).collect()),
+        key=lambda t: t[1])
+    n_before = data.count()
+    victims = (data.filter(F.col("__cid") == cid)
+                   .select("vec_id", "label", "embedding")
+                   .withColumn("_deleted", F.lit(True))
+                   .localCheckpoint(eager=True))  # pin rows: the patch
+    # deletes the very files this frame's lazy plan would re-read
+    out = ann.ivf_patch(spark, idx, victims, "vec_id")
+    assert out["appended"] == 0 and out["removed_partitions"] >= 1
+
+    dirs = {os.path.basename(d) for d in
+            glob.glob(idx.data_path + "/__cid=*")}
+    assert f"__cid={cid}" not in dirs and dirs, dirs
+    after = spark.read.parquet(idx.data_path)
+    assert after.count() == n_before - n_cid
+    assert after.filter(F.col("__cid") == cid).count() == 0
+
+    # the patched index serves exact top-k over the surviving rows
+    qv = _query(spark, sf_dir)
+    got = [r.vec_id for r in ann.ivf_search(
+        spark, idx, qv, k=5, nprobe=4, tiebreaker="vec_id").collect()]
+    survivors = emb.join(victims.select("vec_id"), "vec_id", "left_anti")
+    want = [r.vec_id for r in knn.vector_search(
+        survivors, "embedding", qv, k=5, tiebreaker="vec_id").collect()]
+    assert got == want
