@@ -91,7 +91,13 @@ def main():
 
     qs = entry.queries()
     for name in args:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            # clean error line instead of a bare KeyError traceback —
+            # the multi-query parent surfaces it verbatim
+            print(json.dumps({"query": name,
+                              "error": "unknown query (not declared)"}))
+            continue
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
