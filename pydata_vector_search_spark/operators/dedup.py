@@ -120,10 +120,26 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
 def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition before a CPU-heavy per-row stage. A single small parquet
     file arrives as ONE partition — fine for scans, fatal for per-row md5 /
-    bit-vote expressions that should use every core. At cluster scale inputs
-    are already split; this is a cheap no-op-ish guard (hash on the id keeps
-    the shuffle payload small and the layout reusable by later groupBys)."""
+    bit-vote expressions that should use every core. Hash on the id keeps
+    the shuffle payload small and the layout reusable by later groupBys.
+
+    GUARDED (r13): when the input already carries at least the target
+    parallelism — the normal case on a real cluster, where 100 TB
+    arrives as tens of thousands of splits — this is the identity.
+    The unguarded version would shuffle the whole corpus text once per
+    operator purely to re-bucket partitions that are already plentiful;
+    the guard keeps the repartition what it claims to be, a small-input
+    CPU guard. (Operators that pre-partition to REPLACE a strictly
+    larger downstream shuffle — winnow_fingerprints' pre-explode
+    repartition, whose alternative is exchanging the ~28x-larger
+    exploded gram stream at the sliding-min window — stay unconditional
+    and say so at the call site.)"""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass          # un-plannable input (e.g. streaming): fan out
     return df.repartition(target, F.col(id_col))
 
 

@@ -76,17 +76,18 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
                          f">= 1, got k={k} window={window}")
     from pyspark.sql import Window
 
-    from pydata_vector_search_spark.operators.dedup import _fan_out
-
-    # Fan out on the doc id BEFORE the explode: a small parquet input
-    # arrives as one partition, serializing the per-gram md5 pipeline
-    # onto a single core (dedup.py:_fan_out discipline). The hash
-    # partitioning on the id also satisfies the sliding-min window's
-    # clustering requirement, so the window below adds NO second
-    # exchange — the gram hashing runs at full parallelism and the
-    # only shuffle is this narrow (id, text) one. Measured at sf0.1:
-    # fingerprint stage 3.17 s -> ~1 s for identical 402,382 rows.
-    df = _fan_out(df, id_col)
+    # Repartition on the doc id BEFORE the explode — UNCONDITIONALLY,
+    # unlike the guarded dedup._fan_out: here the pre-explode shuffle
+    # carries (id, text) (~1 byte/char) and its hash layout satisfies
+    # the sliding-min window's clustering, so the window adds NO
+    # exchange of the exploded gram stream (~28 bytes/char — one
+    # (id, pos, hash) row per character position). At ANY scale and
+    # any input split this trades the strictly larger shuffle for the
+    # smaller one; on a single-row-group local input it additionally
+    # un-serializes the per-gram md5 pipeline (fingerprint stage
+    # 3.17 s -> 0.56 s at sf0.1, identical 402,382 rows).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                        F.col(id_col))
     t = F.coalesce(normalized_text(text_col), F.lit(""))
     # Gram count clamped to >= 1: for texts shorter than k,
     # substring(t, 1, k) IS the whole text, so position 1 degenerates

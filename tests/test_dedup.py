@@ -287,3 +287,17 @@ def test_cross_dedup_drops_reference_copies(spark):
         corpus, ref, "text", "doc_id", threshold=0.5,
         max_bucket_df=0).collect())
     assert capped == [1, 2, 3]
+
+
+def test_fan_out_guard(spark):
+    """r13: _fan_out is the identity when the input already carries the
+    target parallelism (a cluster-scale input must not be re-shuffled
+    just to re-bucket), and still fans a single-partition input out to
+    every core."""
+    target = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                                "doc_id long, text string").coalesce(1)
+    assert dedup._fan_out(one, "doc_id").rdd.getNumPartitions() == target
+    wide = one.repartition(target * 2, "doc_id")
+    out = dedup._fan_out(wide, "doc_id")
+    assert out is wide  # identity — no new exchange on top
