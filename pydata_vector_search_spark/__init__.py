@@ -18,4 +18,4 @@ from pydata_vector_search_spark.catalog import Catalog
 from pydata_vector_search_spark.engine import Engine
 
 __all__ = ["get_spark", "Catalog", "Engine"]
-__version__ = "0.1.0"
+__version__ = "0.2.1"

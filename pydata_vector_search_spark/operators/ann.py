@@ -247,12 +247,18 @@ def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
     trade; rebuild re-trains).
 
     The changed-key set is collected driver-side (it is the CDC batch's
-    key column — bounded by changed data). That collect is GUARDED: a
-    bounded count (``limit(max_patch_keys+1).count()`` — early-
-    terminating, never a full scan) refuses batches above
-    ``max_patch_keys`` (default 1M keys ≈ tens of MB of isin filter)
-    with a ValueError pointing at a full rebuild, which scans everything
-    once anyway and re-trains centroids — strictly better at that size."""
+    key column — bounded by changed data). That collect is GUARDED and
+    FUSED with the size check: one early-terminating
+    ``limit(max_patch_keys+1).collect()`` serves as both the overflow
+    probe (len > max ⇔ too many keys) and the key list, so the CDC
+    lineage (mergeSchema commit-log scan + latest-per-key window) runs
+    once, not twice. Overflow past ``max_patch_keys`` (default 1M keys ≈
+    tens of MB of isin filter) raises a ValueError pointing at a full
+    rebuild, which scans everything once anyway and re-trains centroids —
+    strictly better at that size. The guard-bounded batch is then eagerly
+    ``localCheckpoint``-ed so the live-row count and the centroid-assign
+    append below read materialized rows instead of re-running the
+    incremental lineage end to end."""
     import shutil
     from urllib.parse import unquote, urlparse
 

@@ -133,7 +133,22 @@ def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     larger downstream shuffle — winnow_fingerprints' pre-explode
     repartition, whose alternative is exchanging the ~28x-larger
     exploded gram stream at the sliding-min window — stay unconditional
-    and say so at the call site.)"""
+    and say so at the call site.)
+
+    KNOWN LIMIT — AQE blindness: the probe reads the PRE-AQE partition
+    count (``df.rdd.getNumPartitions()``, which also pays one extra
+    physical-planning pass for the probe df). A post-shuffle input that
+    reports ``spark.sql.shuffle.partitions`` splits but is
+    AQE-coalesced at execution passes the guard, so the CPU stage can
+    still run under-parallel. This is an accepted, BOUNDED trade: AQE
+    only coalesces when the stage's output is below
+    ``advisoryPartitionSizeInBytes`` x target (~64 MB/partition), so
+    the missed case serializes at most a few-hundred-MB batch — whereas
+    "fixing" it by distrusting post-shuffle counts would re-shuffle
+    arbitrarily large post-join corpora on every dedup call, the exact
+    corpus-scale exchange the r13 guard exists to prevent. True
+    executed partitioning is unknowable before execution (AQE re-plans
+    per stage), so the pre-AQE count is the best cheap signal."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         if df.rdd.getNumPartitions() >= target:

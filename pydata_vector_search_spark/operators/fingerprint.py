@@ -85,8 +85,12 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     # any input split this trades the strictly larger shuffle for the
     # smaller one; on a single-row-group local input it additionally
     # un-serializes the per-gram md5 pipeline (fingerprint stage
-    # 3.17 s -> 0.56 s at sf0.1, identical 402,382 rows).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+    # 3.17 s -> 0.56 s at sf0.1, identical 402,382 rows). Target is
+    # max(cores, shuffle.partitions) — the traded exchange would have
+    # run at shuffle.partitions, so the replacement must not carry
+    # LESS parallelism (session.traded_shuffle_partitions).
+    from ..session import traded_shuffle_partitions
+    df = df.repartition(traded_shuffle_partitions(df.sparkSession),
                         F.col(id_col))
     t = F.coalesce(normalized_text(text_col), F.lit(""))
     # Gram count clamped to >= 1: for texts shorter than k,

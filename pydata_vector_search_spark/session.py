@@ -46,6 +46,25 @@ _DEFAULTS = {
 }
 
 
+def traded_shuffle_partitions(spark: SparkSession) -> int:
+    """Partition target for a repartition that REPLACES a downstream
+    shuffle (winnow's pre-explode repartition, the triangle edge-build
+    pre-aggregate). The exchange being traded away would have run at
+    ``spark.sql.shuffle.partitions`` (plus AQE sizing), so the
+    replacement must carry AT LEAST that parallelism — on clusters
+    where shuffle partitions exceed core count, targeting bare
+    ``defaultParallelism`` would pin the traded pipeline BELOW the plan
+    it replaces. max() of the two also keeps the small-input CPU
+    guarantee on local harnesses where shuffle.partitions is tuned
+    down. (Local harness: both are 32, so plans are unchanged.)"""
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 0          # e.g. "auto" under some AQE configs
+    return max(dp, sp)
+
+
 def get_spark(app_name: str = "pydata_vector_search_spark",
               master: str | None = None,
               extra_conf: dict | None = None) -> SparkSession:

@@ -1,0 +1,74 @@
+"""Harness-tool contracts (r14 ADVICE closures).
+
+These pin the verification tooling itself: a misspelled filtered
+oracle run must fail loudly (not print "0/0 pass" and exit 0), a hung
+isolated-warm child must not leave its PySpark JVM grandchild alive
+under later measurements, and the traded-shuffle repartition target
+must never carry less parallelism than the exchange it replaces.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_oracle_check_rejects_unknown_query_name():
+    """A typo'd positional name exits 2 BEFORE JVM startup — a filtered
+    verification run with a misspelled query must read as an error, not
+    as a green 0/0 pass (r13 ADVICE, tools/oracle_check.py)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
+         "/root/testdata/sf0.001", "vector_knn_TYPO"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2, (out.returncode, out.stdout, out.stderr)
+    assert "vector_knn_TYPO" in out.stdout
+
+
+def test_oracle_check_rejects_unknown_skip_name():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
+         "/root/testdata/sf0.001", "vector_knn", "--skip=not_a_query"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2, (out.returncode, out.stdout, out.stderr)
+    assert "not_a_query" in out.stdout
+
+
+def test_isolated_warm_timeout_kills_process_group():
+    """With a tiny ISOLATED_TIMEOUT the per-query children (which need
+    ~10 s of JVM startup alone) must time out, emit clean error lines,
+    and the sweep must CONTINUE to the next query — exercising the
+    start_new_session + killpg path (r13 ADVICE, tools/isolated_warm.py).
+    The multi-query branch requires >= 2 names."""
+    env = dict(os.environ, ISOLATED_TIMEOUT="2", ISOLATED_RUNS="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "isolated_warm.py"),
+         "vector_knn", "group_topk", "--sf=/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=180, cwd=REPO, env=env)
+    assert out.returncode == 0, (out.returncode, out.stderr[-400:])
+    lines = [json.loads(ln) for ln in out.stdout.splitlines()
+             if ln.startswith("{")]
+    assert [ln["query"] for ln in lines] == ["vector_knn", "group_topk"]
+    assert all("timeout" in ln.get("error", "") for ln in lines), lines
+
+
+def test_traded_shuffle_partitions_floor(spark):
+    """The repartition that REPLACES a downstream shuffle must target at
+    least spark.sql.shuffle.partitions — on clusters where shuffle
+    partitions exceed core count, bare defaultParallelism would pin the
+    traded pipeline below the plan it replaces (r13 ADVICE,
+    fingerprint.py / q_graph_triangles)."""
+    from pydata_vector_search_spark.session import traded_shuffle_partitions
+
+    dp = spark.sparkContext.defaultParallelism
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(dp * 8))
+        assert traded_shuffle_partitions(spark) == dp * 8
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        assert traded_shuffle_partitions(spark) == dp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert traded_shuffle_partitions(spark) == max(dp, int(before))

@@ -10,6 +10,10 @@ expression). The last run of ``n`` is the steady-state number.
 
 Usage: python tools/isolated_warm.py QUERY [QUERY ...] [--sf=SF_DIR]
 (both ``--sf=SF_DIR`` and the two-token ``--sf SF_DIR`` are accepted)
+Env: ISOLATED_RUNS (default 2) runs per query; ISOLATED_TIMEOUT
+(default 900 s) per-child wall clock — on expiry the child's WHOLE
+process group (python + PySpark JVM) is killed so a hung query cannot
+leave a JVM holding memory/cores under later measurements.
 Prints one JSON line per query: {"query", "runs", "warm"}.
 Invoked automatically by bench.py for any query >1.5x its prior-round
 time (r05 verdict #2 protocol); also usable by hand.
@@ -36,6 +40,7 @@ def main():
         else:
             args.append(a)
     n_runs = int(os.environ.get("ISOLATED_RUNS", "2"))
+    child_timeout = float(os.environ.get("ISOLATED_TIMEOUT", "900"))
 
     if len(args) > 1:
         # one SUBPROCESS per query: a shared session would leak the
@@ -45,16 +50,33 @@ def main():
         # (14.1 s vs 6.8 s truly isolated). Sequential, with a short
         # settle so the prior JVM's teardown cannot overlap the next
         # session's startup.
+        import signal
         import subprocess
         for name in args:
+            # start_new_session: the child owns a process group, so a
+            # timeout kill reaches the PySpark JVM GRANDCHILD too — a
+            # surviving JVM from a hung query would hold memory/cores
+            # and contaminate every subsequent isolated measurement,
+            # the exact residue this tool exists to exclude.
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), name,
+                 f"--sf={sf_dir}"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, start_new_session=True)
             try:
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), name,
-                     f"--sf={sf_dir}"],
-                    capture_output=True, text=True, timeout=900)
+                stdout, stderr = proc.communicate(timeout=child_timeout)
+                out = subprocess.CompletedProcess(
+                    proc.args, proc.returncode, stdout, stderr)
             except subprocess.TimeoutExpired:
-                # one hung query must not kill the rest of the sweep
-                print(json.dumps({"query": name, "error": "timeout 900s"}),
+                # one hung query must not kill the rest of the sweep —
+                # kill the whole group (python child + JVM grandchild)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                proc.communicate()
+                print(json.dumps({"query": name,
+                                  "error": f"timeout {child_timeout:g}s"}),
                       flush=True)
                 time.sleep(8)
                 continue

@@ -64,6 +64,16 @@ def main():
     import __spark_entry__ as entry
     from pydata_vector_search_spark.session import get_spark
 
+    # Validate names BEFORE paying JVM startup: a typo'd positional name
+    # would otherwise be silently excluded from n_run and the tool would
+    # print "0/0 pass" and exit 0 — a misspelled filtered verification
+    # run must read as an ERROR, not as green.
+    declared = set(entry.queries())
+    unknown = sorted((only | skip) - declared)
+    if unknown:
+        print(f"ERROR: not in queries(): {unknown}")
+        sys.exit(2)
+
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
