@@ -128,8 +128,18 @@ def main() -> None:
             failures.append(name)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # git_head: same chain-of-custody field the oracle_check artifacts
+    # carry, so the judge can pin this run to the code it verified.
+    import subprocess
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=here).stdout.strip()
+    except Exception:
+        sha = "unknown"
     with open(os.path.join(here, "CC_SF01.json"), "w") as f:
-        json.dump({"sf_dir": sf_dir, "method": "python-union-find closure "
+        json.dump({"sf_dir": sf_dir, "git_head": sha,
+                   "method": "python-union-find closure "
                    "over the oracle's own DuckDB edge CTEs; unchanged "
                    "tail aggregation", "n_pass": len(results) - len(failures),
                    "failures": failures, "queries": results},
