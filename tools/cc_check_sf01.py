@@ -132,9 +132,11 @@ def main() -> None:
     # carry, so the judge can pin this run to the code it verified.
     import subprocess
     try:
+        # check=True so a non-zero exit (not a git repo, corrupt HEAD)
+        # reaches the explicit fallback instead of stamping "".
         sha = subprocess.run(["git", "rev-parse", "HEAD"],
                              capture_output=True, text=True,
-                             cwd=here).stdout.strip()
+                             cwd=here, check=True).stdout.strip() or "unknown"
     except Exception:
         sha = "unknown"
     with open(os.path.join(here, "CC_SF01.json"), "w") as f:

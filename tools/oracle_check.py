@@ -59,6 +59,18 @@ def main():
             pos.append(a)
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     only = set(pos[1:])
+    # The first positional is ALWAYS the data dir. Running
+    # ``oracle_check.py some_query ...`` (forgetting the sf_dir) would
+    # otherwise treat the query name as a path and fail every query
+    # with PATH_NOT_FOUND after paying JVM startup — fail fast with a
+    # usage error instead (same honesty class as the unknown-name
+    # validation below).
+    if pos and not os.path.isdir(sf_dir):
+        print(f"ERROR: first positional {sf_dir!r} is not a directory — "
+              f"it must be the sf data dir.\n"
+              f"usage: oracle_check.py [sf_dir] [query ...] "
+              f"[--out=FILE] [--skip=q1,q2,...]")
+        sys.exit(2)
 
     import duckdb
     import __spark_entry__ as entry
