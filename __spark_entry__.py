@@ -3535,167 +3535,168 @@ def queries() -> dict[str, Callable[[SparkSession, str],
                                     DataFrame]]:
     return {
         # --- first-50 driver window (hash-checked in declaration order).
-        # --- Round-15 rotation: the mandatory 2-round staleness cycle
+        # --- Round-16 rotation: the mandatory 2-round staleness cycle
         # --- (tools/window_audit.py) — ALL 50 queries whose latest
-        # --- driver-green row is r12 rotate in this round. This is the
-        # --- set that puts the four r13-changed carriers (nb_classify,
-        # --- ann_after_upsert, winnow_clusters, semantic_dedup) plus
-        # --- the r12 ANN/PQ/retrieval perf work (ann_ivf_*, pq_knn,
-        # --- ivfpq_knn, knn_join_ivf, bm25_search, hybrid_*, mmr_rerank)
-        # --- under the driver hash. Every query left outside is
-        # --- r13/r14-green, <= 2 rounds old; r16's window = the 50
-        # --- r13-greens.
-        "ann_after_upsert": q_ann_after_upsert,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "ann_ivf_knn": q_ann_ivf_knn,
-        "approx_distinct": q_approx_distinct,
-        "bm25_search": q_bm25_search,
-        "case_buckets": q_case_buckets,
-        "constraint_checks": q_constraint_checks,
-        "corpus_filter": q_corpus_filter,
-        "curation_chain": q_curation_chain,
-        "dedup_clusters_dist": q_dedup_clusters_dist,
-        "dedup_keep_best": q_dedup_keep_best,
-        "explode_tokens": q_explode_tokens,
-        "first_last_window": q_first_last_window,
-        "grouping_sets": q_grouping_sets,
-        "hybrid_postfilter": q_hybrid_postfilter,
-        "hybrid_prefilter": q_hybrid_prefilter,
-        "hybrid_rrf": q_hybrid_rrf,
-        "incremental_agg": q_incremental_agg,
-        "incremental_agg_minmax": q_incremental_agg_minmax,
-        "ivfpq_knn": q_ivfpq_knn,
-        "keyed_delete": q_keyed_delete,
-        "knn_join_ivf": q_knn_join_ivf,
-        "mmr_rerank": q_mmr_rerank,
-        "multimodal_frames": q_multimodal_frames,
-        "nb_classify": q_nb_classify,
-        "ntile_buckets": q_ntile_buckets,
-        "pack_tokenized": q_pack_tokenized,
-        "pq_knn": q_pq_knn,
-        "purge_erasure": q_purge_erasure,
-        "regexp_extract_agg": q_regexp_extract_agg,
-        "salted_join": q_salted_join,
-        "scalar_subquery": q_scalar_subquery,
-        "semantic_dedup": q_semantic_dedup,
-        "sessionize": q_sessionize,
-        "shard_shuffle": q_shard_shuffle,
-        "shipping_priority": q_shipping_priority,
-        "stratified_sample": q_stratified_sample,
-        "stream_static_join": q_stream_static_join,
-        "table_profile": q_table_profile,
-        "temperature_mix": q_temperature_mix,
-        "token_budget_dist": q_token_budget_dist,
-        "token_budget_select": q_token_budget_select,
-        "token_counts": q_token_counts,
-        "variant_json": q_variant_json,
-        "vector_knn_dot": q_vector_knn_dot,
-        "vector_knn_l2": q_vector_knn_l2,
-        "vector_knn_sql": q_vector_knn_sql,
-        "vector_knn_tvf": q_vector_knn_tvf,
-        "winnow_clusters": q_winnow_clusters,
-        "zorder_scan": q_zorder_scan,
-        # --- end of the 50-query driver window -------------------------
+        # --- driver-green row is r13 rotate in this round. This is the
+        # --- set that puts the r13 fan-out/winnow/jaccard parallelism
+        # --- consumers (graph_triangles, pagerank, kmeans, bpe_train,
+        # --- lm_perplexity, span_dedup, ...) plus the streaming suite
+        # --- (stream_dedup, stream_index_patch, stream_stream_join,
+        # --- session_windows, sliding_windows) back under the driver
+        # --- hash on their 2-round cadence. Every query left outside is
+        # --- r14/r15-green, <= 2 rounds old; r17's window = the 50
+        # --- r14-greens.
         "agg_pricing_summary": q_agg_pricing_summary,
-        "approx_percentile": q_approx_percentile,
         "array_functions": q_array_functions,
         "asof_join": q_asof_join,
         "bpe_train": q_bpe_train,
-        "bucketed_join": q_bucketed_join,
-        "chunk_embed_knn": q_chunk_embed_knn,
         "chunk_summary": q_chunk_summary,
-        "clean_pipeline": q_clean_pipeline,
-        "clustered_scan": q_clustered_scan,
-        "collocations_pmi": q_collocations_pmi,
-        "cosine_neardup": q_cosine_neardup,
-        "cosine_topk_pairs": q_cosine_topk_pairs,
-        "cross_dedup": q_cross_dedup,
-        "csv_external": q_csv_external,
         "cube_agg": q_cube_agg,
-        "dataloader_epoch": q_dataloader_epoch,
         "date_functions": q_date_functions,
-        "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
         "distinct_agg": q_distinct_agg,
-        "domain_token_cap": q_domain_token_cap,
-        "dsir_select": q_dsir_select,
-        "embed_hash": q_embed_hash,
         "events_json_window": q_events_json_window,
         "exists_subquery": q_exists_subquery,
         "filter_like_project": q_filter_like_project,
         "from_json_stats": q_from_json_stats,
-        "full_outer_join": q_full_outer_join,
-        "funnel": q_funnel,
         "graph_triangles": q_graph_triangles,
         "group_topk": q_group_topk,
         "hard_negatives": q_hard_negatives,
         "having": q_having,
-        "hyperplane_lsh_neardup": q_hyperplane_lsh,
-        "incremental_read": q_incremental_read,
         "intersect_except": q_intersect_except,
-        "jaccard_auto": q_jaccard_auto,
-        "jaccard_auto_heavy": q_jaccard_auto_heavy,
-        "jaccard_join": q_jaccard_join,
-        "jaccard_prefix": q_jaccard_prefix,
         "join_agg": q_join_agg,
         "join_multiway": q_join_multiway,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
         "kmeans": q_kmeans,
         "kmeans_sample": q_kmeans_sample,
-        "knn_join": q_knn_join,
-        "label_centroids": q_label_centroids,
         "lang_id": q_lang_id,
         "lm_perplexity": q_lm_perplexity,
         "log_retention": q_log_retention,
-        "maintenance_cycle": q_maintenance_cycle,
-        "merge_clauses": q_merge_clauses,
-        "merge_partitioned": q_merge_partitioned,
-        "minhash_neardup": q_minhash_neardup,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_meta": q_multimodal_meta,
         "orc_roundtrip": q_orc_roundtrip,
         "outer_join_agg": q_outer_join_agg,
         "pagerank": q_pagerank,
-        "paragraph_dedup": q_paragraph_dedup,
         "percentiles": q_percentiles,
         "pivot": q_pivot,
         "promo_revenue": q_promo_revenue,
-        "range_frame_window": q_range_frame_window,
         "range_join": q_range_join,
-        "redact_pii": q_redact_pii,
-        "repetition_stats": q_repetition_stats,
         "rollup_agg": q_rollup_agg,
         "salted_agg": q_salted_agg,
-        "semdedup_kmeans": q_semdedup_kmeans,
         "semi_anti_join": q_semi_anti_join,
-        "sequence_pack": q_sequence_pack,
         "session_windows": q_session_windows,
         "set_ops": q_set_ops,
-        "simhash_neardup": q_simhash_neardup,
         "sliding_windows": q_sliding_windows,
         "span_dedup": q_span_dedup,
-        "stateful_totals": q_stateful_totals,
-        "stream_cdc": q_stream_cdc,
         "stream_dedup": q_stream_dedup,
         "stream_index_patch": q_stream_index_patch,
         "stream_stream_join": q_stream_stream_join,
-        "stream_tumbling": q_stream_tumbling,
-        "stream_upsert": q_stream_upsert,
         "string_functions": q_string_functions,
-        "table_lifecycle": q_table_lifecycle,
-        "temperature_mix_tokens": q_temperature_mix_tokens,
         "text_stats": q_text_stats,
-        "time_travel_read": q_time_travel_read,
         "unpivot": q_unpivot,
         "upsert_merge": q_upsert_merge,
-        "vector_knn": q_vector_knn,
-        "vector_knn_join": q_vector_knn_join,
-        "vector_topk_per_group": q_vector_topk_per_group,
         "window_ranks": q_window_ranks,
         "window_running": q_window_running,
         "window_topk_per_group": q_window_topk_per_group,
+        # --- end of the 50-query driver window -------------------------
+        "ann_after_upsert": q_ann_after_upsert,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "ann_ivf_knn": q_ann_ivf_knn,
+        "approx_distinct": q_approx_distinct,
+        "approx_percentile": q_approx_percentile,
+        "bm25_search": q_bm25_search,
+        "bucketed_join": q_bucketed_join,
+        "case_buckets": q_case_buckets,
+        "chunk_embed_knn": q_chunk_embed_knn,
+        "clean_pipeline": q_clean_pipeline,
+        "clustered_scan": q_clustered_scan,
+        "collocations_pmi": q_collocations_pmi,
+        "constraint_checks": q_constraint_checks,
+        "corpus_filter": q_corpus_filter,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_topk_pairs": q_cosine_topk_pairs,
+        "cross_dedup": q_cross_dedup,
+        "csv_external": q_csv_external,
+        "curation_chain": q_curation_chain,
+        "dataloader_epoch": q_dataloader_epoch,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_dist": q_dedup_clusters_dist,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_best": q_dedup_keep_best,
+        "domain_token_cap": q_domain_token_cap,
+        "dsir_select": q_dsir_select,
+        "embed_hash": q_embed_hash,
+        "explode_tokens": q_explode_tokens,
+        "first_last_window": q_first_last_window,
+        "full_outer_join": q_full_outer_join,
+        "funnel": q_funnel,
+        "grouping_sets": q_grouping_sets,
+        "hybrid_postfilter": q_hybrid_postfilter,
+        "hybrid_prefilter": q_hybrid_prefilter,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hyperplane_lsh_neardup": q_hyperplane_lsh,
+        "incremental_agg": q_incremental_agg,
+        "incremental_agg_minmax": q_incremental_agg_minmax,
+        "incremental_read": q_incremental_read,
+        "ivfpq_knn": q_ivfpq_knn,
+        "jaccard_auto": q_jaccard_auto,
+        "jaccard_auto_heavy": q_jaccard_auto_heavy,
+        "jaccard_join": q_jaccard_join,
+        "jaccard_prefix": q_jaccard_prefix,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "keyed_delete": q_keyed_delete,
+        "knn_join": q_knn_join,
+        "knn_join_ivf": q_knn_join_ivf,
+        "label_centroids": q_label_centroids,
+        "maintenance_cycle": q_maintenance_cycle,
+        "merge_clauses": q_merge_clauses,
+        "merge_partitioned": q_merge_partitioned,
+        "minhash_neardup": q_minhash_neardup,
+        "mmr_rerank": q_mmr_rerank,
+        "multimodal_frames": q_multimodal_frames,
+        "nb_classify": q_nb_classify,
+        "ntile_buckets": q_ntile_buckets,
+        "pack_tokenized": q_pack_tokenized,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pq_knn": q_pq_knn,
+        "purge_erasure": q_purge_erasure,
+        "range_frame_window": q_range_frame_window,
+        "redact_pii": q_redact_pii,
+        "regexp_extract_agg": q_regexp_extract_agg,
+        "repetition_stats": q_repetition_stats,
+        "salted_join": q_salted_join,
+        "scalar_subquery": q_scalar_subquery,
+        "semantic_dedup": q_semantic_dedup,
+        "semdedup_kmeans": q_semdedup_kmeans,
+        "sequence_pack": q_sequence_pack,
+        "sessionize": q_sessionize,
+        "shard_shuffle": q_shard_shuffle,
+        "shipping_priority": q_shipping_priority,
+        "simhash_neardup": q_simhash_neardup,
+        "stateful_totals": q_stateful_totals,
+        "stratified_sample": q_stratified_sample,
+        "stream_cdc": q_stream_cdc,
+        "stream_static_join": q_stream_static_join,
+        "stream_tumbling": q_stream_tumbling,
+        "stream_upsert": q_stream_upsert,
+        "table_lifecycle": q_table_lifecycle,
+        "table_profile": q_table_profile,
+        "temperature_mix": q_temperature_mix,
+        "temperature_mix_tokens": q_temperature_mix_tokens,
+        "time_travel_read": q_time_travel_read,
+        "token_budget_dist": q_token_budget_dist,
+        "token_budget_select": q_token_budget_select,
+        "token_counts": q_token_counts,
+        "variant_json": q_variant_json,
+        "vector_knn": q_vector_knn,
+        "vector_knn_dot": q_vector_knn_dot,
+        "vector_knn_join": q_vector_knn_join,
+        "vector_knn_l2": q_vector_knn_l2,
+        "vector_knn_sql": q_vector_knn_sql,
+        "vector_knn_tvf": q_vector_knn_tvf,
+        "vector_topk_per_group": q_vector_topk_per_group,
+        "winnow_clusters": q_winnow_clusters,
         "winnow_neardup": q_winnow_neardup,
+        "zorder_scan": q_zorder_scan,
     }
 
 

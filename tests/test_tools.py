@@ -24,21 +24,47 @@ def test_oracle_check_rejects_unknown_query_name():
          "/root/testdata/sf0.001", "vector_knn_TYPO"],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out.returncode == 2, (out.returncode, out.stdout, out.stderr)
-    assert "vector_knn_TYPO" in out.stdout
+    assert "vector_knn_TYPO" in out.stderr
 
 
 def test_oracle_check_rejects_non_directory_sf_dir():
     """Forgetting the sf_dir positional (``oracle_check.py <query>``)
     must exit 2 with a usage error BEFORE JVM startup — not treat the
     query name as a data dir and fail every query with PATH_NOT_FOUND
-    (r14 verdict What's-wrong #1, tools/oracle_check.py)."""
+    (r14 verdict What's-wrong #1, tools/oracle_check.py). Diagnostics
+    land on stderr, never on stdout (r15 ADVICE)."""
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
          "winnow_neardup"],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out.returncode == 2, (out.returncode, out.stdout, out.stderr)
-    assert "not a directory" in out.stdout
-    assert "usage:" in out.stdout
+    assert "not a directory" in out.stderr
+    assert "usage:" in out.stderr
+    assert out.stdout == "", out.stdout
+
+
+def test_oracle_check_validates_default_sf_dir(monkeypatch, capsys):
+    """With NO positional, the default sf_dir is still validated before
+    JVM startup (r15 ADVICE: the old `if pos` condition skipped the
+    guard exactly when the default dir was the one in play). The real
+    default exists in this env, so exercise the branch in-process with
+    isdir patched False — the guard fires before any heavy import."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "oracle_check_under_test",
+        os.path.join(REPO, "tools", "oracle_check.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", ["oracle_check.py"])
+    monkeypatch.setattr(mod.os.path, "isdir", lambda p: False)
+    try:
+        mod.main()
+        raise AssertionError("expected SystemExit(2)")
+    except SystemExit as e:
+        assert e.code == 2
+    err = capsys.readouterr()
+    assert "default sf data dir" in err.err
+    assert err.out == "", err.out
 
 
 def test_oracle_check_rejects_unknown_skip_name():
@@ -47,7 +73,7 @@ def test_oracle_check_rejects_unknown_skip_name():
          "/root/testdata/sf0.001", "vector_knn", "--skip=not_a_query"],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out.returncode == 2, (out.returncode, out.stdout, out.stderr)
-    assert "not_a_query" in out.stdout
+    assert "not_a_query" in out.stderr
 
 
 def test_isolated_warm_timeout_kills_process_group():

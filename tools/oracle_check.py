@@ -64,12 +64,17 @@ def main():
     # otherwise treat the query name as a path and fail every query
     # with PATH_NOT_FOUND after paying JVM startup — fail fast with a
     # usage error instead (same honesty class as the unknown-name
-    # validation below).
-    if pos and not os.path.isdir(sf_dir):
-        print(f"ERROR: first positional {sf_dir!r} is not a directory — "
+    # validation below). The check is unconditional (r15 ADVICE): a
+    # missing DEFAULT dir must also fail here, not after JVM startup.
+    # Diagnostics go to stderr so --out/stdout consumers never ingest
+    # error text (r15 ADVICE).
+    if not os.path.isdir(sf_dir):
+        what = ("first positional" if pos else
+                "default sf data dir")
+        print(f"ERROR: {what} {sf_dir!r} is not a directory — "
               f"it must be the sf data dir.\n"
               f"usage: oracle_check.py [sf_dir] [query ...] "
-              f"[--out=FILE] [--skip=q1,q2,...]")
+              f"[--out=FILE] [--skip=q1,q2,...]", file=sys.stderr)
         sys.exit(2)
 
     import duckdb
@@ -79,11 +84,12 @@ def main():
     # Validate names BEFORE paying JVM startup: a typo'd positional name
     # would otherwise be silently excluded from n_run and the tool would
     # print "0/0 pass" and exit 0 — a misspelled filtered verification
-    # run must read as an ERROR, not as green.
+    # run must read as an ERROR, not as green. Same stderr convention
+    # as the sf_dir guard above.
     declared = set(entry.queries())
     unknown = sorted((only | skip) - declared)
     if unknown:
-        print(f"ERROR: not in queries(): {unknown}")
+        print(f"ERROR: not in queries(): {unknown}", file=sys.stderr)
         sys.exit(2)
 
     spark = get_spark("oracle_check")
