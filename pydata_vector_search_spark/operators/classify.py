@@ -109,14 +109,20 @@ def nb_train(df: DataFrame, text_col: str, label_col: str,
                          f"got {smoothing}")
     toks = df.select(F.col(label_col).alias("__y"),
                      _tokens(text_col).alias("__tk"))
-    if max_vocab is not None:
-        if max_vocab < 1:
-            raise ValueError(f"nb_train: max_vocab must be >= 1, "
-                             f"got {max_vocab}")
-        toks = toks.withColumn(
-            "__tk", F.transform("__tk", lambda t: _bucket(t, max_vocab)))
-
+    if max_vocab is not None and max_vocab < 1:
+        raise ValueError(f"nb_train: max_vocab must be >= 1, "
+                         f"got {max_vocab}")
+    # Bucket AFTER the explode, as a scalar column: higher-order-function
+    # lambdas run interpreted (~9 µs/element — the fingerprint.py
+    # measurement), so an md5 per token inside F.transform pays the
+    # interpreter on every occurrence; the same _bucket expression over
+    # the exploded column runs inside whole-stage codegen. Values are
+    # identical — bucketing is per-token and explode preserves
+    # occurrences (r16 optimization; guide §4.1).
     occ = toks.select("__y", F.explode("__tk").alias("__w"))
+    if max_vocab is not None:
+        occ = occ.select("__y", _bucket(F.col("__w"), max_vocab)
+                         .alias("__w"))
     # The ONLY corpus-sized aggregate in training. Everything else —
     # |V|, per-class token totals, the vocab spine of the dense table —
     # derives from this (label × token)-sized result, so persist it:
@@ -169,12 +175,15 @@ def nb_score(df: DataFrame, model: NBModel, text_col: str, id_col: str,
     occurrences) * default(c); empty documents score prior only."""
     toks = df.select(F.col(id_col).alias("__id"),
                      _tokens(text_col).alias("__tk"))
-    if model.max_vocab is not None:
-        toks = toks.withColumn(
-            "__tk",
-            F.transform("__tk", lambda t: _bucket(t, model.max_vocab)))
+    # ``__n`` counts occurrences, which bucketing does not change, so the
+    # size comes off the RAW token array and the md5 bucket runs as a
+    # codegen scalar on the exploded column instead of an interpreted
+    # F.transform over every array (see nb_train; r16 optimization).
     base = toks.select("__id", F.size("__tk").alias("__n"), "__tk")
     occ = base.select("__id", F.explode("__tk").alias("token"))
+    if model.max_vocab is not None:
+        occ = occ.select("__id", _bucket(F.col("token"), model.max_vocab)
+                         .alias("token"))
     # broadcast only while the dense table is provably small (|V| is
     # known exactly from training — no estimate needed); past the bound
     # fall back to a shuffle join rather than ship an unbounded model

@@ -166,15 +166,29 @@ def profile(df: DataFrame, columns: list[str] | None = None,
     cols = columns or df.columns
     nd = (F.countDistinct if exact_distinct
           else lambda c: F.approx_count_distinct(c))
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # Two aggregates instead of one (r16 optimization, guide §2.3/§7.2).
+    # A min/max over a STRING column has an immutable aggregation buffer,
+    # which disqualifies HashAggregate — and in the combined spelling that
+    # demoted the ENTIRE multi-distinct Expand chain to SortAggregate:
+    # input rows × (columns + 1) Expand output went through TWO full
+    # sorts on a 6-key wide row (measured 2.5-3.0 s warm on 150k rows at
+    # sf0.1; plan: Sort→SortAggregate→Exchange→Sort→SortAggregate²).
+    # Splitting min/max/null into their own GROUPING-FREE aggregate (no
+    # sort is ever inserted for an empty grouping) lets the distinct
+    # counts — whose buffers are all longs — run the Expand chain as
+    # partial+final HashAggregate (measured 0.7-0.9 s warm, same rows).
+    # Both single-row aggregates join back with a literal cross join; the
+    # values are bit-identical, only the physical aggregation changes.
+    nd_aggs = [F.count(F.lit(1)).alias("__n")]
+    mm_aggs = []
     for i, c in enumerate(cols):
-        aggs += [
+        nd_aggs.append(nd(_c(c)).cast("long").alias(f"__nd_{i}"))
+        mm_aggs += [
             F.sum(_c(c).isNull().cast("long")).alias(f"__null_{i}"),
-            nd(_c(c)).cast("long").alias(f"__nd_{i}"),
             F.min(_c(c)).cast("string").alias(f"__min_{i}"),
             F.max(_c(c)).cast("string").alias(f"__max_{i}"),
         ]
-    agg = df.agg(*aggs)
+    agg = df.agg(*nd_aggs).crossJoin(df.agg(*mm_aggs))
     # explode of (column, stats…) structs — column names are attached as
     # literals, never interpolated into SQL text (a name containing a
     # quote or backtick profiles fine); aggregate aliases are positional
