@@ -257,7 +257,8 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
                             n: int = 3, threshold: float = 0.5,
-                            max_shingle_df: int | None = None) -> DataFrame:
+                            max_shingle_df: int | None = None,
+                            _ex: DataFrame | None = None) -> DataFrame:
     """All pairs with exact n-gram Jaccard ≥ threshold, via the scalable
     co-occurrence formulation: explode shingles → self-join on shingle →
     count co-occurrences per pair → |A∩B| / (|A|+|B|−|A∩B|).
@@ -274,19 +275,27 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
     synthetic corpus (2.1 s vs 3.1 s at sf0.1 — no hot shingles to
     defuse), prefix wins 1.8× once duplicates inflate df(s)² (30.3 s vs
     16.7 s at 10×-duplicated sf0.1, 50k docs / 250k true pairs)."""
-    df = _fan_out(df, id_col)
-    sh = (df.select(F.col(id_col).alias("__id"),
-                    shingles_col(text_col, n).alias("__sh"))
-            .withColumn("__n", F.size("__sh"))
-            .select("__id", "__n", "__sh"))
-    sh = _barrier(sh)
-    # Join on xxhash64(shingle), not the shingle string: the join key that
-    # shuffles twice (self-join) drops from ~n-gram-length bytes to 8, and
-    # probe/compare are long-equality. Counts are unchanged barring a
-    # 64-bit collision between two distinct shingles of the same doc pair
-    # (~p²/2⁶⁵ — negligible, and deterministic cross-run either way).
-    ex = (sh.select("__id", "__n", F.explode("__sh").alias("__s0"))
-            .select("__id", "__n", F.xxhash64("__s0").alias("__s")))
+    if _ex is not None:
+        # pre-hashed exploded occurrences threaded in by the auto
+        # dispatcher (r16): (__id, __n, __s) off the probe's materialized
+        # shingle table — identical values to the pipeline below, with
+        # the corpus gram build already paid once by the probe
+        ex = _ex
+    else:
+        df = _fan_out(df, id_col)
+        sh = (df.select(F.col(id_col).alias("__id"),
+                        shingles_col(text_col, n).alias("__sh"))
+                .withColumn("__n", F.size("__sh"))
+                .select("__id", "__n", "__sh"))
+        sh = _barrier(sh)
+        # Join on xxhash64(shingle), not the shingle string: the join key
+        # that shuffles twice (self-join) drops from ~n-gram-length bytes
+        # to 8, and probe/compare are long-equality. Counts are unchanged
+        # barring a 64-bit collision between two distinct shingles of the
+        # same doc pair (~p²/2⁶⁵ — negligible, and deterministic
+        # cross-run either way).
+        ex = (sh.select("__id", "__n", F.explode("__sh").alias("__s0"))
+                .select("__id", "__n", F.xxhash64("__s0").alias("__s")))
     if max_shingle_df is not None:
         dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         ex = (ex.join(dfreq.filter(F.col("__df") <= max_shingle_df), "__s"))
@@ -347,12 +356,29 @@ def jaccard_similarity_join_auto(df: DataFrame, text_col: str, id_col: str,
     memory cliff. At 100 TB the ratio aggregate is map-side combinable
     and the decision costs one scan — or pass the strategy explicitly
     via the underlying functions to skip the probe scan entirely."""
-    ex = (_fan_out(df, id_col)
-          .select(F.explode(shingles_col(text_col, n)).alias("__s0"))
-          .select(F.xxhash64("__s0").alias("__s")))
+    # The probe MATERIALIZES the hashed shingle table and its document-
+    # frequency table (r16 optimization): the dispatcher is eager by
+    # contract (the ratio must be collected to route), and before r16 the
+    # routed branch then re-ran the whole corpus gram pipeline — tokenize,
+    # zip_with gram build, hash — plus the dfreq aggregate from scratch
+    # (exchange reuse never spans separate executions), so the corpus was
+    # effectively scanned twice and shingled 2-3×. localCheckpoint here is
+    # the same byte magnitude as the _barrier shuffle files the pipeline
+    # already wrote (id + 8 B/shingle, text dropped) — the tier-3
+    # broadcast-gate precedent — and both branches consume it directly:
+    # the corpus is tokenized, shingled and hashed EXACTLY ONCE per call.
+    sh = (_fan_out(df, id_col)
+          .select(F.col(id_col).alias("__id"),
+                  F.transform(shingles_col(text_col, n),
+                              lambda s: F.xxhash64(s)).alias("__sh"))
+          .withColumn("__n", F.size("__sh"))
+          .select("__id", "__n", "__sh")
+          .localCheckpoint(eager=True))
+    ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     if max_shingle_df is not None:
         dfreq = dfreq.filter(F.col("__df") <= max_shingle_df)
+    dfreq = dfreq.localCheckpoint(eager=True)
     r = dfreq.agg(
         F.sum("__df").alias("t"),
         F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("p")
@@ -365,10 +391,12 @@ def jaccard_similarity_join_auto(df: DataFrame, text_col: str, id_col: str,
         return jaccard_similarity_join_prefix(
             df, text_col, id_col, n=n, threshold=threshold,
             max_shingle_df=max_shingle_df,
-            _pair_estimate=float(r["p"] or 0.0))
+            _pair_estimate=float(r["p"] or 0.0),
+            _sh=sh, _dfreq=dfreq)
     return jaccard_similarity_join(df, text_col, id_col, n=n,
                                    threshold=threshold,
-                                   max_shingle_df=max_shingle_df)
+                                   max_shingle_df=max_shingle_df,
+                                   _ex=ex)
 
 
 def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
@@ -376,7 +404,9 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                                    max_shingle_df: int | None = None,
                                    broadcast_candidates: bool | None = None,
                                    max_broadcast_candidates: int = 5_000_000,
-                                   _pair_estimate: float | None = None
+                                   _pair_estimate: float | None = None,
+                                   _sh: DataFrame | None = None,
+                                   _dfreq: DataFrame | None = None
                                    ) -> DataFrame:
     """Exact Jaccard join via PREFIX FILTERING (Bayardo et al., "Scaling
     Up All Pairs Similarity Search", WWW'07): under a global rarest-first
@@ -422,20 +452,43 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
     shuffle join — graceful degradation. Explicit True/False skips the
     estimate job entirely."""
     _gate_input = df
-    df = _fan_out(df, id_col)
-    # hash shingles to longs ONCE, row-side: every downstream consumer
-    # (df-count join, self-join keys, verify intersect) works on 8-byte
-    # longs; collision odds ~p²/2⁶⁵, deterministic either way
-    sh = (df.select(F.col(id_col).alias("__id"),
-                    F.transform(shingles_col(text_col, n),
-                                lambda s: F.xxhash64(s)).alias("__sh"))
-            .withColumn("__n", F.size("__sh"))
-            .select("__id", "__n", "__sh"))
-    sh = _barrier(sh)
-    ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
-    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    if max_shingle_df is not None:
-        dfreq = dfreq.filter(F.col("__df") <= max_shingle_df)
+    if _sh is not None:
+        # materialized (__id, __n, __sh-hashed) + capped dfreq threaded in
+        # by the auto dispatcher (r16) — the corpus gram pipeline already
+        # ran exactly once, in the probe
+        sh, dfreq = _sh, _dfreq
+        ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+    else:
+        df = _fan_out(df, id_col)
+        # hash shingles to longs ONCE, row-side: every downstream consumer
+        # (df-count join, self-join keys, verify intersect) works on 8-byte
+        # longs; collision odds ~p²/2⁶⁵, deterministic either way
+        sh = (df.select(F.col(id_col).alias("__id"),
+                        F.transform(shingles_col(text_col, n),
+                                    lambda s: F.xxhash64(s)).alias("__sh"))
+                .withColumn("__n", F.size("__sh"))
+                .select("__id", "__n", "__sh"))
+        if broadcast_candidates is None:
+            # A gate below is about to run an EAGER job over this
+            # pipeline, and the final query would then re-run it from
+            # scratch (exchange reuse never spans executions — measured
+            # as a second full tokenize+gram+hash pass, ~1.5 s of the
+            # 4.3 s warm query at sf0.1). Materialize the shingle table
+            # once instead of only exchange-barriering it: same byte
+            # magnitude as the _barrier shuffle files (r16; the tier-3
+            # precedent). Explicit True/False keeps the documented
+            # fully-lazy plan with the plain _barrier.
+            sh = sh.localCheckpoint(eager=True)
+        else:
+            sh = _barrier(sh)
+        ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+        dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        if max_shingle_df is not None:
+            dfreq = dfreq.filter(F.col("__df") <= max_shingle_df)
+        if broadcast_candidates is None and _pair_estimate is None:
+            # the tier-2 estimate below aggregates dfreq eagerly; the
+            # final ranked join reads it again — materialize once
+            dfreq = dfreq.localCheckpoint(eager=True)
     ranked = ex.join(dfreq, "__s")   # inner: capped shingles drop out here
     w = Window.partitionBy("__id").orderBy(F.col("__df").asc(),
                                            F.col("__s").asc())

@@ -232,18 +232,29 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
     if n == 0:
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * (scale // n)) // 100
+    # fold the out-degree INTO the materialized edge list once (r16
+    # optimization): the loop below otherwise re-runs the outdeg
+    # aggregate AND a second edges join EVERY iteration (each
+    # checkpointed segment is a separate execution, so nothing is
+    # reused across rounds) — one upfront O(|E|) join replaces
+    # ``iterations`` aggregate+join pairs; the contrib join drops to
+    # one join per round. __deg values are identical, so every
+    # rank integer is unchanged (pinned by the oracle replay).
     outdeg = (edges.groupBy(F.col(src).alias("node"))
               .agg(F.count(F.lit(1)).alias("__deg")))
+    edges_deg = (edges.join(outdeg.withColumnRenamed("node", "__d"),
+                            F.col(src) == F.col("__d"))
+                 .select(src, dst, "__deg")
+                 .localCheckpoint(eager=True))
+    edges.unpersist()       # edges_deg carries the loop from here on
     ranks = nodes.withColumn("rank_units",
                              F.lit(scale // n).cast("long")) \
                  .localCheckpoint(eager=True)
     pinned = ranks                 # the latest CHECKPOINTED ranks
     for _i in range(iterations):
-        contribs = (edges
+        contribs = (edges_deg
                     .join(ranks.withColumnRenamed("node", "__s"),
                           F.col(src) == F.col("__s"))
-                    .join(outdeg.withColumnRenamed("node", "__d"),
-                          F.col(src) == F.col("__d"))
                     .select(F.col(dst).alias("node"),
                             F.expr("rank_units div __deg")
                             .alias("__c")))
@@ -273,7 +284,7 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
     # them for the caller's session lifetime (r08 ADVICE). Only the
     # returned ranks checkpoint stays resident, and it must: it IS the
     # result. |ranks| = |V| rows of (long, long) — the bounded one.
-    edges.unpersist()
+    edges_deg.unpersist()
     nodes.unpersist()
     return ranks
 
