@@ -37,6 +37,35 @@ class TableInfo:
     aggregates: dict = field(default_factory=dict)  # agg table -> {group_by, sums, count_col, commit}
 
 
+def overwrite_dir_via_swap(df: DataFrame, path: str,
+                           partition_by: list[str] | None = None) -> None:
+    """FULL-directory COW rewrite in ONE materialization (r16
+    optimization): write ``df`` to a temp sibling directory, then swap
+    it into place with same-filesystem renames.
+
+    Replaces the ``localCheckpoint(eager=True)`` + ``mode("overwrite")``
+    idiom, which materializes the whole table TWICE (once into executor
+    storage, once into parquet) purely so the overwrite does not delete
+    the files its own input is still reading. Writing to a sibling
+    leaves the current files readable until the write has fully
+    committed, so the plan runs exactly once — at 100 TB that is one
+    full table write saved per COW commit. Only for FULL rewrites;
+    dynamic partition overwrites (which surgically replace a subset of
+    partition directories) keep the checkpoint idiom."""
+    tmp = path.rstrip("/") + ".__swap_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + ".__swap_old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class Catalog:
     """File-backed catalog so sessions can reattach to existing tables."""
 
@@ -78,7 +107,7 @@ class Catalog:
 
     def write(self, name: str, df: DataFrame, key: str | None = None,
               mode: str = "overwrite", partition_by: list[str] | None = None,
-              reset_history: bool = True) -> TableInfo:
+              reset_history: bool = True, _swap: bool = False) -> TableInfo:
         """Write a managed table (reference S3: mode('overwrite') write, c8:26).
 
         A fresh write is commit 1 (the bootstrap load) and clears any
@@ -102,10 +131,17 @@ class Catalog:
                 f"(format={prior.format!r}, path={prior.path!r}); "
                 "write/upsert/compact would silently convert it to a "
                 "managed parquet table — drop() it or register a new name")
-        writer = df.write.mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        if _swap and mode == "overwrite":
+            # COW rewrite whose input reads this very table (upsert /
+            # delete / compact): one write into a temp sibling + rename
+            # instead of checkpoint-then-overwrite (see
+            # overwrite_dir_via_swap)
+            overwrite_dir_via_swap(df, path, partition_by)
+        else:
+            writer = df.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
         prev = self._tables.get(name)
         if reset_history:
             shutil.rmtree(self._changes_root(name), ignore_errors=True)
@@ -127,13 +163,38 @@ class Catalog:
         if reset_history and key is not None:
             # Record the bootstrap as commit 1 so the change log is a
             # COMPLETE history and ``read_asof`` can reconstruct any
-            # commit by replay. Logged by re-reading the just-written
-            # snapshot (a columnar copy — cheaper than re-running an
-            # arbitrary upstream plan); this is the storage price of
-            # retained history, the same trade Hudi/Delta make by
-            # keeping superseded files. Keyless tables skip it (no
-            # merge identity → no time travel).
-            self.log_commit(name, self.spark.read.parquet(path), commit=1)
+            # commit by replay. NON-PARTITIONED snapshots are HARDLINKED
+            # into the commit=1 log partition (r16 optimization): the
+            # files are immutable (every rewrite swaps in new files and
+            # unlinks, never mutates), so a link is byte-equivalent to
+            # the full columnar copy the old Spark job wrote, at zero
+            # I/O and zero extra storage. The linked files lack the
+            # ``_deleted`` column; every log reader already treats an
+            # absent/NULL ``_deleted`` as false (mergeSchema +
+            # coalesce — the pre-``_deleted``-era compatibility path),
+            # so replay semantics are identical. Partitioned snapshots
+            # keep the Spark-write copy: their partition columns live in
+            # DIRECTORY names, and nesting them under commit=1/ would
+            # give the log inconsistent partition depths. Keyless
+            # tables skip it (no merge identity → no time travel).
+            if not partition_by:
+                import time as _time
+                boot = os.path.join(self._changes_root(name), "commit=1")
+                shutil.rmtree(boot, ignore_errors=True)
+                os.makedirs(boot)
+                for f in os.listdir(path):
+                    if f.endswith(".parquet"):
+                        try:
+                            os.link(os.path.join(path, f),
+                                    os.path.join(boot, f))
+                        except OSError:       # cross-device: plain copy
+                            shutil.copy2(os.path.join(path, f),
+                                         os.path.join(boot, f))
+                info.commit_times["1"] = _time.time()
+                self._persist()
+            else:
+                self.log_commit(name, self.spark.read.parquet(path),
+                                commit=1)
         return info
 
     def write_bucketed(self, name: str, df: DataFrame, key: str,
@@ -339,12 +400,15 @@ class Catalog:
             raise ValueError(
                 f"cannot expire through commit {upto}: table "
                 f"{name!r} is at commit {info.last_commit}")
-        # materialize BEFORE touching the directories the state derives from
-        state = self.read_asof(name, upto).localCheckpoint(eager=True)
+        # swap write (r16): the as-of state READS commit=upto (among
+        # others), so the old code checkpointed it before overwriting;
+        # writing to a temp sibling + rename keeps the source readable
+        # through the single write. Older commit dirs are only deleted
+        # after the swap lands.
         croot = self._changes_root(name)
-        (state.withColumn("_deleted", F.lit(False))
-              .write.mode("overwrite")
-              .parquet(os.path.join(croot, f"commit={upto}")))
+        overwrite_dir_via_swap(
+            self.read_asof(name, upto).withColumn("_deleted", F.lit(False)),
+            os.path.join(croot, f"commit={upto}"))
         for c in range(info.history_start, upto):
             shutil.rmtree(os.path.join(croot, f"commit={c}"),
                           ignore_errors=True)
@@ -425,10 +489,12 @@ class Catalog:
             df = df.repartition(n, *info.partition_by)
         else:
             df = df.repartition(n)
-        snapshot = df.localCheckpoint(eager=True)
-        self.write(name, snapshot, key=info.key,
+        # swap write (r16): the rewrite reads the files it replaces, so
+        # the old code checkpointed the whole table first — one write
+        # into a temp sibling + rename does it in a single pass
+        self.write(name, df, key=info.key,
                    partition_by=info.partition_by or None,
-                   reset_history=False)
+                   reset_history=False, _swap=True)
 
     def purge_keys(self, name: str, keys: list, key: str | None = None,
                    max_keys: int = 1_000_000) -> dict:
@@ -508,8 +574,8 @@ class Catalog:
             for d in empty_dirs:
                 shutil.rmtree(d, ignore_errors=True)
         elif n_purged:
-            kept = snap.filter(keep_cond).localCheckpoint(eager=True)
-            kept.write.mode("overwrite").parquet(info.path)
+            # swap write (r16) — one materialization instead of two
+            overwrite_dir_via_swap(snap.filter(keep_cond), info.path)
 
         commits_rewritten = 0
         root = self._changes_root(name)
@@ -523,8 +589,7 @@ class Catalog:
                     continue
                 if cdf.filter(hit).limit(1).count() == 0:
                     continue
-                (cdf.filter(keep_cond).localCheckpoint(eager=True)
-                    .write.mode("overwrite").parquet(cdir))
+                overwrite_dir_via_swap(cdf.filter(keep_cond), cdir)
                 commits_rewritten += 1
 
         indexes_patched = []

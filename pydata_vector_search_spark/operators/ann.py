@@ -263,11 +263,15 @@ def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
     from urllib.parse import unquote, urlparse
 
     vec = index.vector_col
-    # ONE early-terminating job serves both the size guard and the key
-    # list (limit+1 rows: overflow ⇔ more than max_patch_keys keys) —
-    # the CDC lineage (mergeSchema commit-log scan + latest-per-key
-    # window) is not cheap to re-run, and the old separate
-    # count-then-collect paid it twice.
+    # Materialize the CDC batch FIRST, then read the guard and the key
+    # list off the materialized rows (r16): the incremental lineage
+    # (mergeSchema commit-log scan + latest-per-key window) previously
+    # ran twice — once for the early-terminating guard collect, once
+    # for the checkpoint. The checkpoint is disk-bounded by the commit
+    # log the batch was read from (same rows, latest-per-key deduped),
+    # and the ValueError below still fires before any driver-side isin
+    # key list is built.
+    changes = changes.localCheckpoint(eager=True)
     head = changes.select(id_col).distinct() \
                   .limit(max_patch_keys + 1).collect()
     if len(head) > max_patch_keys:
@@ -280,22 +284,25 @@ def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
     keys = [r[0] for r in head]
     if not keys:
         return {"removed_partitions": 0, "appended": 0}
-    # Materialize the (now guard-bounded: ≤ max_patch_keys rows after
-    # latest-only dedupe) CDC batch once — the live-row count and the
-    # centroid-assign append below would otherwise each re-run the
-    # incremental lineage end to end.
-    changes = changes.localCheckpoint(eager=True)
 
     data = spark.read.parquet(index.data_path)
     quantized = _CODE in data.columns
-    stale = data.filter(F.col(id_col).isin(keys))
-    touched = [r[0] for r in stale.select(_CID).distinct().collect()]
+    # ONE aggregate answers both "which centroid partitions hold stale
+    # versions" and "which of them would be left EMPTY after the purge"
+    # (r16): per-centroid total vs stale counts, replacing the two
+    # separate scans (stale-cid distinct + post-keep survivor distinct)
+    # the old code collected.
+    cid_stats = (data.groupBy(_CID)
+                     .agg(F.count(F.lit(1)).alias("__tot"),
+                          F.sum(F.col(id_col).isin(keys).cast("long"))
+                           .alias("__stale"))
+                     .filter(F.col("__stale") > 0).collect())
+    touched = [r[0] for r in cid_stats]
     if touched:
         keep = (data.filter(F.col(_CID).isin(touched))
                     .filter(~F.col(id_col).isin(keys))
                     .localCheckpoint(eager=True))
-        survivors = {r[0] for r in keep.select(_CID).distinct().collect()}
-        emptied = [c for c in touched if c not in survivors]
+        emptied = [r[0] for r in cid_stats if r["__tot"] == r["__stale"]]
         empty_dirs = set()
         if emptied:
             files = [r[0] for r in data.filter(F.col(_CID).isin(emptied))

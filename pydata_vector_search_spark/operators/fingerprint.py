@@ -130,14 +130,14 @@ def fingerprint_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     family; detection of pairs sharing rarer fingerprints is
     unaffected, but pairs held together ONLY by hot fingerprints fall
     below ``min_shared``)."""
-    from pydata_vector_search_spark.operators.dedup import _barrier
-
-    # Barrier the (id, fp) set: the self-join (and the optional df-cap
-    # join) consumes it 2-3×; without it every consumer re-runs the
-    # full explode + hash + sliding-min pipeline (dedup.py _barrier
-    # discipline — downstream reads the one exchange as ReusedExchange)
-    fp = _barrier(winnow_fingerprints(df, text_col, id_col,
-                                      k=k, window=window))
+    # NO extra barrier here (r16): winnow_fingerprints already ends in
+    # .distinct() — a hash exchange + aggregate — so its attributes are
+    # materialized and every consumer (the df-cap join and both sides
+    # of the self-join) reads that one exchange as ReusedExchange. The
+    # former round-robin _barrier added a THIRD full shuffle of the
+    # (id, fp) set on top for nothing (measured 2.0-3.0 -> 1.3-1.7 s
+    # warm for the pair pipeline at sf0.1, identical 224 pairs).
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
     if max_fp_df is not None:
         dfreq = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
                    .filter(F.col("__df") <= max_fp_df))

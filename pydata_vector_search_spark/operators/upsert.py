@@ -85,10 +85,12 @@ def upsert_table(catalog, name: str, new: DataFrame, key: str | None = None) -> 
     # Log the batch before the snapshot rewrite (see note above).
     catalog.log_commit(name, new)
     merged = merge_last_write_wins(old, new, key)
-    # Materialize before overwrite (can't overwrite a path while reading it).
-    tmp = merged.localCheckpoint(eager=True) if merged.isStreaming is False else merged
-    catalog.write(name, tmp, key=key, mode="overwrite",
-                  partition_by=info.partition_by or None, reset_history=False)
+    # One write via temp-dir swap (r16): the old checkpoint-then-
+    # overwrite materialized the merged table twice per commit — see
+    # catalog.overwrite_dir_via_swap.
+    catalog.write(name, merged, key=key, mode="overwrite",
+                  partition_by=info.partition_by or None,
+                  reset_history=False, _swap=True)
 
 
 def merge_into(catalog, name: str, source: DataFrame,
@@ -202,8 +204,10 @@ def merge_into(catalog, name: str, source: DataFrame,
     out_cols = [F.when(take_source, F.col(f"__s_{c}"))
                  .otherwise(F.col(f"__t_{c}")).alias(c)
                 for c in cols]
-    merged = (j.filter(take_source | keep_target).select(*out_cols)
-               .localCheckpoint(eager=True))
+    # no checkpoint here (r16): ``j`` above is already materialized, so
+    # this projection never reads the table files being replaced — the
+    # old checkpoint was a third full materialization of the snapshot
+    merged = j.filter(take_source | keep_target).select(*out_cols)
 
     counts = j.agg(
         F.sum(upd_hit.cast("long")).alias("u"),
@@ -320,7 +324,9 @@ def delete_where(catalog, name: str, predicate) -> int:
             shutil.rmtree(d, ignore_errors=True)
         return n
 
-    kept = old.filter(keep_cond).localCheckpoint(eager=True)
+    # swap write instead of checkpoint-then-overwrite (r16; see
+    # catalog.overwrite_dir_via_swap)
+    kept = old.filter(keep_cond)
     catalog.write(name, kept, key=info.key, mode="overwrite",
-                  reset_history=False)
+                  reset_history=False, _swap=True)
     return n
