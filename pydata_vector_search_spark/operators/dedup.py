@@ -689,20 +689,25 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     # partial-agg shuffle bound. vote_b > 0 ⇔ 2*ones_b > n_tokens. Lane
     # bound: ones ≤ n ≤ 65535 distinct tokens per doc (docs are chunked
     # far below this; lane sum peaks < 2^49, no overflow).
+    # The bit expressions are rendered as SQL STRINGS parsed JVM-side in
+    # a handful of F.expr calls (r16; the vector_knn r4 lesson): the
+    # former per-bit Column arithmetic issued thousands of Py4J round
+    # trips and cost ~1.5 s of DRIVER time per plan construction.
+    # Expression semantics are unchanged operator-for-operator
+    # (shiftleft/shiftright/&/CASE), so the signatures are bit-identical.
     lanes, groups = 3, 20
-    packed = [F.sum(sum(
-        F.shiftleft(F.shiftright(F.col("__h"), b + groups * j)
-                     .bitwiseAND(F.lit(1)), 16 * j)
-        for j in range(lanes))).alias(f"__p{b}") for b in range(groups)]
+    packed = [F.expr(
+        "sum(" + " + ".join(
+            f"shiftleft(shiftright(__h, {b + groups * j}) & 1, {16 * j})"
+            for j in range(lanes)) + ")").alias(f"__p{b}")
+        for b in range(groups)]
     votes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"), *packed)
-    ones = [F.shiftright(F.col(f"__p{b % groups}"), 16 * (b // groups))
-             .bitwiseAND(F.lit(0xFFFF)) for b in range(bits_n)]
-    bits = [F.when(ones[b] * 2 > F.col("__n"),
-                   F.shiftleft(F.lit(1).cast("long"), b))
-             .otherwise(F.lit(0).cast("long")) for b in range(bits_n)]
-    sig = bits[0]
-    for x in bits[1:]:
-        sig = sig.bitwiseOR(x)
+    ones = [f"(shiftright(__p{b % groups}, {16 * (b // groups)}) & 65535)"
+            for b in range(bits_n)]
+    bits = [f"(CASE WHEN {ones[b]} * 2 > __n THEN shiftleft(CAST(1 AS "
+            f"BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits_n)]
+    sig = F.expr(" | ".join(bits))
     base = _barrier(votes.select("__id", sig.alias("__sh")))
     n_chunks = max_hamming + 1            # minimal pigeonhole cover
     width = bits_n // n_chunks            # 60 divides by 1..4

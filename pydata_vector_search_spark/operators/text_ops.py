@@ -140,6 +140,16 @@ def select_token_budget(df: DataFrame, text_col: str, id_col: str,
     q = quality_col if quality_col is not None else quality_score(text_col)
     base = df.withColumn("__qb", F.round(q, bucket_decimals)) \
              .withColumn("__nt", token_count(text_col).cast("long"))
+    # Materialize the (rows + quality-bucket + token-count) table ONCE
+    # (r16 optimization): the histogram collect below is an EAGER job
+    # over the full upstream lineage, and the kept-outright/boundary
+    # branches then re-ran that lineage — including arbitrarily
+    # expensive upstream chains (curate_corpus: cap -> dedup -> gate)
+    # and the quality/token expressions — a second time at action
+    # (executions never share exchanges). The checkpoint is the same
+    # magnitude as the upstream chain's own shuffle files; its blocks
+    # stay pinned while the returned plan is live (they are its source).
+    base = base.localCheckpoint(eager=True)
 
     hist = (base.groupBy("__qb").agg(
                 F.sum("__nt").alias("__bt"),
