@@ -267,14 +267,18 @@ NOTES = {
         "during construction, each costing work proportional to the "
         "changed keys, never a rebuild scan."),
     "jaccard_auto_heavy": (
-        "The auto dispatcher's PPJoin branch (r08): the probe aggregate "
-        "ran at construction (one explode+aggregate scan, ratio 1.6 > "
-        "threshold 1.0 on the doubled corpus) and its SUM C(df,2) fed "
-        "the broadcast gate, so the displayed plan is the prefix join "
-        "itself — rarest-first prefixes via one partitioned row_number "
-        "window, size+positional-filtered candidate self-join on one "
-        "ReusedExchange, broadcast candidate verify with 8-byte hashed "
-        "shingle arrays."),
+        "The auto dispatcher's PPJoin branch (r08; r16: the probe "
+        "MATERIALIZES the hashed shingle table + capped dfreq once and "
+        "threads them into the routed branch, so the corpus is "
+        "tokenized/shingled/hashed exactly once per call — before r16 "
+        "the branch re-ran the whole gram pipeline at action): the "
+        "probe aggregate ran at construction (ratio above threshold on "
+        "the doubled corpus) and its SUM C(df,2) fed the broadcast "
+        "gate; the displayed plan is the prefix join over the "
+        "checkpointed shingle table — rarest-first prefixes via one "
+        "partitioned row_number window, size+positional-filtered "
+        "candidate self-join, broadcast candidate verify with 8-byte "
+        "hashed shingle arrays."),
     "token_budget_dist": (
         "Distributed boundary prefix sum (r08): both Window operators "
         "in the plan are PARTITIONED — the boundary bucket's running "
@@ -292,8 +296,11 @@ NOTES = {
         "md5 k-gram hash runs inside WholeStageCodegen (the all-array "
         "HOF spelling pays ~9 us/element interpreted — measured 3x "
         "slower end-to-end); the fingerprint self-join is the dedup "
-        "family's bounded equi-join behind a round-robin barrier the "
-        "consumers reuse."),
+        "family's bounded equi-join reading the fingerprint distinct's "
+        "own exchange as ReusedExchange (r16: the former extra "
+        "round-robin barrier was a third full shuffle of the (id, fp) "
+        "set on top of that exchange — removed, one less Exchange in "
+        "the plan)."),
     "pack_tokenized": (
         "Tokenizer-hook packing (r08): one ArrowEvalPython/MapInPandas "
         "stage computes BPE-ish counts executor-side (tokenizer loads "
@@ -415,7 +422,12 @@ NOTES = {
         "heaps, no global sort."),
     "curation_chain": (
         "Full curation chain (r12, the final declaration): cap -> "
-        "dedup -> gate -> budget as ONE Catalyst lineage. The cap "
+        "dedup -> gate -> budget as ONE pass over the corpus (r16: the "
+        "cap->dedup->gate prefix materializes once at the budget "
+        "stage's histogram barrier — select_token_budget's eager "
+        "histogram collect previously ran it and the final plan then "
+        "re-ran it from scratch; the dumped plan reads the "
+        "checkpointed survivors). The cap "
         "stage is the declared whale-safe distributed branch (bucket "
         "stats aggregate + domain-partitioned routing window over "
         "the BUCKET table + null-safe joins + sub-bucketed boundary "
