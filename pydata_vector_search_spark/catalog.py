@@ -51,19 +51,71 @@ def overwrite_dir_via_swap(df: DataFrame, path: str,
     committed, so the plan runs exactly once — at 100 TB that is one
     full table write saved per COW commit. Only for FULL rewrites;
     dynamic partition overwrites (which surgically replace a subset of
-    partition directories) keep the checkpoint idiom."""
-    tmp = path.rstrip("/") + ".__swap_tmp"
+    partition directories) keep the checkpoint idiom.
+
+    LOCAL-FS ONLY (r17 hardening): relies on same-filesystem atomic
+    directory ``os.rename`` — object stores have no rename; deployments
+    on S3/GCS must route full rewrites through the checkpoint+overwrite
+    idiom instead (``catalog.write`` without ``_swap``). Crash safety:
+    the order is (1) write the tmp sibling, (2) rename current → old,
+    (3) rename tmp → current, (4) delete old. A crash before (2) leaves
+    the table untouched plus a tmp sibling; between (2) and (3) the
+    table dir is briefly ABSENT but the complete old sibling remains.
+    Sibling names are DOT-PREFIXED (``.<name>.__swap_tmp`` /
+    ``.<name>.__swap_old``) so Spark's hidden-path filter ignores any
+    residue during partition discovery — a stranded plain-named sibling
+    inside a ``commit=``-partitioned changes root would otherwise parse
+    as a partition value. ``Catalog`` attach sweeps residue: tmp dirs
+    are deleted, an old dir whose target is missing is restored
+    (``_sweep_swap_residue``).
+
+    INVARIANT (load-bearing for the hardlinked commit-1 bootstrap,
+    ``Catalog.write``): snapshot rewrites must always land NEW part
+    files and unlink the old ones — exactly what this swap and the
+    checkpoint+overwrite idiom both do — never modify a part file in
+    place. ``commit=1`` of a keyed table shares the bootstrap files'
+    inodes, so an in-place writer would silently rewrite history."""
+    parent, base = os.path.split(path.rstrip("/"))
+    tmp = os.path.join(parent, f".{base}.__swap_tmp")
+    old = os.path.join(parent, f".{base}.__swap_old")
     shutil.rmtree(tmp, ignore_errors=True)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = path.rstrip("/") + ".__swap_old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(path):
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _sweep_swap_residue(root: str, _depth: int = 0) -> None:
+    """Attach-time cleanup of dirs stranded by a crash mid-swap
+    (r17 hardening): ``.<name>.__swap_tmp`` is an incomplete write —
+    delete; ``.<name>.__swap_old`` whose target is missing means the
+    crash hit between the two renames — RESTORE it (it is the complete
+    pre-rewrite table); with the target present it is a finished swap's
+    leftover — delete. Recurses one level into ``*__changes`` roots
+    (commit-dir rewrites swap too). Bounded by the catalog's own entry
+    count — no data files are ever opened."""
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        p = os.path.join(root, d)
+        if d.startswith(".") and d.endswith(".__swap_tmp"):
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(".") and d.endswith(".__swap_old"):
+            target = os.path.join(root, d[1:-len(".__swap_old")])
+            if os.path.exists(target):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.rename(p, target)
+        elif (_depth == 0 and d.endswith("__changes")
+              and os.path.isdir(p)):
+            _sweep_swap_residue(p, 1)
 
 
 class Catalog:
@@ -80,6 +132,9 @@ class Catalog:
             with open(self._meta_path) as f:
                 for name, info in json.load(f).items():
                     self._tables[name] = TableInfo(**info)
+            # only a REATTACH can see residue from a crashed writer; a
+            # fresh catalog root has nothing to sweep
+            _sweep_swap_residue(root)
 
     def _persist(self) -> None:
         with open(self._meta_path, "w") as f:

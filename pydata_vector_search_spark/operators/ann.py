@@ -238,71 +238,82 @@ def ivf_patch(spark: SparkSession, index: IVFIndex, changes: DataFrame,
     corpus.
 
     Mechanics: (1) find the centroid partitions holding STALE versions of
-    the changed keys — a pruned scan with the key set pushed into the
-    parquet filter; (2) rewrite only those partitions minus the changed
-    keys (dynamic partition overwrite); (3) assign the surviving upserted
-    rows to centroids with the EXISTING centroid matrix and append them
-    into the partition layout. Centroids do not move — recall drifts only
-    as far as the data distribution does (the standard IVF maintenance
-    trade; rebuild re-trains).
+    the changed keys — one column-pruned (id, cid) pass over the index
+    with the key set attached by BROADCAST hash join; (2) rewrite only
+    those partitions minus the changed keys (dynamic partition
+    overwrite); (3) assign the surviving upserted rows to centroids with
+    the EXISTING centroid matrix and append them into the partition
+    layout. Centroids do not move — recall drifts only as far as the
+    data distribution does (the standard IVF maintenance trade; rebuild
+    re-trains).
 
-    The changed-key set is collected driver-side (it is the CDC batch's
-    key column — bounded by changed data). That collect is GUARDED and
-    FUSED with the size check: one early-terminating
-    ``limit(max_patch_keys+1).collect()`` serves as both the overflow
-    probe (len > max ⇔ too many keys) and the key list, so the CDC
-    lineage (mergeSchema commit-log scan + latest-per-key window) runs
-    once, not twice. Overflow past ``max_patch_keys`` (default 1M keys ≈
-    tens of MB of isin filter) raises a ValueError pointing at a full
-    rebuild, which scans everything once anyway and re-trains centroids —
-    strictly better at that size. The guard-bounded batch is then eagerly
-    ``localCheckpoint``-ed so the live-row count and the centroid-assign
-    append below read materialized rows instead of re-running the
-    incremental lineage end to end."""
+    Guard order (r17, restoring the r16-ADVICE ordering): the overflow
+    probe is an early-terminating ``limit(max_patch_keys+1).collect()``
+    of the DISTINCT KEY COLUMN on the lazy CDC lineage — a single-column
+    projection, so an oversized batch is rejected before any full-row
+    (vector-carrying) materialization. Overflow past ``max_patch_keys``
+    raises a ValueError pointing at a full rebuild, which scans
+    everything once anyway and re-trains centroids — strictly better at
+    that size. Only a batch that PASSES the guard is eagerly
+    ``localCheckpoint``-ed (once — full rows), so the key relation, the
+    live-row count and the centroid-assign append all read materialized
+    rows instead of re-running the incremental lineage end to end.
+
+    The changed-key set is joined as a broadcast relation, never an
+    ``isin`` literal list (guide §3): at the 1M-key bound an ``isin``
+    builds a ~1M-literal expression tree on the driver and into codegen;
+    the broadcast hash semi/anti join is the scalable spelling of the
+    same predicate."""
     import shutil
     from urllib.parse import unquote, urlparse
 
     vec = index.vector_col
-    # Materialize the CDC batch FIRST, then read the guard and the key
-    # list off the materialized rows (r16): the incremental lineage
-    # (mergeSchema commit-log scan + latest-per-key window) previously
-    # ran twice — once for the early-terminating guard collect, once
-    # for the checkpoint. The checkpoint is disk-bounded by the commit
-    # log the batch was read from (same rows, latest-per-key deduped),
-    # and the ValueError below still fires before any driver-side isin
-    # key list is built.
-    changes = changes.localCheckpoint(eager=True)
     head = changes.select(id_col).distinct() \
                   .limit(max_patch_keys + 1).collect()
     if len(head) > max_patch_keys:
         raise ValueError(
             f"CDC batch has >{max_patch_keys:,} distinct keys; a "
-            "driver-side isin patch at that size risks driver memory and "
+            "driver-side patch at that size risks driver memory and "
             "a slower plan than a full scan. Rebuild the index instead "
             "(ivf_build / on_stale='rebuild'), or raise "
             "max_patch_keys explicitly.")
     keys = [r[0] for r in head]
     if not keys:
         return {"removed_partitions": 0, "appended": 0}
+    changes = changes.localCheckpoint(eager=True)
+    # the changed-key relation: derived from the materialized batch (a
+    # cheap distinct over checkpoint blocks), broadcast into every
+    # index-side join below
+    kdf = changes.select(F.col(id_col).alias("__k")).distinct()
 
     data = spark.read.parquet(index.data_path)
     quantized = _CODE in data.columns
     # ONE aggregate answers both "which centroid partitions hold stale
-    # versions" and "which of them would be left EMPTY after the purge"
-    # (r16): per-centroid total vs stale counts, replacing the two
-    # separate scans (stale-cid distinct + post-keep survivor distinct)
-    # the old code collected.
-    cid_stats = (data.groupBy(_CID)
-                     .agg(F.count(F.lit(1)).alias("__tot"),
-                          F.sum(F.col(id_col).isin(keys).cast("long"))
-                           .alias("__stale"))
+    # versions" and "which end up EMPTY after the purge" (r16), with the
+    # key set attached by broadcast join (r17) instead of a
+    # per-row isin over a driver-built literal list. ``__live`` counts
+    # survivors under EXACTLY the keep-filter below (non-NULL id, key
+    # not in batch) — the r16-ADVICE fix: a touched partition whose
+    # keep set is empty must be deleted even when NULL-id rows remain
+    # (the old ``__tot == __stale`` test missed that case and stranded
+    # stale files).
+    cid_stats = (data.join(F.broadcast(kdf),
+                           F.col(id_col) == F.col("__k"), "left")
+                     .groupBy(_CID)
+                     .agg(F.sum(F.col("__k").isNotNull().cast("long"))
+                           .alias("__stale"),
+                          F.sum((F.col("__k").isNull()
+                                 & F.col(id_col).isNotNull()).cast("long"))
+                           .alias("__live"))
                      .filter(F.col("__stale") > 0).collect())
     touched = [r[0] for r in cid_stats]
     if touched:
         keep = (data.filter(F.col(_CID).isin(touched))
-                    .filter(~F.col(id_col).isin(keys))
+                    .filter(F.col(id_col).isNotNull())
+                    .join(F.broadcast(kdf),
+                          F.col(id_col) == F.col("__k"), "left_anti")
                     .localCheckpoint(eager=True))
-        emptied = [r[0] for r in cid_stats if r["__tot"] == r["__stale"]]
+        emptied = [r[0] for r in cid_stats if r["__live"] == 0]
         empty_dirs = set()
         if emptied:
             files = [r[0] for r in data.filter(F.col(_CID).isin(emptied))

@@ -208,49 +208,57 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
     (node, rank_units) for every node of the graph.
 
     Scale shape: one eager N count, then per iteration one edges ⋈
-    ranks join on the source key + one groupBy(dst) sum — O(|E|)
-    shuffled bytes, hash-partitioned; lineage truncated every SECOND
-    round with localCheckpoint (the connected_components discipline,
-    at half the materialization jobs — the uncheckpointed segment is
-    at most two join+agg layers) so the plan stays bounded across
-    iterations."""
+    ranks join on the source key + one groupBy(node) sum (the base and
+    dangling-mass term rides the same aggregate as a zero row per
+    node) — O(|E|) shuffled bytes, hash-partitioned; lineage truncated
+    every SIXTH round with localCheckpoint — safe because the plan
+    grows only LINEARLY in iterations (ranks feeds exactly one join
+    per round) — so the plan stays bounded across iterations. Edges
+    whose source id is NULL are dropped (they can contribute no mass
+    and NULL is not a rankable node id)."""
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"pagerank_exact: damping_pct must be in "
                          f"[0, 100], got {damping_pct}")
     if iterations < 0:
         raise ValueError(f"pagerank_exact: iterations must be >= 0, "
                          f"got {iterations}")
-    # materialize the edge list ONCE: it is consumed iterations + 2
-    # times (nodes, outdeg, every iteration's contrib join) and is
-    # often an expensive lineage (a near-dup pair pipeline) — measured
-    # 75.6 s -> 20.6 s at the 10x probe without/with the barrier
-    edges = edges.select(src, dst).localCheckpoint(eager=True)
-    nodes = (edges.select(F.col(src).alias("node"))
-             .unionByName(edges.select(F.col(dst).alias("node")))
+    # ONE eager materialization of the caller's edge lineage (r17 —
+    # fused from the r16 pair edges-then-edges_deg checkpoints): the
+    # out-degree is folded into the edge list in the SAME execution
+    # that first runs the caller's (often expensive — a near-dup pair
+    # pipeline, measured 75.6 s -> 20.6 s at the 10x probe
+    # unmaterialized) lineage. The degree aggregate and the join probe
+    # side both read the caller lineage's top exchange — Catalyst
+    # exchange reuse collapses them onto one upstream execution inside
+    # this single checkpoint, so the separate ``edges`` barrier bought
+    # nothing but an extra full-|E| materialization + its scheduling
+    # round trips (41 construction jobs measured at sf0.1). __deg
+    # values are identical to the r16 two-step spelling, so every rank
+    # integer is unchanged (pinned by the oracle replay). The loop
+    # below consumes ONLY edges_deg — one join + one aggregate per
+    # iteration, never a per-round outdeg rebuild (the r16 win, kept).
+    e0 = edges.select(src, dst)
+    outdeg = (e0.groupBy(F.col(src).alias("__d"))
+              .agg(F.count(F.lit(1)).alias("__deg")))
+    edges_deg = (e0.join(outdeg, F.col(src) == F.col("__d"))
+                 .select(src, dst, "__deg")
+                 .localCheckpoint(eager=True))
+    # nodes derive from the materialized edge list (cheap distinct over
+    # checkpoint blocks — no second run of the caller lineage)
+    nodes = (edges_deg.select(F.col(src).alias("node"))
+             .unionByName(edges_deg.select(F.col(dst).alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
     if n == 0:
+        edges_deg.unpersist()
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * (scale // n)) // 100
-    # fold the out-degree INTO the materialized edge list once (r16
-    # optimization): the loop below otherwise re-runs the outdeg
-    # aggregate AND a second edges join EVERY iteration (each
-    # checkpointed segment is a separate execution, so nothing is
-    # reused across rounds) — one upfront O(|E|) join replaces
-    # ``iterations`` aggregate+join pairs; the contrib join drops to
-    # one join per round. __deg values are identical, so every
-    # rank integer is unchanged (pinned by the oracle replay).
-    outdeg = (edges.groupBy(F.col(src).alias("node"))
-              .agg(F.count(F.lit(1)).alias("__deg")))
-    edges_deg = (edges.join(outdeg.withColumnRenamed("node", "__d"),
-                            F.col(src) == F.col("__d"))
-                 .select(src, dst, "__deg")
-                 .localCheckpoint(eager=True))
-    edges.unpersist()       # edges_deg carries the loop from here on
+    # initial ranks stay LAZY over the nodes checkpoint (r17): a
+    # separate eager copy of |V| constant-rank rows bought nothing —
+    # iteration 1 projects the constant straight off the nodes blocks
     ranks = nodes.withColumn("rank_units",
-                             F.lit(scale // n).cast("long")) \
-                 .localCheckpoint(eager=True)
-    pinned = ranks                 # the latest CHECKPOINTED ranks
+                             F.lit(scale // n).cast("long"))
+    pinned = None                  # the latest loop-OWNED checkpoint
     for _i in range(iterations):
         contribs = (edges_deg
                     .join(ranks.withColumnRenamed("node", "__s"),
@@ -260,22 +268,33 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
                             .alias("__c")))
         # `div` is Spark's exact LONG division — double `/` + cast can
         # round up across an integer boundary near 2^53-scale quotients
-        # and silently diverge from an engine that divides in integers
-        summed = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-        new = (nodes.join(summed, "node", "left")
+        # and silently diverge from an engine that divides in integers.
+        # The dangling/base term folds into the SAME aggregate as the
+        # contribution sum (r17): a zero-contribution row per node
+        # replaces the former nodes ⟕ summed join — one shuffle per
+        # iteration, no second join, no broadcast build, and
+        # sum(real + 0) is bit-identical to coalesce(sum(real), 0)
+        new = (contribs.unionByName(
+                   nodes.select("node",
+                                F.lit(0).cast("long").alias("__c")))
+               .groupBy("node").agg(F.sum("__c").alias("__s"))
                .select("node",
                        (F.lit(base).cast("long")
-                        + F.expr(f"({damping_pct} * coalesce(__s, 0L))"
-                                 " div 100"))
+                        + F.expr(f"({damping_pct} * __s) div 100"))
                        .cast("long").alias("rank_units")))
-        # truncate lineage every SECOND iteration (and always on the
-        # last): an uncheckpointed segment of two join+agg layers keeps
-        # the plan bounded while halving the materialization jobs —
-        # measured 4.99 -> 4.31 s warm at sf0.1 (1.17M edges, 5 iters)
-        # with bit-identical rank checksums at every cadence
-        if _i % 2 == 1 or _i == iterations - 1:
+        # truncate lineage every SIXTH iteration (and always on the
+        # last): the plan grows LINEARLY in iterations (ranks feeds one
+        # join per round; edges_deg/nodes are checkpointed leaves), so
+        # a multi-iteration lazy segment is one execution whose AQE
+        # stage jobs replace per-round checkpoint round trips — r17
+        # A/B at sf0.1 (5 iters): cadence 2 → 35 construction jobs,
+        # fully lazy → 27, rank checksums bit-identical at every
+        # cadence (a checkpoint is semantically a no-op). The cap
+        # bounds optimizer/codegen time for large iteration counts.
+        if _i % 6 == 5 or _i == iterations - 1:
             ranks = new.localCheckpoint(eager=True)
-            pinned.unpersist()     # the blocks the lazy segment read
+            if pinned is not None:
+                pinned.unpersist() # the blocks the lazy segment read
             pinned = ranks
         else:
             ranks = new            # lazy — reads the pinned checkpoint
@@ -284,7 +303,9 @@ def pagerank_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
     # them for the caller's session lifetime (r08 ADVICE). Only the
     # returned ranks checkpoint stays resident, and it must: it IS the
     # result. |ranks| = |V| rows of (long, long) — the bounded one.
-    edges_deg.unpersist()
+    if iterations == 0:            # loop never materialized anything:
+        ranks = ranks.localCheckpoint(eager=True)   # pin before the
+    edges_deg.unpersist()          # leaves it reads are released
     nodes.unpersist()
     return ranks
 
@@ -331,30 +352,48 @@ def triangle_count(edges: DataFrame, src: str = "src",
     # unordered pair once) skip the re-canonicalizing distinct — a
     # full |E| shuffle that is a no-op on such input (measured 1.2 s
     # of the 7.5 s sf0.1 co-purchase query).
+    # r17: the canonical set is NOT separately checkpointed any more —
+    # the ONE materialization is ``oriented`` below; the canonical
+    # lineage's own top exchange (its ``distinct``, or the caller's)
+    # is ReusedExchange across the degree aggregate and the
+    # orientation join inside that single execution, so the caller's
+    # pair pipeline still runs exactly once while a full-|E|
+    # checkpoint write+read and its scheduling round trips disappear
+    # (A/B at sf0.1: 5.3/5.1/5.8 → 5.1/4.6/5.2 s warm, identical
+    # triangle checksums). Callers passing assume_canonical=True with
+    # an expensive NON-shuffle-terminated lineage should barrier it
+    # themselves (a distinct-produced edge list always ends in one).
     if assume_canonical:
-        canon = e.localCheckpoint(eager=True)  # consumed 2x: deg, orient
+        canon = e
     else:
         canon = (e.filter(F.col("u") != F.col("v"))
                  .select(F.least("u", "v").alias("u"),
                          F.greatest("u", "v").alias("v"))
-                 .distinct()
-                 .localCheckpoint(eager=True))  # consumed 2x: deg, orient
-    deg = (canon.select(F.col("u").alias("node"))
-           .unionByName(canon.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+                 .distinct())
+    deg0 = (canon.select(F.col("u").alias("node"))
+            .unionByName(canon.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
     # orient by (degree, id): lower endpoint -> higher. Total order, so
     # each edge gets exactly one direction and out-degrees are balanced.
     withdeg = (canon
-               .join(deg.select(F.col("node").alias("u"),
-                                F.col("degree").alias("du")), "u")
-               .join(deg.select(F.col("node").alias("v"),
-                                F.col("degree").alias("dv")), "v"))
+               .join(deg0.select(F.col("node").alias("u"),
+                                 F.col("degree").alias("du")), "u")
+               .join(deg0.select(F.col("node").alias("v"),
+                                 F.col("degree").alias("dv")), "v"))
     u_first = (F.col("du") < F.col("dv")) | \
               ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
     oriented = withdeg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=True)  # read 3x: adjacency + both edge sides
+    ).localCheckpoint(eager=True)  # read 4x: degree, adjacency, 2 sides
+    # per-node degree re-derived from the MATERIALIZED orientation
+    # (orientation is a per-edge endpoint swap, so the {a,b} multiset
+    # equals the {u,v} multiset — identical degrees) instead of from
+    # the un-checkpointed canonical lineage, which execution 2 would
+    # otherwise re-run from the corpus
+    deg = (oriented.select(F.col("a").alias("node"))
+           .unionByName(oriented.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
     # out-adjacency arrays: distinct edges -> no duplicate neighbours;
     # array size bounded O(sqrt E) by the orientation, so no whale row
     adj = oriented.groupBy("a").agg(F.collect_list("b").alias("__nb"))
@@ -379,9 +418,8 @@ def triangle_count(edges: DataFrame, src: str = "src",
                    .alias("triangles"))
            .localCheckpoint(eager=True))
     # result is materialized and lineage-free — release the working
-    # checkpoints instead of pinning them for the session (the
+    # checkpoint instead of pinning it for the session (the
     # pagerank_exact discipline; |out| = one (long,long,long) row per
     # node, the bounded artifact that must stay)
-    canon.unpersist()
     oriented.unpersist()
     return out

@@ -162,8 +162,21 @@ def profile(df: DataFrame, columns: list[str] | None = None,
     multi-column form through an Expand node (input rows × columns), fine
     for dozens of columns; at corpus scale pass False for
     approx_count_distinct (HLL++, single pass, no Expand — estimates, so
-    the declared oracle uses the exact form)."""
+    the declared oracle uses the exact form).
+
+    Consistency note (r17, ADVICE): the two aggregates below scan ``df``
+    as two separate subtrees of one query — on a DETERMINISTIC lineage
+    (any parquet/catalog snapshot scan, the declared-query case) both see
+    identical rows. A nondeterministic lineage (rand()/sample) or a table
+    mutated between the subtree executions could make n_rows/n_distinct
+    disagree with n_null/min/max; checkpoint such an input first."""
     cols = columns or df.columns
+    if not cols:
+        # zero-column frame: the min/max aggregate would be an EMPTY agg
+        # (raises); the profile of no columns is an empty result, typed
+        return df.sparkSession.createDataFrame(
+            [], "column string, n_rows long, n_null long, "
+                "n_distinct long, min_value string, max_value string")
     nd = (F.countDistinct if exact_distinct
           else lambda c: F.approx_count_distinct(c))
     # Two aggregates instead of one (r16 optimization, guide §2.3/§7.2).

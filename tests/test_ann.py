@@ -411,3 +411,38 @@ def test_ivf_patch_removes_emptied_partition(spark, sf_dir, tmp_path):
     want = [r.vec_id for r in knn.vector_search(
         survivors, "embedding", qv, k=5, tiebreaker="vec_id").collect()]
     assert got == want
+
+
+def test_ivf_patch_emptied_detection_with_null_id_rows(spark, tmp_path):
+    """r16-ADVICE fix: a touched centroid partition whose non-NULL-id
+    rows are ALL stale must be deleted even when NULL-id rows share the
+    partition — the old ``__tot == __stale`` test read it as non-empty,
+    the dynamic overwrite then wrote nothing for it (keep has no rows
+    there), and the stale vectors persisted beside their re-appended
+    versions."""
+    import glob
+    import os
+
+    from pydata_vector_search_spark.operators import ann
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5)]) for i in range(40)]
+    rows.append((None, [0.0, 0.0]))                  # NULL-id resident
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = ann.ivf_build(df, "embedding", str(tmp_path / "nullid"),
+                        num_centroids=4, seed=3)
+    data = spark.read.parquet(idx.data_path)
+    null_cid = data.filter(F.col("vec_id").isNull()) \
+                   .select("__cid").collect()[0][0]
+    # tombstone EVERY keyed row of that centroid
+    victims = (data.filter((F.col("__cid") == null_cid)
+                           & F.col("vec_id").isNotNull())
+                   .select("vec_id", "embedding")
+                   .withColumn("_deleted", F.lit(True))
+                   .localCheckpoint(eager=True))
+    out = ann.ivf_patch(spark, idx, victims, "vec_id")
+    assert out["appended"] == 0 and out["removed_partitions"] >= 1
+    dirs = {os.path.basename(d)
+            for d in glob.glob(idx.data_path + "/__cid=*")}
+    assert f"__cid={null_cid}" not in dirs
+    after = spark.read.parquet(idx.data_path)
+    assert after.filter(F.col("__cid") == null_cid).count() == 0

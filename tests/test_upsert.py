@@ -291,3 +291,45 @@ def test_merge_into_rejects_dup_and_null_source_keys(spark, tmp_path):
             [(None, "x")], "k int, v string"))
     # guards fire BEFORE any commit is logged
     assert cat.current_commit("t") == 1
+
+
+def test_swap_residue_sweep_on_attach(spark, tmp_path):
+    """r17 hardening: a crash mid-``overwrite_dir_via_swap`` strands
+    dot-prefixed ``.__swap_tmp`` / ``.__swap_old`` siblings. Catalog
+    reattach deletes tmp residue, RESTORES an old sibling whose target
+    vanished (crash between the two renames), and leaves live data
+    untouched. The dot prefix keeps Spark's hidden-path filter blind to
+    residue meanwhile."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "sweep")
+    cat = Catalog(spark, root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    cat.write("t", df, key="k")
+    upsert_table(cat, "t", spark.createDataFrame([(2, "B")],
+                                                 "k int, v string"))
+
+    # simulate a crash AFTER the write of tmp but before the swap, and
+    # a finished swap whose old-dir cleanup never ran
+    tpath = os.path.join(root, "t")
+    os.makedirs(os.path.join(root, ".t.__swap_tmp", "sub"))
+    shutil.copytree(tpath, os.path.join(root, ".t.__swap_old"))
+    # and a commit-dir level residue inside the changes root
+    croot = cat._changes_root("t")
+    os.makedirs(os.path.join(croot, ".commit=2.__swap_tmp"))
+
+    cat2 = Catalog(spark, root)                      # reattach sweeps
+    assert not os.path.exists(os.path.join(root, ".t.__swap_tmp"))
+    assert not os.path.exists(os.path.join(root, ".t.__swap_old"))
+    assert not os.path.exists(os.path.join(croot, ".commit=2.__swap_tmp"))
+    got = {r.k: r.v for r in cat2.load("t").collect()}
+    assert got == {1: "a", 2: "B"}
+    # incremental/asof readers see clean commit partitions only
+    assert cat2.read_asof("t", 1).count() == 2
+
+    # crash BETWEEN the two renames: target gone, old complete → restore
+    os.rename(tpath, os.path.join(root, ".t.__swap_old"))
+    cat3 = Catalog(spark, root)
+    assert os.path.isdir(tpath)
+    assert {r.k: r.v for r in cat3.load("t").collect()} == {1: "a", 2: "B"}
