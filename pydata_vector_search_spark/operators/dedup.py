@@ -188,11 +188,24 @@ def _minhash_bands(df: DataFrame, text_col: str, id_col: str,
     hash aggregate. Partial (map-side) min aggregation collapses each
     partition to one row per doc before the shuffle, so shuffle volume
     is docs × num_hashes regardless of shingle count — the property
-    that matters at 100 TB."""
+    that matters at 100 TB.
+
+    ``base`` MATERIALIZES once (r16's jaccard threading pattern,
+    extended here in r17): the signature pipeline and the verify join's
+    two sides all consume it, and the former ``_barrier`` exchange was
+    NOT in practice shared between them — each consumer branch gets
+    different pushed-down IsNotNull predicates below the exchange, the
+    canonical plans stop matching, and the executed plan re-scanned and
+    re-shingled the corpus for the verify side (two 6.8 MiB duplicate
+    exchanges in the sf0.1 final plan). The checkpoint is the same byte
+    magnitude as those exchange files and guarantees ONE tokenize +
+    shingle pass per call (A/B at sf0.1: 2.3-2.5 → 1.7-2.0 s warm,
+    identical pairs)."""
     rows = num_hashes // bands
     df = _fan_out(df, id_col)
-    base = _barrier(df.select(F.col(id_col).alias("__id"),
-                              shingles_col(text_col, n).alias("__sh")))
+    base = (df.select(F.col(id_col).alias("__id"),
+                      shingles_col(text_col, n).alias("__sh"))
+            .localCheckpoint(eager=True))
     ex = base.select("__id", F.explode("__sh").alias("__s"))
     h1, h2 = _h1h2(F.col("__s"))
     hashed = ex.select("__id", *[
@@ -241,7 +254,7 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("id_1") < F.col("id_2"))
             .distinct())
 
-    sh = base.select("__id", "__sh")  # same exchange as ex → reused
+    sh = base.select("__id", "__sh")  # reads the base checkpoint blocks
     inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
     union = (F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter)
     return (cand.join(sh.alias("sa"), F.col("id_1") == F.col("sa.__id"))
@@ -283,11 +296,18 @@ def jaccard_similarity_join(df: DataFrame, text_col: str, id_col: str,
         ex = _ex
     else:
         df = _fan_out(df, id_col)
+        # materialize the shingle table ONCE (r17, same fix as
+        # _minhash_bands): the exploded occurrences feed BOTH sides of
+        # the co-occurrence self-join, and the former _barrier exchange
+        # was duplicated per side at execution (per-branch pushed
+        # predicates break canonical equality), tokenizing + shingling
+        # the corpus twice. A/B at sf0.1: 2.0-2.5 → 1.1-1.6 s warm,
+        # identical pairs.
         sh = (df.select(F.col(id_col).alias("__id"),
                         shingles_col(text_col, n).alias("__sh"))
                 .withColumn("__n", F.size("__sh"))
-                .select("__id", "__n", "__sh"))
-        sh = _barrier(sh)
+                .select("__id", "__n", "__sh")
+                .localCheckpoint(eager=True))
         # Join on xxhash64(shingle), not the shingle string: the join key
         # that shuffles twice (self-join) drops from ~n-gram-length bytes
         # to 8, and probe/compare are long-equality. Counts are unchanged
@@ -335,8 +355,10 @@ def jaccard_similarity_join_auto(df: DataFrame, text_col: str, id_col: str,
     runs — and when the prefix branch is chosen the probe's value is
     threaded through as that gate's estimate, so the corpus is scanned
     once for decision + gate; cost ≈ one scan, negligible next to
-    either join). NOTE the probe aggregate runs EAGERLY at call time;
-    call the two underlying functions directly for a fully-lazy plan.
+    either join). NOTE the probe aggregate runs EAGERLY at call time
+    (since r17 the underlying functions also materialize their shingle
+    table eagerly — one tokenize+shingle pass per call is the contract
+    everywhere; only the probe/gate jobs differ between entry points).
     ``R <= dup_ratio_threshold`` → count-based (wins on near-unique
     corpora where the self-join is output-bounded and prefix ranking
     overhead dominates); above it → PPJoin (wins once hot/duplicated
@@ -468,19 +490,18 @@ def jaccard_similarity_join_prefix(df: DataFrame, text_col: str, id_col: str,
                                     lambda s: F.xxhash64(s)).alias("__sh"))
                 .withColumn("__n", F.size("__sh"))
                 .select("__id", "__n", "__sh"))
-        if broadcast_candidates is None:
-            # A gate below is about to run an EAGER job over this
-            # pipeline, and the final query would then re-run it from
-            # scratch (exchange reuse never spans executions — measured
-            # as a second full tokenize+gram+hash pass, ~1.5 s of the
-            # 4.3 s warm query at sf0.1). Materialize the shingle table
-            # once instead of only exchange-barriering it: same byte
-            # magnitude as the _barrier shuffle files (r16; the tier-3
-            # precedent). Explicit True/False keeps the documented
-            # fully-lazy plan with the plain _barrier.
-            sh = sh.localCheckpoint(eager=True)
-        else:
-            sh = _barrier(sh)
+        # Materialize the shingle table once (r16 for the gated default
+        # path — the gate's eager estimate job would otherwise re-run
+        # the whole tokenize+gram+hash pipeline at action, measured as
+        # ~1.5 s of the 4.3 s warm query at sf0.1; r17 extends it to
+        # the explicit True/False path too: the prefix window, both
+        # verify sides and the dfreq aggregate all consume ``sh``, and
+        # a plain _barrier exchange is not reliably shared across those
+        # branches — per-branch pushed predicates break canonical
+        # equality and the corpus is shingled more than once, the same
+        # duplication measured on the count-based join). Same byte
+        # magnitude as the _barrier shuffle files either way.
+        sh = sh.localCheckpoint(eager=True)
         ex = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
         dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         if max_shingle_df is not None:
@@ -588,11 +609,18 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
     b_sh = (benchmark
             .select(F.explode(shingles_col(text_col, n)).alias("__s0"))
             .select(F.xxhash64("__s0").alias("__s")).distinct())
+    # materialize the corpus shingle table ONCE (r17, same fix as
+    # _minhash_bands): the hit-count explode and the final per-doc
+    # (id, n) join both consume it, and the former _barrier exchange
+    # was duplicated per branch at execution (per-branch pushed
+    # IsNotNull predicates break canonical equality → no reuse), so
+    # the corpus was tokenized + shingled twice. A/B at sf0.1:
+    # 2.1-2.4 → 1.0-1.3 s warm, identical overlaps.
     c_sh = (_fan_out(corpus, id_col)
             .select(F.col(id_col).alias("__id"),
                     shingles_col(text_col, n).alias("__sh"))
-            .withColumn("__n", F.size("__sh")))
-    c_sh = _barrier(c_sh)
+            .withColumn("__n", F.size("__sh"))
+            .localCheckpoint(eager=True))
     ex = (c_sh.select("__id", "__n", F.explode("__sh").alias("__s0"))
               .select("__id", "__n", F.xxhash64("__s0").alias("__s")))
     hits = (ex.join(F.broadcast(b_sh), "__s")
@@ -708,7 +736,15 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
             f"BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
             for b in range(bits_n)]
     sig = F.expr(" | ".join(bits))
-    base = _barrier(votes.select("__id", sig.alias("__sh")))
+    # materialize the (id, signature) table ONCE (r17, same fix as
+    # _minhash_bands): the pigeonhole blocks read it n_chunks times on
+    # EACH side of the self-join, and the former _barrier exchange was
+    # not reliably shared across those branches (per-branch pushed
+    # predicates break canonical equality), re-running the md5+vote
+    # signature pipeline. 8 B/doc payload; A/B at sf0.1 (max_hamming=3):
+    # 4.2-6.7 → 3.8-4.7 s warm, identical pairs.
+    base = votes.select("__id", sig.alias("__sh")).localCheckpoint(
+        eager=True)
     n_chunks = max_hamming + 1            # minimal pigeonhole cover
     width = bits_n // n_chunks            # 60 divides by 1..4
     blocks = []

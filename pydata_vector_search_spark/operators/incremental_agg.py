@@ -104,8 +104,15 @@ def refresh_agg(catalog, source: str, name: str) -> dict:
     mins, maxs = meta.get("mins") or {}, meta.get("maxs") or {}
     key = info.key
 
+    # materialize the changed-key set ONCE (r17, the jaccard-dispatcher
+    # threading pattern): it anchors BOTH the old-image and new-image
+    # joins, and without the barrier the commit-log scan + distinct
+    # subtree is planned twice — runtime stage reuse across the two
+    # broadcast sides is AQE's call, not a guarantee. The key set is
+    # bounded by the changed data (tiny next to either image); one
+    # cheap materialization pins one commit-log execution per refresh.
     changed = (catalog.read_incremental(source, r, latest_only=False)
-               .select(key).distinct())
+               .select(key).distinct().localCheckpoint(eager=True))
     old_img = catalog.read_asof(source, r).join(changed, key, "inner")
     new_img = catalog.load(source).join(changed, key, "inner")
 
